@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Run: python bench.py  (defaults: /root/testdata/sf0.1, local[$SPARK_GRAFT_CPUS])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "per_group_topk",
+    "group_count_filter",
+    "extract_column_as_dict",
+    "events_rollup",
+    "exact_dedup",
+    "tfidf_top_tokens",
+    "minhash_near_dedup",
+    "brute_force_topk",
+    "embedding_near_dup",
+    "token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from redshells_spark import get_spark_session
+    from redshells_spark.queries import get_queries
+
+    spark = get_spark_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = get_queries()
+
+    # one warmup action to amortize JVM/codegen startup out of q1's time
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""DataFrame utility operators — §2.B of SURVEY.md.
+
+Spark-first re-expression of the reference's
+``redshells/data/data_frame_utils.py`` task library. Each operator is
+a pure DataFrame→DataFrame function (lazy plan); the task-cache layer
+(:mod:`redshells_spark.task`) supplies the Luigi/Gokart materialization
+semantics.
+
+Determinism policy: where the reference relies on pandas row order or
+unseeded shuffles (keep-first dedup ``data_frame_utils.py:49``,
+``sklearn.utils.shuffle`` ``:180``, ``sample(frac=1)`` ``:190-201``),
+we take an explicit ``order_by`` column (or a portable md5 hash) so
+results are reproducible and partition-count-independent — mandatory
+at 1000-executor scale where "first row" is otherwise nondeterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redshells_spark.schema import portable_hash_str, require_columns
+
+
+def extract_column(df: DataFrame, column_name: str) -> DataFrame:
+    """Single-column projection (reference ``ExtractColumnAsList``,
+    ``data/data_frame_utils.py:11-28``). Collect only at sinks —
+    returning a DataFrame keeps the projection pushed into the scan."""
+    require_columns(df, [column_name])
+    return df.select(column_name)
+
+
+def extract_column_as_dict(
+    df: DataFrame,
+    key_column_name: str,
+    value_column_name: str,
+    order_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """2-col projection with key dedup, **keep first** (reference
+    ``ExtractColumnAsDict``, ``data/data_frame_utils.py:31-50``).
+
+    Pandas "first" is input-order-dependent; distributed "first" is
+    nondeterministic. With ``order_by`` we keep the row with the
+    smallest order value per key (row_number window — one shuffle on
+    the key, no join). Without it, falls back to ``dropDuplicates``
+    (any-first; cheaper, map-side partial aggregation)."""
+    require_columns(df, [key_column_name, value_column_name])
+    projected = df.select(key_column_name, value_column_name)
+    if order_by is None:
+        return projected.dropDuplicates([key_column_name])
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key_column_name).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.select(key_column_name, value_column_name, *[c for c in order_cols if c != value_column_name])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key_column_name, value_column_name)
+    )
+
+
+def filter_by_column(df: DataFrame, column_names: Sequence[str]) -> DataFrame:
+    """Multi-column projection (reference ``FilterByColumn``,
+    ``data/data_frame_utils.py:53-70``)."""
+    require_columns(df, column_names)
+    return df.select(*column_names)
+
+
+def rename_column(df: DataFrame, rename_rule: dict[str, str]) -> DataFrame:
+    """Rename via dict (reference ``RenameColumn``,
+    ``data/data_frame_utils.py:73-91``)."""
+    require_columns(df, rename_rule.keys())
+    return df.withColumnsRenamed(rename_rule)
+
+
+def group_by_column_as_dict(
+    df: DataFrame,
+    key_column_name: str,
+    value_column_name: str,
+    sort_values: bool = True,
+) -> DataFrame:
+    """dropna on key+value then key → list of values (reference
+    ``GroupByColumnAsDict``, ``data/data_frame_utils.py:94-116``).
+
+    ``sort_values=True`` sorts each list so output is deterministic
+    across partitionings (collect_list order is not guaranteed)."""
+    require_columns(df, [key_column_name, value_column_name])
+    agg = F.collect_list(value_column_name)
+    if sort_values:
+        agg = F.array_sort(agg)
+    return (
+        df.dropna(subset=[key_column_name, value_column_name])
+        .groupBy(key_column_name)
+        .agg(agg.alias(f"{value_column_name}_list"))
+    )
+
+
+def convert_to_one_hot(
+    df: DataFrame,
+    categorical_column_names: Sequence[str],
+    drop_original: bool = True,
+) -> DataFrame:
+    """``pd.get_dummies``-style expansion (reference ``ConvertToOneHot``,
+    ``data/data_frame_utils.py:119-139``).
+
+    Two passes: (1) collect distinct values per column (small driver
+    result — cardinality is bounded for categoricals), (2) derive one
+    ``F.when`` indicator per value in-place. No join: the reference's
+    merge-on-row-index is unnecessary when columns are derived
+    expressions."""
+    require_columns(df, categorical_column_names)
+    out = df
+    for col in categorical_column_names:
+        values = sorted(
+            r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        )
+        for v in values:
+            out = out.withColumn(
+                f"{col}_{v}", F.when(F.col(col) == F.lit(v), 1).otherwise(0)
+            )
+        if drop_original:
+            out = out.drop(col)
+    return out
+
+
+def split_train_test_data(
+    df: DataFrame, test_size_rate: float, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Shuffle + split (reference ``SplitTrainTestData``,
+    ``data/data_frame_utils.py:165-183``). ``randomSplit`` is the
+    scalable equivalent: one pass, no global sort, per-row Bernoulli
+    with deterministic seed."""
+    train, test = df.randomSplit([1.0 - test_size_rate, test_size_rate], seed=seed)
+    return train, test
+
+
+def sample_data(
+    df: DataFrame, sample_size: int, seed: int = 42, key_column: str | None = None
+) -> DataFrame:
+    """Exact-size uniform sample = shuffle + head(n) (reference
+    ``SampleData``, ``data/data_frame_utils.py:186-201``).
+
+    With ``key_column``: orders by a portable md5 hash of the key —
+    deterministic across engines/partitionings and oracle-checkable.
+    Without: ``F.rand(seed)`` (deterministic for a fixed partitioning
+    only). Both compile to ``TakeOrderedAndProject`` — per-partition
+    top-n then driver merge, no global sort, scales to any input."""
+    if key_column is not None:
+        order = portable_hash_str(key_column, seed)
+    else:
+        order = F.rand(seed)
+    return df.orderBy(order.asc()).limit(sample_size)
+
+
+def head_cap(
+    df: DataFrame, max_data_size: int, seed: int = 42, key_column: str | None = None
+) -> DataFrame:
+    """Cap data size after shuffle (reference
+    ``contrib/train/train_matrix_factorization.py:41-42``)."""
+    return sample_data(df, max_data_size, seed=seed, key_column=key_column)

@@ -1,0 +1,210 @@
+"""MinHash + LSH near-duplicate detection — fully relational.
+
+shingle → minhash → band → bucket-join, the standard large-corpus
+near-dedup pipeline (Broder '97; used by C4/RefinedWeb/Dolma et al.),
+expressed so every stage is a DataFrame op with partial aggregation —
+AND portably reproducible: all hashing is integer arithmetic mod
+p = 2^31−1 over *token ids* (from the relational dictionary), so a SQL
+oracle computes bit-identical signatures.
+
+Pipeline (shuffle count in brackets):
+  1. (doc, pos, token) rows → join vocab → token ids        [explode + 1 broadcast join]
+  2. bigram shingle = (id·1000003 + next_id) mod p          [window lead, same shuffle as 3]
+  3. k permutations: min((aⱼ·s + bⱼ) mod p) per (doc, j)    [1 groupBy, k×shingles rows]
+  4. band key = md5 of the band's minhash values            [1 groupBy]
+  5. candidates = docs sharing any (band, key) bucket       [1 self-join on bucket]
+  6. verify: exact shingle-set Jaccard ≥ threshold          [1 join + groupBy]
+
+At 100 TB the only dangerous stage is 5 (a hot bucket = a skewed
+join key); AQE skew-join splits it, and ``max_bucket_size`` drops
+degenerate buckets (boilerplate shingles) like production pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redshells_spark.schema import require_columns
+
+P = 2147483647  # 2^31 - 1 (Mersenne prime); all arithmetic fits in int64
+SHINGLE_BASE = 1000003
+
+
+def _hash_params(spark, num_hashes: int) -> DataFrame:
+    """Deterministic (j, a_j, b_j) table, a_j odd-ish nonzero mod p."""
+    return (
+        spark.range(num_hashes)
+        .select(
+            F.col("id").cast("int").alias("j"),
+            ((F.col("id") * 2654435761 + 1) % P).alias("a"),
+            ((F.col("id") * 40503 + 17) % P).alias("b"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    vocab: DataFrame,
+    doc_id_column: str = "doc_id",
+    tokens_column: str = "tokens",
+    shingle_len: int = 2,
+) -> DataFrame:
+    """→ distinct (doc_id, shingle:long). Token-id n-grams via window
+    ``lead`` over token position; ids from the relational vocabulary
+    (:func:`redshells_spark.text.dictionary.train_dictionary`).
+    Out-of-vocab tokens are dropped (rare-token shingles don't help
+    near-dup detection and ballooning the id space hurts)."""
+    require_columns(docs, [doc_id_column, tokens_column])
+    pos = docs.select(
+        F.col(doc_id_column).alias("doc_id"),
+        F.posexplode(tokens_column).alias("pos", "token"),
+    )
+    ids = pos.join(F.broadcast(vocab.select("token", "token_id")), on="token", how="inner")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.col("token_id").cast("long")
+    for i in range(1, shingle_len):
+        shingle = (shingle * SHINGLE_BASE + F.lead("token_id", i).over(w)) % P
+    return (
+        ids.withColumn("shingle", shingle)
+        .filter(F.col("shingle").isNotNull())
+        .select("doc_id", "shingle")
+        .dropDuplicates()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """→ (doc_id, j, minhash). Cross join with the k-row param table
+    (broadcast) then min per (doc, j) — map-side partial min keeps the
+    shuffle at k rows per doc per partition."""
+    params = _hash_params(shingles.sparkSession, num_hashes)
+    return (
+        shingles.crossJoin(F.broadcast(params))
+        .select(
+            "doc_id",
+            "j",
+            ((F.col("a") * F.col("shingle") + F.col("b")) % P).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """→ candidate pairs (doc_id_0 < doc_id_1) sharing an LSH bucket.
+
+    band key = md5 of the band's ordered minhash values (portable
+    across engines). Buckets larger than ``max_bucket_size`` are
+    dropped — they are boilerplate clusters that would quadratically
+    explode the pair join (standard skew guard)."""
+    banded = (
+        signatures.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("int"))
+        .filter(F.col("band") < bands)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list(F.struct("j", "minhash"))).minhash)
+            ).alias("bucket")
+        )
+    )
+    sized = banded.withColumn(
+        "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("__bsz") <= max_bucket_size)
+    left = sized.select("band", "bucket", F.col("doc_id").alias("doc_id_0"))
+    right = sized.select("band", "bucket", F.col("doc_id").alias("doc_id_1"))
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_id_0") < F.col("doc_id_1"))
+        .select("doc_id_0", "doc_id_1")
+        .dropDuplicates()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs → keep ≥ threshold.
+    |A∩B| via join on shingle restricted to candidate pairs; |A∪B| =
+    |A|+|B|−|A∩B| from per-doc sizes (broadcastable)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s0 = shingles.select(F.col("doc_id").alias("doc_id_0"), "shingle")
+    s1 = shingles.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    inter = (
+        candidates.join(s0, on="doc_id_0")
+        .join(s1, on=["doc_id_1", "shingle"])
+        .groupBy("doc_id_0", "doc_id_1")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_id_0", "sz": "sz0"}), on="doc_id_0")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_1", "sz": "sz1"}), on="doc_id_1")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz0") + F.col("sz1") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_0", "doc_id_1", "jaccard")
+    )
+
+
+def minhash_near_dedup(
+    docs: DataFrame,
+    vocab: DataFrame,
+    doc_id_column: str = "doc_id",
+    tokens_column: str = "tokens",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end: → verified near-duplicate pairs (doc_id_0, doc_id_1,
+    jaccard). Drop policy (keep min id per connected component) is left
+    to the caller — components need iterative joins (see
+    :func:`connected_components_dedup`)."""
+    sh = doc_shingles(docs, vocab, doc_id_column, tokens_column)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = minhash_lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band)
+    return verify_jaccard(cand, sh, threshold=threshold)
+
+
+def connected_components_dedup(
+    pairs: DataFrame, max_iterations: int = 10
+) -> DataFrame:
+    """→ (doc_id, keep_id): map every doc in a near-dup component to
+    the component's min id via iterative label propagation (small-star
+    style). Converges in O(log(component diameter)) joins; near-dup
+    components are shallow in practice so the default cap is generous."""
+    edges = pairs.select(
+        F.col("doc_id_0").alias("src"), F.col("doc_id_1").alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.groupBy("src").agg(F.min("dst").alias("lbl"))
+        .select("src", F.least("src", "lbl").alias("lbl"))
+    )
+    for _ in range(max_iterations):
+        prop = (
+            sym.join(labels, on="src")
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("dst", "src")
+        )
+        new_labels = (
+            labels.join(prop, on="src", how="outer")
+            .select(
+                "src",
+                F.least(F.coalesce("lbl", "nlbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+        )
+        if new_labels.exceptAll(labels).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("keep_id"))

@@ -1,0 +1,817 @@
+"""Driver-contract query registry: Spark builders + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-data
+pipeline extensions) gets a named entry here:
+
+- ``QUERIES[name](spark, sf_dir) -> DataFrame`` — the Spark-first
+  implementation, built from :mod:`redshells_spark` operators.
+- ``ORACLES[name]`` — equivalent ANSI SQL for DuckDB over the same
+  parquet tables (pre-registered views). Omitted for ops whose
+  semantics are not SQL-expressible (engine-hash-dependent sampling,
+  MLlib model fits) — those get rows-only checks.
+
+Cross-engine determinism rules applied throughout:
+- every aggregate/computed column aliased identically on both sides;
+- doubles rounded (4 decimals) *after* aggregation on both sides;
+- ordering/sampling keyed on md5 (identical in Spark and DuckDB) or
+  on pure int64 arithmetic mod 2^31−1 — never on engine RNG;
+- list-valued results rendered as canonical strings (sorted,
+  comma-joined) because array hashing differs across engines;
+- Spark int32 results cast to long where DuckDB returns BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redshells_spark.data.frame_ops import (
+    convert_to_one_hot,
+    extract_column_as_dict,
+    filter_by_column,
+    rename_column,
+    sample_data,
+)
+from redshells_spark.dedup.exact import exact_dedup
+from redshells_spark.dedup.minhash import (
+    doc_shingles,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    verify_jaccard,
+)
+from redshells_spark.dedup.ngram import ngram_jaccard_pairs
+from redshells_spark.dedup.simhash import simhash_near_dup_pairs, simhash_signatures
+from redshells_spark.functions.vector import cosine_similarity, dot_product
+from redshells_spark.operators.aggregates import (
+    distinct_count,
+    group_count_filter,
+    min_max_avg_std,
+    value_counts_id_map,
+)
+from redshells_spark.operators.joins import (
+    anti_join_negative_sampling,
+    keyword_match_join,
+    semi_join_isin,
+)
+from redshells_spark.operators.topk import per_group_topk, topk_threshold_similarity
+from redshells_spark.operators.setops import union_concat
+from redshells_spark.similarity.ann import brute_force_topk, lsh_topk
+from redshells_spark.text.analysis import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+from redshells_spark.text.dictionary import train_dictionary
+from redshells_spark.text.tfidf import tfidf_scores, tfidf_top_tokens
+from redshells_spark.text.tokenize import tokenize_on_space
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# dictionary params tuned to the testdata corpus (31-token vocab,
+# doc_freq 25..~400 over 500 docs)
+DICT_PARAMS = dict(no_below=5, no_above=0.9, keep_n=100)
+KEYWORDS = ("spark", "join", "window", "stream", "hash")
+
+# ---------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet uses TIMESTAMP(NANOS); a plain session (e.g. the
+    # driver's) fails the scan without this runtime-settable legacy conf
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf may be locked; reads may still work
+        pass
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize_on_space(
+        _t(spark, sf_dir, "documents"), "text", "tokens", lowercase=True
+    )
+
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_dictionary(_tokens(spark, sf_dir), "doc_id", "tokens", **DICT_PARAMS)
+
+
+def _r4(c, name: str):
+    return F.round(c, 4).alias(name)
+
+
+_VOCAB_SQL = """
+    vocab AS (
+        SELECT token, doc_freq,
+               CAST(row_number() OVER (ORDER BY doc_freq DESC, token ASC) - 1 AS BIGINT) AS token_id
+        FROM (
+            SELECT token, count(*) AS doc_freq
+            FROM (
+                SELECT DISTINCT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS token
+                FROM documents
+            )
+            GROUP BY token
+        )
+        WHERE doc_freq >= 5 AND doc_freq <= 0.9 * (SELECT count(*) FROM documents)
+        QUALIFY row_number() OVER (ORDER BY doc_freq DESC, token ASC) - 1 < 100
+    )
+"""
+
+_TOK_SQL = """
+    tok AS (
+        SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+        FROM (
+            SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents
+        )
+    )
+"""
+
+# ------------------------------------------------------- relational core
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "filter_by_column",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem WHERE l_quantity >= 25""",
+)
+def _filter_by_column(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    return filter_by_column(li, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+
+
+@q(
+    "extract_column_as_dict",
+    """SELECT l_orderkey, l_partkey FROM (
+         SELECT l_orderkey, l_partkey,
+                row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber ASC, l_partkey ASC) AS rn
+         FROM lineitem) WHERE rn = 1""",
+)
+def _extract_column_as_dict(spark, sf_dir):
+    # l_linenumber repeats within an order in this testdata → add the
+    # value column as the final tie-break for determinism
+    return extract_column_as_dict(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        order_by=["l_linenumber", "l_partkey"],
+    )
+
+
+@q(
+    "group_by_column_as_dict",
+    """SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey ASC) AS order_keys
+       FROM orders GROUP BY o_custkey""",
+)
+def _group_by_column_as_dict(spark, sf_dir):
+    # canonical string rendering: array hashing differs across engines
+    return (
+        _t(spark, sf_dir, "orders")
+        .dropna(subset=["o_custkey", "o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")), lambda x: x.cast("string")
+                ),
+            ).alias("order_keys")
+        )
+    )
+
+
+@q(
+    "group_count_filter",
+    """SELECT event_id, user_id, event_type FROM events
+       WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id
+                         HAVING count(*) BETWEEN 60 AND 70)""",
+)
+def _group_count_filter(spark, sf_dir):
+    ev = group_count_filter(_t(spark, sf_dir, "events"), "user_id", 60, 70)
+    return ev.select("event_id", "user_id", "event_type")
+
+
+@q(
+    "distinct_count",
+    "SELECT count(DISTINCT user_id) AS user_id_distinct_count FROM events",
+)
+def _distinct_count(spark, sf_dir):
+    return distinct_count(_t(spark, sf_dir, "events"), "user_id")
+
+
+@q(
+    "min_max_avg_std",
+    """SELECT round(min(value), 4) AS min, round(max(value), 4) AS max,
+              round(avg(value), 4) AS avg, round(stddev_pop(value), 4) AS std
+       FROM events""",
+)
+def _min_max_avg_std(spark, sf_dir):
+    stats = min_max_avg_std(_t(spark, sf_dir, "events"), "value")
+    return stats.select(
+        _r4(F.col("min"), "min"), _r4(F.col("max"), "max"),
+        _r4(F.col("avg"), "avg"), _r4(F.col("std"), "std"),
+    )
+
+
+@q(
+    "topk_threshold",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       WHERE l_extendedprice > 1000.0
+       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""",
+)
+def _topk_threshold(spark, sf_dir):
+    return topk_threshold_similarity(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice",
+        threshold=1000.0,
+        size=100,
+        tie_break=["l_orderkey", "l_linenumber"],
+    )
+
+
+@q(
+    "per_group_topk",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS BIGINT) AS rank FROM (
+         SELECT l_orderkey, l_linenumber, l_extendedprice,
+                row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+         FROM lineitem) WHERE rn <= 3""",
+)
+def _per_group_topk(spark, sf_dir):
+    out = per_group_topk(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_orderkey",
+        "l_extendedprice",
+        3,
+        tie_break=["l_linenumber"],
+        rank_column="rank",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "sample_data",
+    """SELECT o_orderkey, o_custkey FROM orders
+       ORDER BY md5(CAST(o_orderkey AS VARCHAR) || '42') ASC LIMIT 200""",
+)
+def _sample_data(spark, sf_dir):
+    return sample_data(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        200,
+        seed=42,
+        key_column="o_orderkey",
+    )
+
+
+@q(
+    "convert_to_one_hot",
+    """SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS "o_orderpriority_1-URGENT",
+         CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS "o_orderpriority_2-HIGH",
+         CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS "o_orderpriority_3-MEDIUM",
+         CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS "o_orderpriority_4-NOT SPECIFIED",
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS "o_orderpriority_5-LOW"
+       FROM orders""",
+)
+def _convert_to_one_hot(spark, sf_dir):
+    return convert_to_one_hot(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ["o_orderpriority"],
+    )
+
+
+@q(
+    "value_counts_id_map",
+    """SELECT event_type, count(*) AS count,
+              CAST(row_number() OVER (ORDER BY event_type ASC) AS BIGINT) AS idx
+       FROM events GROUP BY event_type""",
+)
+def _value_counts_id_map(spark, sf_dir):
+    out = value_counts_id_map(_t(spark, sf_dir, "events"), "event_type")
+    return out.withColumn("idx", F.col("index").cast("long")).drop("index")
+
+
+@q(
+    "union_concat",
+    """SELECT event_id, user_id, 1 AS label FROM events WHERE event_type = 'click'
+       UNION ALL
+       SELECT event_id, user_id, 0 AS label FROM events WHERE event_type = 'view'""",
+)
+def _union_concat(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.lit(1).alias("label")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.lit(0).alias("label")
+    )
+    return union_concat(clicks, views)
+
+
+@q(
+    "semi_join_isin",
+    """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""",
+)
+def _semi_join_isin(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return semi_join_isin(li, parts, on="l_partkey", valid_key="p_partkey")
+
+
+@q(
+    "rename_column",
+    """SELECT n_nationkey AS nation_id, n_name AS nation_name, n_regionkey AS region_id
+       FROM nation""",
+)
+def _rename_column(spark, sf_dir):
+    return rename_column(
+        _t(spark, sf_dir, "nation"),
+        {"n_nationkey": "nation_id", "n_name": "nation_name", "n_regionkey": "region_id"},
+    )
+
+
+@q("anti_join_negative_sampling")  # engine-hash sampling → rows-only check
+def _negative_sampling(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    positives = li.select(
+        F.col("l_suppkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    return anti_join_negative_sampling(positives, "user_id", "item_id")
+
+
+# ------------------------------------------------------------ text ops
+
+@q(
+    "token_count",
+    """SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS BIGINT) AS n_words,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+       FROM documents""",
+)
+def _token_count(spark, sf_dir):
+    out = token_count(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_subword_est",
+    )
+
+
+@q(
+    "quality_score",
+    """WITH b AS (
+         SELECT doc_id, length(text) AS n_chars,
+           CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                t -> t IN ('the','and','of','to','in','is','that','with','for','it'))) AS BIGINT) AS stop_hits,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+         FROM documents)
+       SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(CASE WHEN n_tokens > 0 THEN (n_chars - n_tokens + 1.0) / n_tokens ELSE 0.0 END, 4) AS mean_word_len,
+         round(punct / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
+         CAST(round(
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.05 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN punct / greatest(n_chars, 1) <= 0.3 THEN 0.3 ELSE 0.0 END), 4) AS DOUBLE) AS quality
+       FROM b""",
+)
+def _quality_score(spark, sf_dir):
+    out = quality_score(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _r4(F.col("mean_word_len"), "mean_word_len"),
+        _r4(F.col("punct_ratio"), "punct_ratio"),
+        _r4(F.col("stopword_ratio"), "stopword_ratio"),
+        _r4(F.col("quality"), "quality"),
+    )
+
+
+_LANG_SQL_LISTS = {
+    "de": "('der','die','das','und','ist','nicht','mit','ein','zu','den')",
+    "en": "('the','and','of','to','in','is','that','with','for','it')",
+    "es": "('el','los','las','es','no','una','por','con','para','del')",
+    "fr": "('le','la','les','et','est','pas','des','une','dans','que')",
+}
+
+@q(
+    "detect_language",
+    f"""WITH h AS (
+         SELECT doc_id,
+           {", ".join(
+             f"len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''), t -> t IN {lst})) AS hits_{lang}"
+             for lang, lst in _LANG_SQL_LISTS.items()
+           )}
+         FROM documents)
+       SELECT doc_id,
+         CASE
+           WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+           WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+           WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+           WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+           ELSE 'fr'
+         END AS lang_pred
+       FROM h""",
+)
+def _detect_language(spark, sf_dir):
+    return detect_language(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+@q(
+    "fingerprint",
+    """SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+       FROM documents""",
+)
+def _fingerprint(spark, sf_dir):
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@q(
+    "exact_dedup",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         FROM documents) WHERE doc_id = keep""",
+)
+def _exact_dedup(spark, sf_dir):
+    out = exact_dedup(_t(spark, sf_dir, "documents"), normalized=False)
+    return out.select("doc_id", "source")
+
+
+@q(
+    "train_dictionary",
+    f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
+)
+def _train_dictionary(spark, sf_dir):
+    v = _vocab(spark, sf_dir)
+    return v.withColumn("token_id", F.col("token_id").cast("long")).withColumn(
+        "doc_freq", F.col("doc_freq").cast("long")
+    )
+
+
+@q(
+    "tfidf",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL},
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)
+       SELECT tf.doc_id, tf.token,
+              round(tf.tf * log2((SELECT count(*) FROM documents) * 1.0 / v.doc_freq), 4) AS tfidf
+       FROM tf JOIN vocab v ON tf.token = v.token
+       WHERE tf.tf * log2((SELECT count(*) FROM documents) * 1.0 / v.doc_freq) <> 0.0""",
+)
+def _tfidf(spark, sf_dir):
+    sc = tfidf_scores(_tokens(spark, sf_dir), _vocab(spark, sf_dir), normalize=False)
+    return sc.select("doc_id", "token", _r4(F.col("tfidf"), "tfidf"))
+
+
+@q(
+    "tfidf_top_tokens",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL},
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+       scored AS (
+         SELECT tf.doc_id, tf.token,
+                tf.tf * log2((SELECT count(*) FROM documents) * 1.0 / v.doc_freq) AS tfidf
+         FROM tf JOIN vocab v ON tf.token = v.token
+         WHERE tf.tf * log2((SELECT count(*) FROM documents) * 1.0 / v.doc_freq) <> 0.0),
+       ranked AS (
+         SELECT doc_id, token, tfidf,
+                row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn,
+                ceil(count(*) OVER (PARTITION BY doc_id) * 0.2) + 1 AS k
+         FROM scored)
+       SELECT doc_id, token, round(tfidf, 4) AS tfidf FROM ranked WHERE rn <= k""",
+)
+def _tfidf_top_tokens(spark, sf_dir):
+    sc = tfidf_scores(_tokens(spark, sf_dir), _vocab(spark, sf_dir), normalize=False)
+    top = tfidf_top_tokens(sc, keep_top_rate=0.2)
+    return top.select("doc_id", "token", _r4(F.col("tfidf"), "tfidf"))
+
+
+@q(
+    "keyword_match",
+    f"""SELECT DISTINCT doc_id, token AS keyword
+       FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token FROM documents)
+       WHERE token IN {str(KEYWORDS)}""",
+)
+def _keyword_match(spark, sf_dir):
+    keywords = _tokens(spark, sf_dir).sparkSession.createDataFrame(
+        [(k,) for k in KEYWORDS], "keyword string"
+    )
+    return keyword_match_join(_tokens(spark, sf_dir), keywords, "doc_id", "tokens")
+
+
+# ------------------------------------------------------------ dedup ops
+
+_SHINGLE_SQL = f"""
+    ids AS (
+        SELECT tok.doc_id, tok.pos, v.token_id
+        FROM tok JOIN vocab v ON tok.token = v.token),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               (token_id * 1000003 + lead(token_id) OVER (PARTITION BY doc_id ORDER BY pos ASC)) % 2147483647 AS shingle
+        FROM ids
+        QUALIFY shingle IS NOT NULL),
+    params AS (
+        SELECT CAST(jj AS INTEGER) AS j,
+               (jj * 2654435761 + 1) % 2147483647 AS a,
+               (jj * 40503 + 17) % 2147483647 AS b
+        FROM (SELECT unnest(generate_series(0, 7)) AS jj)),
+    sigs AS (
+        SELECT doc_id, j, min((a * shingle + b) % 2147483647) AS minhash
+        FROM shingles CROSS JOIN params
+        GROUP BY doc_id, j)
+"""
+
+
+@q(
+    "minhash_signatures",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL}
+       SELECT doc_id, CAST(j AS BIGINT) AS j, minhash FROM sigs""",
+)
+def _minhash_signatures(spark, sf_dir):
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    sig = minhash_signatures(sh, num_hashes=8)
+    return sig.select("doc_id", F.col("j").cast("long").alias("j"), "minhash")
+
+
+@q(
+    "minhash_near_dedup",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
+       banded AS (
+         SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j ASC)) AS bucket
+         FROM sigs WHERE CAST(j // 2 AS INTEGER) < 4
+         GROUP BY doc_id, CAST(j // 2 AS INTEGER)),
+       sized AS (
+         SELECT * FROM (
+           SELECT band, bucket, doc_id, count(*) OVER (PARTITION BY band, bucket) AS bsz
+           FROM banded) WHERE bsz <= 1000),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_id_0, b.doc_id AS doc_id_1
+         FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id),
+       sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_id_0, c.doc_id_1, count(*) AS inter
+         FROM cand c
+         JOIN shingles s0 ON s0.doc_id = c.doc_id_0
+         JOIN shingles s1 ON s1.doc_id = c.doc_id_1 AND s1.shingle = s0.shingle
+         GROUP BY c.doc_id_0, c.doc_id_1)
+       SELECT i.doc_id_0, i.doc_id_1,
+              round(i.inter * 1.0 / (z0.sz + z1.sz - i.inter), 4) AS jaccard
+       FROM inter i
+       JOIN sz z0 ON z0.doc_id = i.doc_id_0
+       JOIN sz z1 ON z1.doc_id = i.doc_id_1
+       WHERE i.inter * 1.0 / (z0.sz + z1.sz - i.inter) >= 0.1""",
+)
+def _minhash_near_dedup(spark, sf_dir):
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    sig = minhash_signatures(sh, num_hashes=8)
+    cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=2)
+    out = verify_jaccard(cand, sh, threshold=0.1)
+    return out.select("doc_id_0", "doc_id_1", _r4(F.col("jaccard"), "jaccard"))
+
+
+@q(
+    "ngram_jaccard",
+    """WITH tok AS (
+         SELECT doc_id, source, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+         FROM (SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+               FROM documents)),
+       grams AS (
+         SELECT DISTINCT doc_id, source,
+                token || '␟' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS gram
+         FROM tok QUALIFY gram IS NOT NULL),
+       sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_id_0, b.doc_id AS doc_id_1
+         FROM (SELECT DISTINCT doc_id, source FROM grams) a
+         JOIN (SELECT DISTINCT doc_id, source FROM grams) b
+           ON a.source = b.source AND a.doc_id < b.doc_id),
+       inter AS (
+         SELECT p.doc_id_0, p.doc_id_1, count(*) AS inter
+         FROM pairs p
+         JOIN grams g0 ON g0.doc_id = p.doc_id_0
+         JOIN grams g1 ON g1.doc_id = p.doc_id_1 AND g1.gram = g0.gram
+         GROUP BY p.doc_id_0, p.doc_id_1)
+       SELECT i.doc_id_0, i.doc_id_1,
+              round(i.inter * 1.0 / (z0.sz + z1.sz - i.inter), 4) AS jaccard
+       FROM inter i JOIN sz z0 ON z0.doc_id = i.doc_id_0
+       JOIN sz z1 ON z1.doc_id = i.doc_id_1
+       WHERE i.inter * 1.0 / (z0.sz + z1.sz - i.inter) >= 0.1""",
+)
+def _ngram_jaccard(spark, sf_dir):
+    docs = _tokens(spark, sf_dir)
+    ids = docs.select("doc_id", "source")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), on="source")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_0"), F.col("b.doc_id").alias("doc_id_1"))
+        .dropDuplicates()
+    )
+    out = ngram_jaccard_pairs(pairs, docs, n=2, threshold=0.1)
+    return out.select("doc_id_0", "doc_id_1", _r4(F.col("jaccard"), "jaccard"))
+
+
+@q("simhash_near_dup")  # xxhash64-based → rows-only check
+def _simhash_near_dup(spark, sf_dir):
+    sig = simhash_signatures(_tokens(spark, sf_dir))
+    return simhash_near_dup_pairs(sig, max_hamming=8)
+
+
+# ------------------------------------------------- embeddings / similarity
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 1e-12) * "
+    "greatest(sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12))"
+)
+
+
+@q(
+    "dot_product_pairs",
+    f"""SELECT a.vec_id AS vec_id_0, b.vec_id AS vec_id_1,
+          round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dot,
+          round({_COS_SQL}, 4) AS cosine
+       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
+)
+def _dot_product_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_id_0"), F.col("embedding").alias("__e0"))
+    b = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("__e1"))
+    joined = a.join(b, on=F.col("vec_id_1") == F.col("vec_id_0") + 1)
+    return joined.select(
+        "vec_id_0",
+        "vec_id_1",
+        _r4(dot_product("__e0", "__e1"), "dot"),
+        _r4(cosine_similarity("__e0", "__e1"), "cosine"),
+    )
+
+
+@q(
+    "brute_force_topk",
+    f"""SELECT query_id, vec_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank FROM (
+         SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_COS_SQL} AS score,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rn
+         FROM (SELECT * FROM embeddings WHERE vec_id < 10) a CROSS JOIN embeddings b)
+       WHERE rn <= 5""",
+)
+def _brute_force_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "vec_id", _r4(F.col("score"), "score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+@q("lsh_topk")  # xxhash64 hyperplanes → rows-only check
+def _lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(queries, emb, k=5, num_planes=16, num_blocks=4)
+
+
+@q(
+    "sum_embeddings_by_key",
+    """SELECT label, CAST(dim - 1 AS BIGINT) AS dim, round(s, 4) AS s FROM (
+         SELECT label, dim, sum(x) AS s FROM (
+           SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)
+         GROUP BY label, dim)""",
+)
+def _sum_embeddings_by_key(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"))
+        .select("label", F.col("dim").cast("long").alias("dim"), _r4(F.col("s"), "s"))
+    )
+
+
+@q(
+    "embedding_near_dup",
+    f"""SELECT a.vec_id AS id0, b.vec_id AS id1, round({_COS_SQL}, 4) AS similarity
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE {_COS_SQL} >= 0.3""",
+)
+def _embedding_near_dup(spark, sf_dir):
+    from redshells_spark.dedup.embedding import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return out.select("id0", "id1", _r4(F.col("similarity"), "similarity"))
+
+
+# ------------------------------------------------------------ events / SQL
+
+@q(
+    "events_rollup",
+    """SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         round(sum(value), 4) AS sum_value
+       FROM events GROUP BY user_id""",
+)
+def _events_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        _r4(F.sum("value"), "sum_value"),
+    )
+
+
+@q(
+    "events_json_extract",
+    """SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+       FROM events GROUP BY event_type""",
+)
+def _events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r4(F.avg(F.get_json_object("props", "$.k").cast("long")), "avg_k")
+    )
+
+
+@q(
+    "pricing_summary",  # TPC-H Q1-shaped flagship aggregate
+    """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def _pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _r4(F.sum("l_quantity"), "sum_qty"),
+        _r4(F.sum("l_extendedprice"), "sum_base_price"),
+        _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "sum_disc_price"),
+        _r4(F.avg("l_quantity"), "avg_qty"),
+        _r4(F.avg("l_discount"), "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "top_revenue_orders",  # TPC-H Q3-shaped join query
+    """SELECT o.o_orderkey, c.c_mktsegment,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey, c.c_mktsegment
+       ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10""",
+)
+def _top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    return dict(ORACLES)

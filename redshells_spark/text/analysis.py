@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (per BASELINE.json north star): language
+identification, quality scoring, token counting and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table.
+
+Everything is a Catalyst expression (no UDFs) so the whole stage stays
+in codegen and the scan only reads (doc_id, text) — at 100 TB these
+run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from redshells_spark.schema import require_columns
+
+# Tiny language-marker stopword sets. An n-gram/stopword heuristic, not
+# a trained model — deterministic, SQL-expressible, and cheap; swap in
+# fastText-lid via pandas_udf when quality matters more than orace-ability.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"),
+    "es": ("el", "los", "las", "es", "no", "una", "por", "con", "para", "del"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (≈ chars/4 heuristic used by LLM pipelines for budget accounting)."""
+    require_columns(df, [text_column])
+    toks = _tokens(F.col(text_column))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_words", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "n_subword_est",
+            F.ceil(F.length(F.col(text_column)) / F.lit(4.0)).cast("long"),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score:
+    length, mean word length, punctuation ratio, stopword ratio,
+    uppercase ratio. Mirrors C4/Gopher-style filter signals."""
+    require_columns(df, [text_column])
+    text = F.col(text_column)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop = LANG_MARKERS["en"]
+    stopword_hits = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    out = (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens).otherwise(F.lit(0.0)),
+        )
+        .withColumn("punct_ratio", punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn("stopword_ratio", stopword_hits / F.greatest(n_tokens, F.lit(1)))
+        .withColumn("upper_ratio", upper / F.greatest(n_chars, F.lit(1)))
+    )
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 0.4).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.3).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.3, 0.3).otherwise(0.0)
+    )
+    return out.withColumn("quality", score)
+
+
+def detect_language(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Stopword-marker language ID over LANG_MARKERS; ``lang_pred`` =
+    argmax marker-hit count (ties → language code asc), 'und' when no
+    marker hits."""
+    require_columns(df, [text_column])
+    toks = _tokens(F.col(text_column))
+    out = df
+    def _hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"__hits_{lang}", _hits(markers))
+    # argmax via greatest + chained when (deterministic tie-break: asc code order wins)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((F.col(f"__hits_{lang}") == best) & (best > 0), lang).otherwise(pred)
+    out = out.withColumn("lang_pred", pred)
+    return out.drop(*[f"__hits_{lang}" for lang in langs])
+
+
+def fingerprint(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lowercase, punctuation stripped, whitespace collapsed). The
+    normalization makes near-identical boilerplate variants collide —
+    the exact-dedup key for :mod:`redshells_spark.dedup.exact`."""
+    require_columns(df, [text_column])
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_column)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn("fingerprint", F.md5(normalized))

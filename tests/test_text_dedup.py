@@ -1,0 +1,155 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshells_spark.dedup.exact import exact_dedup
+from redshells_spark.dedup.minhash import (
+    connected_components_dedup,
+    doc_shingles,
+    minhash_lsh_candidates,
+    minhash_near_dedup,
+    minhash_signatures,
+)
+from redshells_spark.dedup.ngram import jaccard, ngram_jaccard_pairs, word_ngrams
+from redshells_spark.dedup.simhash import simhash_near_dup_pairs, simhash_signatures
+from redshells_spark.text.analysis import detect_language, fingerprint, quality_score, token_count
+from redshells_spark.text.dictionary import train_dictionary
+from redshells_spark.text.tfidf import tfidf_scores, tfidf_top_tokens
+from redshells_spark.text.tokenize import tokenize_on_space
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return tokenize_on_space(df, "text", "tokens", lowercase=True)
+
+
+def test_tokenize_drops_empty(spark):
+    df = spark.createDataFrame([(1, "a  b ")], "doc_id int, text string")
+    assert tokenize_on_space(df).head()["tokens"] == ["a", "b"]
+
+
+def test_train_dictionary_bounds(corpus):
+    v = train_dictionary(corpus, no_below=2, no_above=0.9, keep_n=100)
+    vocab = {r["token"]: r["doc_freq"] for r in v.collect()}
+    # tokens in ≥2 docs and ≤ 0.9·5 docs: the/quick/... appear in 3 docs
+    assert vocab["quick"] == 3
+    assert "spark" not in vocab  # df=1 < no_below
+    # ids dense from 0, ordered by (doc_freq desc, token asc)
+    ids = sorted(r["token_id"] for r in v.collect())
+    assert ids == list(range(len(ids)))
+
+
+def test_tfidf_empty_doc_empty_result(corpus):
+    v = train_dictionary(corpus, no_below=1, no_above=1.0, keep_n=None)
+    scores = tfidf_scores(corpus, v, normalize=False)
+    assert scores.filter(F.col("doc_id") == 4).count() == 0  # reference: empty doc → []
+
+
+def test_tfidf_values(spark):
+    docs = tokenize_on_space(
+        spark.createDataFrame([(0, "a a b"), (1, "a c")], "doc_id long, text string")
+    )
+    scores = tfidf_scores(docs, None, normalize=False)
+    got = {(r["doc_id"], r["token"]): r["tfidf"] for r in scores.collect()}
+    # idf(a)=log2(2/2)=0 → filtered out; idf(b)=idf(c)=log2(2)=1
+    assert set(got) == {(0, "b"), (1, "c")}
+    assert got[(0, "b")] == pytest.approx(1.0)
+
+
+def test_tfidf_top_tokens_keep_rule(spark):
+    docs = tokenize_on_space(
+        spark.createDataFrame(
+            [(0, "a b c d e f g h i j unique")], "doc_id long, text string"
+        ).union(spark.createDataFrame([(1, "a b")], "doc_id long, text string"))
+    )
+    scores = tfidf_scores(docs, None, normalize=False)
+    top = tfidf_top_tokens(scores, keep_top_rate=0.2)
+    # doc 0 has 9 scored tokens (a,b shared → idf 0 dropped): k = ceil(9*0.2)+1 = 3
+    assert top.filter(F.col("doc_id") == 0).count() == 3
+
+
+def test_exact_dedup(corpus):
+    plain = corpus.select("doc_id", "text")
+    out = exact_dedup(plain, normalized=False)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 1, 2, 4]  # doc 3 deduped onto 0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world")], "doc_id int, text string"
+    )
+    fps = [r["fingerprint"] for r in fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_minhash_identical_docs_identical_sigs(corpus):
+    v = train_dictionary(corpus, no_below=1, no_above=1.0, keep_n=None)
+    sh = doc_shingles(corpus, v)
+    sig = minhash_signatures(sh, num_hashes=8)
+    s0 = {r["j"]: r["minhash"] for r in sig.filter(F.col("doc_id") == 0).collect()}
+    s3 = {r["j"]: r["minhash"] for r in sig.filter(F.col("doc_id") == 3).collect()}
+    assert s0 == s3 and len(s0) == 8
+
+
+def test_minhash_near_dedup_finds_near_dups(corpus):
+    v = train_dictionary(corpus, no_below=1, no_above=1.0, keep_n=None)
+    pairs = minhash_near_dedup(corpus, v, num_hashes=8, bands=4, rows_per_band=2, threshold=0.5)
+    got = {(r["doc_id_0"], r["doc_id_1"]) for r in pairs.collect()}
+    assert (0, 3) in got  # exact dup pair must survive
+    assert all(p[0] < p[1] for p in got)
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "doc_id_0 long, doc_id_1 long")
+    cc = {r["doc_id"]: r["keep_id"] for r in connected_components_dedup(pairs).collect()}
+    assert cc[2] == 1 and cc[3] == 1 and cc[9] == 7
+
+
+def test_word_ngrams_and_jaccard(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["a", "b", "d"])], "x array<string>, y array<string>")
+    row = df.select(
+        word_ngrams("x", 2).alias("gx"), jaccard("x", "y").alias("j")
+    ).head()
+    assert row["gx"] == ["a␟b", "b␟c"]
+    assert row["j"] == pytest.approx(2 / 4)
+
+
+def test_simhash_properties(corpus):
+    sig = simhash_signatures(corpus)
+    sigs = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert sigs[0] == sigs[3]  # identical docs → identical signature
+    pairs = simhash_near_dup_pairs(sig, max_hamming=3)
+    got = {(r["doc_id_0"], r["doc_id_1"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 3)) == 0
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a hat and the bat in the vat of fat"),
+            (2, "der hund ist nicht mit der katze und das haus"),
+        ],
+        "doc_id int, text string",
+    )
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert q[1] == pytest.approx(1.0)
+    langs = {r["doc_id"]: r["lang_pred"] for r in detect_language(df).collect()}
+    assert langs == {1: "en", 2: "de"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id int, text string")
+    row = token_count(df).head()
+    assert (row["n_tokens"], row["n_words"]) == (3, 2)

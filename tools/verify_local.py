@@ -1,0 +1,110 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Runs every QUERIES[name] on Spark and the matching ORACLES[name] on
+DuckDB at the given sf dir, then compares: row count, column names,
+and order-insensitive values (rows sorted, columns sorted by name,
+doubles compared to 1e-9 after the queries' own rounding).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from redshells_spark import get_spark_session
+    from redshells_spark.queries import get_oracles, get_queries
+
+    spark = get_spark_session("verify_local", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries, oracles = get_queries(), get_oracles()
+    results = {}
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"SPARK ERROR: {type(e).__name__}: {e}"
+            print(f"{name:32s} SPARK ERROR: {e}", flush=True)
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only: {len(srows)} rows"
+            print(f"{name:32s} rows-only  {len(srows):7d} rows  {time.time()-t0:5.1f}s", flush=True)
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"ORACLE ERROR: {type(e).__name__}: {e}"
+            print(f"{name:32s} ORACLE ERROR: {e}", flush=True)
+            continue
+        status = []
+        if sorted(scols) != sorted(ocols):
+            status.append(f"COLS spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            status.append(f"COUNT spark={len(srows)} oracle={len(orows)}")
+        if not status:
+            cs, co = canon(srows, scols), canon(orows, ocols)
+            if cs != co:
+                diffs = [
+                    (a, b) for a, b in zip(cs, co) if a != b
+                ][:3]
+                status.append(f"VALUES ({sum(1 for a, b in zip(cs, co) if a != b)} rows differ) e.g. {diffs}")
+        verdict = "OK" if not status else "; ".join(status)
+        results[name] = verdict
+        print(f"{name:32s} {('MATCH ' if verdict == 'OK' else 'FAIL  ')}{len(srows):7d} rows  {time.time()-t0:5.1f}s  {verdict if verdict != 'OK' else ''}", flush=True)
+
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    n_ro = sum(1 for v in results.values() if str(v).startswith("rows-only"))
+    print(f"\n{n_ok} matched, {n_ro} rows-only, {len(results) - n_ok - n_ro} failed, of {len(results)}")
+    spark.stop()
+    return 0 if n_ok + n_ro == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
