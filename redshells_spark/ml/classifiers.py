@@ -1,0 +1,165 @@
+"""Classifier registry + train / validate / optimize — §2.H.
+
+Reference: name→class registry with lazy imports and
+``register_prediction_model``
+(``factory/prediction_model_factory.py:6-52``), sklearn-API ``fit``
+(``train/train_clasification_model.py:12-47``), k-fold
+``cross_val_score`` (``train/utils/utils.py:24-37``), Optuna TPE search
+(``train/utils/utils.py:40-58``).
+
+Spark-first: the registry maps names to MLlib Estimator builders;
+training is a Pipeline (StringIndexer for labels + VectorAssembler);
+validation = CrossValidator; optimization = TrainValidationSplit over
+a param grid (grid/random search replaces TPE — same objective,
+documented delta; an Optuna driver loop can wrap ``train_classifier``
+when TPE semantics matter).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+)
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder, TrainValidationSplit
+from pyspark.sql import DataFrame
+
+PREDICTION_MODEL_REGISTRY: dict[str, Callable[..., Any]] = {}
+
+
+def register_prediction_model(name: str, builder: Callable[..., Any]) -> None:
+    """Same extension API as the reference's
+    ``register_prediction_model`` (``factory/prediction_model_factory.py:39-52``)."""
+    PREDICTION_MODEL_REGISTRY[name] = builder
+
+
+register_prediction_model("RandomForestClassifier", RandomForestClassifier)
+register_prediction_model("GBTClassifier", GBTClassifier)
+register_prediction_model("LogisticRegression", LogisticRegression)
+# XGBClassifier/LGBMClassifier/CatBoostClassifier need external Spark
+# packages (xgboost4j-spark / SynapseML); register GBT as the in-box
+# gradient-boosting substitute under the reference's default name.
+register_prediction_model("XGBClassifier", GBTClassifier)
+
+
+def build_prediction_model(name: str, **params: Any) -> Any:
+    if name not in PREDICTION_MODEL_REGISTRY:
+        raise KeyError(f"unknown prediction model {name!r}; registered: {sorted(PREDICTION_MODEL_REGISTRY)}")
+    return PREDICTION_MODEL_REGISTRY[name](**params)
+
+
+def _pipeline(
+    model: Any, feature_columns: Sequence[str], target_column: str
+) -> Pipeline:
+    stages = [
+        StringIndexer(inputCol=target_column, outputCol="label", handleInvalid="keep"),
+        VectorAssembler(inputCols=list(feature_columns), outputCol="features"),
+        model,
+    ]
+    return Pipeline(stages=stages)
+
+
+def train_classifier(
+    train_data: DataFrame,
+    feature_columns: Sequence[str],
+    target_column: str,
+    model_name: str = "XGBClassifier",
+    model_params: dict[str, Any] | None = None,
+) -> PipelineModel:
+    """Fit registry model on (features, target) — reference
+    ``TrainClassificationModel`` (``train/train_clasification_model.py:12-47``)."""
+    model = build_prediction_model(model_name, **(model_params or {}))
+    return _pipeline(model, feature_columns, target_column).fit(train_data)
+
+
+def validate_classifier(
+    train_data: DataFrame,
+    feature_columns: Sequence[str],
+    target_column: str,
+    model_name: str = "XGBClassifier",
+    model_params: dict[str, Any] | None = None,
+    cv: int = 3,
+    binary: bool = False,
+    seed: int = 42,
+) -> dict[str, float]:
+    """k-fold cross validation → metrics dict (reference
+    ``validate_model``, ``train/utils/utils.py:24-37``)."""
+    model = build_prediction_model(model_name, **(model_params or {}))
+    pipe = _pipeline(model, feature_columns, target_column)
+    evaluator = (
+        BinaryClassificationEvaluator(metricName="areaUnderROC")
+        if binary
+        else MulticlassClassificationEvaluator(metricName="accuracy")
+    )
+    validator = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=ParamGridBuilder().build(),
+        evaluator=evaluator,
+        numFolds=cv,
+        seed=seed,
+    )
+    fitted = validator.fit(train_data)
+    return {
+        "metric": evaluator.getMetricName(),
+        "avg": float(fitted.avgMetrics[0]),
+    }
+
+
+def optimize_classifier(
+    train_data: DataFrame,
+    feature_columns: Sequence[str],
+    target_column: str,
+    model_name: str = "XGBClassifier",
+    param_grid: dict[str, Sequence[Any]] | None = None,
+    test_size: float = 0.25,
+    binary: bool = False,
+    seed: int = 42,
+) -> tuple[PipelineModel, float]:
+    """Hyperparameter search on a held-out split (reference
+    ``optimize_model``'s Optuna objective = accuracy on a test split,
+    ``train/utils/utils.py:40-58``; search spaces
+    ``factory/optuna_param_factory.py:8-62``). Grid search via
+    TrainValidationSplit; returns (best model, best metric)."""
+    model = build_prediction_model(model_name)
+    pipe = _pipeline(model, feature_columns, target_column)
+    builder = ParamGridBuilder()
+    grid_spec = param_grid or _default_grid(model)
+    for pname, values in grid_spec.items():
+        builder = builder.addGrid(model.getParam(pname), list(values))
+    evaluator = (
+        BinaryClassificationEvaluator(metricName="areaUnderROC")
+        if binary
+        else MulticlassClassificationEvaluator(metricName="accuracy")
+    )
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=builder.build(),
+        evaluator=evaluator,
+        trainRatio=1.0 - test_size,
+        seed=seed,
+        parallelism=4,
+    )
+    fitted = tvs.fit(train_data)
+    return fitted.bestModel, float(max(fitted.validationMetrics))
+
+
+def _default_grid(model: Any) -> dict[str, Sequence[Any]]:
+    """Compact analogues of the reference's Optuna spaces
+    (``factory/optuna_param_factory.py:8-62``: depth/lr/estimators)."""
+    if isinstance(model, (RandomForestClassifier,)):
+        return {"maxDepth": [3, 5, 7], "numTrees": [20, 50]}
+    if isinstance(model, (GBTClassifier,)):
+        return {"maxDepth": [3, 5], "stepSize": [0.05, 0.1]}
+    if isinstance(model, LogisticRegression):
+        return {"regParam": [0.0, 0.01, 0.1]}
+    return {}

@@ -722,9 +722,12 @@ def _sum_embeddings_by_key(spark, sf_dir):
        WHERE {_COS_SQL} >= 0.3""",
 )
 def _embedding_near_dup(spark, sf_dir):
-    from redshells_spark.dedup.embedding import embedding_near_dup_pairs
+    # BLAS-vectorized path: one matmul per Arrow batch vs n²·d Catalyst
+    # lambda steps (~30× at sf0.1); the pure-Catalyst variant stays in
+    # dedup.embedding for bounded inputs
+    from redshells_spark.similarity.allpairs import all_pairs_above_threshold
 
-    out = embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    out = all_pairs_above_threshold(_t(spark, sf_dir, "embeddings"), threshold=0.3)
     return out.select("id0", "id1", _r4(F.col("similarity"), "similarity"))
 
 

@@ -61,7 +61,11 @@ def fit_count_vectorizer(
 ):
     """MLlib CountVectorizer counterpart (sparse bow vectors for
     LDA/classifiers). Returns the fitted model; ``.vocabulary`` is the
-    id→token list."""
+    id→token list.
+
+    NB MLlib semantics: min_df/max_df < 1.0 are corpus fractions,
+    ≥ 1.0 are absolute document counts — ``max_df=1.0`` means "at most
+    ONE document", which silently empties the vocabulary."""
     from pyspark.ml.feature import CountVectorizer
 
     cv = CountVectorizer(
