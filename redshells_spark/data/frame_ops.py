@@ -124,6 +124,29 @@ def convert_to_one_hot(
     return out
 
 
+def convert_type_to_category(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Pandas ``astype('category')`` equivalent (reference
+    ``ConvertTypeToCategory``, ``data/data_frame_utils.py:142-162``):
+    adds a dense integer code column ``{col}__code`` per categorical,
+    codes assigned by (frequency desc, value asc) — deterministic,
+    unlike pandas' appearance order. The mapping table is broadcast
+    (categorical cardinality is bounded by definition)."""
+    require_columns(df, columns)
+    out = df
+    for col in columns:
+        w = Window.orderBy(F.col("count").desc(), F.col(col).asc())
+        mapping = (
+            df.groupBy(col)
+            .count()
+            .withColumn(f"{col}__code", F.row_number().over(w) - 1)
+            .drop("count")
+        )
+        out = out.join(F.broadcast(mapping), on=col, how="left")
+    return out
+
+
 def split_train_test_data(
     df: DataFrame, test_size_rate: float, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:

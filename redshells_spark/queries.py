@@ -356,6 +356,196 @@ def _negative_sampling(spark, sf_dir):
     return anti_join_negative_sampling(positives, "user_id", "item_id")
 
 
+@q(
+    "extract_column",
+    "SELECT n_name FROM nation",
+)
+def _extract_column(spark, sf_dir):
+    from redshells_spark.data.frame_ops import extract_column
+
+    return extract_column(_t(spark, sf_dir, "nation"), "n_name")
+
+
+@q(
+    "convert_type_to_category",
+    """SELECT o_orderkey, o_orderpriority, CAST(code AS INTEGER) AS o_orderpriority__code
+       FROM orders JOIN (
+         SELECT o_orderpriority AS v,
+                row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS code
+         FROM orders GROUP BY o_orderpriority
+       ) m ON orders.o_orderpriority = m.v""",
+)
+def _convert_type_to_category(spark, sf_dir):
+    from redshells_spark.data.frame_ops import convert_type_to_category
+
+    out = convert_type_to_category(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ["o_orderpriority"],
+    )
+    return out.select("o_orderkey", "o_orderpriority", "o_orderpriority__code")
+
+
+@q(
+    "drop_duplicates_subset",
+    "SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem",
+)
+def _drop_duplicates_subset(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .dropDuplicates(["l_orderkey", "l_returnflag"])
+    )
+
+
+@q("split_train_test_data")  # engine-RNG Bernoulli split → rows-only check
+def _split_train_test(spark, sf_dir):
+    from redshells_spark.data.frame_ops import split_train_test_data
+
+    train, test = split_train_test_data(
+        _t(spark, sf_dir, "orders"), test_size_rate=0.25, seed=42
+    )
+    return train.select("o_orderkey").withColumn("part", F.lit("train")).unionByName(
+        test.select("o_orderkey").withColumn("part", F.lit("test"))
+    )
+
+
+@q(
+    "scalar_functions",
+    """SELECT l_orderkey, l_linenumber,
+         least(greatest(l_quantity, 10.0), 40.0) AS clipped,
+         round(ln(l_quantity - (SELECT min(l_quantity) FROM lineitem) + 2.0), 4) AS log_shifted,
+         'l_returnflag_' || l_returnflag AS cat_key
+       FROM lineitem""",
+)
+def _scalar_functions(spark, sf_dir):
+    from redshells_spark.functions.scalar import clip, log_transform, string_format_category
+
+    li = _t(spark, sf_dir, "lineitem")
+    qmin = li.agg(F.min("l_quantity")).head()[0]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        clip("l_quantity", 10.0, 40.0).alias("clipped"),
+        _r4(log_transform("l_quantity", qmin), "log_shifted"),
+        string_format_category("l_returnflag").alias("cat_key"),
+    )
+
+
+@q(
+    "vector_functions",
+    """SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+              round(x / greatest(nrm, 1e-12), 4) AS unit, round(x * x, 4) AS sq
+       FROM (
+         SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                generate_subscripts(embedding, 1) AS dim,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         FROM embeddings WHERE vec_id < 50)""",
+)
+def _vector_functions(spark, sf_dir):
+    from redshells_spark.functions.vector import elementwise_product, l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    enriched = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.arrays_zip(
+                l2_normalize("embedding").alias("unit"),
+                elementwise_product("embedding", "embedding").alias("sq"),
+            )
+        ).alias("dim", "z"),
+    )
+    return enriched.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        _r4(F.col("z.unit"), "unit"),
+        _r4(F.col("z.sq"), "sq"),
+    )
+
+
+@q(
+    "set_operations",
+    f"""SELECT doc_id,
+         coalesce(array_to_string(list_sort(list_intersect(toks, {list(KEYWORDS)!r})), ','), '') AS kw_present,
+         coalesce(array_to_string(list_sort(list_filter({list(KEYWORDS)!r}, k -> NOT list_contains(toks, k))), ','), '') AS kw_absent
+       FROM (SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS toks
+             FROM documents)""",
+)
+def _set_operations(spark, sf_dir):
+    from redshells_spark.operators.setops import set_difference_items, set_intersection_tokens
+
+    kw = F.array(*[F.lit(k) for k in KEYWORDS])
+    toks = _tokens(spark, sf_dir)
+    return toks.select(
+        "doc_id",
+        F.array_join(F.array_sort(set_intersection_tokens("tokens", kw)), ",").alias("kw_present"),
+        F.array_join(F.array_sort(set_difference_items(kw, F.array_distinct("tokens"))), ",").alias("kw_absent"),
+    )
+
+
+@q(
+    "cartesian_product_scoring",
+    """SELECT c.c_custkey, p.p_partkey, round(c.c_acctbal * p.p_retailprice, 4) AS score
+       FROM (SELECT * FROM customer WHERE c_custkey <= 20) c
+       CROSS JOIN (SELECT * FROM part WHERE p_partkey <= 20) p""",
+)
+def _cartesian_product_scoring(spark, sf_dir):
+    from redshells_spark.operators.joins import cartesian_product_scoring
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 20)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 20)
+    return cartesian_product_scoring(
+        c.select("c_custkey", "c_acctbal"),
+        p.select("p_partkey", "p_retailprice"),
+        lambda pairs: pairs.select(
+            "c_custkey", "p_partkey",
+            _r4(F.col("c_acctbal") * F.col("p_retailprice"), "score"),
+        ),
+    )
+
+
+@q(
+    "feature_importance_dims",
+    """SELECT CAST(dim - 1 AS BIGINT) AS dim FROM (
+         SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding::DOUBLE[]) AS x
+         FROM embeddings)
+       GROUP BY dim ORDER BY sum(x * x) DESC, dim ASC LIMIT 8""",
+)
+def _feature_importance_dims(spark, sf_dir):
+    from redshells_spark.operators.aggregates import feature_importance_sumsq
+
+    dims = feature_importance_sumsq(_t(spark, sf_dir, "embeddings"), "embedding", 8)
+    return spark.createDataFrame([(int(d),) for d in dims], "dim long")
+
+
+@q(
+    "word_embedding_sum",
+    """WITH ex AS (
+         SELECT label, generate_subscripts(embedding, 1) AS dim,
+                unnest(embedding::DOUBLE[]) AS x
+         FROM embeddings),
+       s AS (SELECT label, dim, sum(x) AS s FROM ex GROUP BY label, dim)
+       SELECT label, CAST(dim - 1 AS BIGINT) AS dim,
+              round(s / greatest(sqrt(sum(s * s) OVER (PARTITION BY label)), 1e-12), 4) AS e
+       FROM s""",
+)
+def _word_embedding_sum(spark, sf_dir):
+    # L2-normalized per-key embedding sum (calculate_word_embedding
+    # semantics) — exploded representation for cross-engine hashing
+    emb = _t(spark, sf_dir, "embeddings")
+    summed = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"))
+    )
+    w = Window.partitionBy("label")
+    nrm = F.sqrt(F.sum(F.col("s") * F.col("s")).over(w))
+    return summed.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        _r4(F.col("s") / F.greatest(nrm, F.lit(1e-12)), "e"),
+    )
+
+
 # ------------------------------------------------------------ text ops
 
 @q(
@@ -765,6 +955,82 @@ def _events_json_extract(spark, sf_dir):
 
 
 @q(
+    "windowed_event_counts",
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+              event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def _windowed_event_counts(spark, sf_dir):
+    # batch evaluation of the streaming operator (Structured Streaming
+    # parity: same expression runs under readStream with a watermark)
+    from redshells_spark.streaming.events import windowed_event_counts
+
+    out = windowed_event_counts(_t(spark, sf_dir, "events"), "1 hour")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@q(
+    "sessionize",
+    """WITH d AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       s AS (
+         SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM d)
+       SELECT user_id,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+              count(*) AS n_events, round(sum(value), 4) AS sum_value
+       FROM s GROUP BY user_id, sid""",
+)
+def _sessionize(spark, sf_dir):
+    from redshells_spark.streaming.events import sessionize
+
+    out = sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@q(
+    "event_time_gaps",
+    """WITH g AS (
+         SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+         FROM events)
+       SELECT user_id, count(*) AS n_gaps,
+              round(avg(gap_us / 1000000.0), 4) AS avg_gap_s,
+              CAST(max(gap_us) AS BIGINT) AS max_gap_us
+       FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+)
+def _event_time_gaps(spark, sf_dir):
+    # window-function showcase: per-user inter-event gap stats via lag
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__us", F.expr("cast(ts as bigint) div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.withColumn("gap_us", F.col("__us") - F.lag("__us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        _r4(F.avg(F.col("gap_us") / 1000000.0), "avg_gap_s"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
+@q(
     "pricing_summary",  # TPC-H Q1-shaped flagship aggregate
     """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,
@@ -809,6 +1075,143 @@ def _top_revenue_orders(spark, sf_dir):
         .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
+    )
+
+
+# --------------------------------------------- pair generation / pipelines
+
+@q(
+    "random_pair_within_group",
+    """WITH w2i AS (
+         SELECT DISTINCT token AS word, doc_id AS item_id
+         FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+               FROM documents)
+         WHERE token IN ('spark', 'join', 'window')),
+       a AS (SELECT word, item_id AS item_id_0,
+                    row_number() OVER (PARTITION BY word ORDER BY item_id ASC) AS r
+             FROM w2i),
+       b AS (SELECT word, item_id AS item_id_1,
+                    row_number() OVER (PARTITION BY word ORDER BY md5(CAST(item_id AS VARCHAR) || '42') ASC) AS r
+             FROM w2i)
+       SELECT a.word, a.item_id_0, b.item_id_1
+       FROM a JOIN b ON a.word = b.word AND a.r = b.r
+       WHERE a.item_id_0 <> b.item_id_1""",
+)
+def _random_pair_within_group(spark, sf_dir):
+    # word→items from keyword matching; seeded md5 permutation pairing
+    # is portable, so even the "random" pairing is oracle-checked
+    from redshells_spark.pipelines.similarity_data import random_pair_within_group
+
+    keywords = spark.createDataFrame([(k,) for k in ("spark", "join", "window")], "keyword string")
+    w2i = keyword_match_join(_tokens(spark, sf_dir), keywords, "doc_id", "tokens").select(
+        F.col("keyword").alias("word"), F.col("doc_id").alias("item_id")
+    )
+    return random_pair_within_group(w2i, seed=42)
+
+
+@q("make_click_train_data")  # anti-join sampling is engine-hash → rows-only
+def _make_click_train_data(spark, sf_dir):
+    from redshells_spark.pipelines.click_train_data import make_click_train_data
+
+    li = _t(spark, sf_dir, "lineitem")
+    clicks = li.select(
+        F.col("l_suppkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    return make_click_train_data(
+        clicks, service_column=None, min_user_count=5, min_item_count=2,
+        max_item_frequency=1.0,
+    )
+
+
+@q("make_similarity_data")  # rows-only: composition incl. hash sampling
+def _make_similarity_data(spark, sf_dir):
+    from redshells_spark.pipelines.similarity_data import make_similarity_data
+
+    keywords = spark.createDataFrame([(k,) for k in ("spark", "join", "window")], "keyword string")
+    w2i = keyword_match_join(_tokens(spark, sf_dir), keywords, "doc_id", "tokens").select(
+        F.col("keyword").alias("word"), F.col("doc_id").alias("item_id")
+    )
+    return make_similarity_data(w2i)
+
+
+@q("word_item_similarity_two_stage")  # BLAS prequery + rerank → rows-only
+def _word_item_similarity_two_stage(spark, sf_dir):
+    from redshells_spark.pipelines.word_item_similarity import (
+        calculate_word_item_similarity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # label centroids as "word" embeddings
+    words = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).m.alias("embedding"))
+        .select(F.col("label").cast("string").alias("word"), "embedding")
+    )
+    return calculate_word_item_similarity(
+        words, emb, prequery_return_size=50, return_size=10
+    )
+
+
+# ----------------------------------------------------- ML (rows-only)
+
+@q("word2vec_vectors")
+def _word2vec_vectors(spark, sf_dir):
+    from redshells_spark.ml.word2vec import train_word2vec, word_vectors
+
+    model = train_word2vec(
+        _tokens(spark, sf_dir), vector_size=16, min_count=2, seed=42
+    )
+    return word_vectors(model)
+
+
+@q("scdv_doc_vectors")
+def _scdv_doc_vectors(spark, sf_dir):
+    from redshells_spark.ml.scdv import SCDV
+
+    docs = _tokens(spark, sf_dir)
+    model = SCDV.fit(
+        docs, cluster_size=4, embedding_size=8,
+        word2vec_kwargs={"min_count": 2, "seed": 42}, seed=42,
+    )
+    return model.infer_vector(docs)
+
+
+@q("als_item_factors")
+def _als_item_factors(spark, sf_dir):
+    from redshells_spark.ml.matrix_factorization import item_factors, train_matrix_factorization
+
+    li = _t(spark, sf_dir, "lineitem")
+    ratings = li.select(
+        F.col("l_suppkey").cast("int").alias("user_id"),
+        F.col("l_partkey").cast("int").alias("item_id"),
+        (F.col("l_quantity") / 10.0).alias("rating"),
+    )
+    mf = train_matrix_factorization(ratings, n_latent_factors=8, max_iter=5, reg_param=0.1)
+    return item_factors(mf, normalize=True)
+
+
+@q("lda_doc_topics")
+def _lda_doc_topics(spark, sf_dir):
+    from redshells_spark.ml.lda import train_lda
+
+    docs = _tokens(spark, sf_dir)
+    res = train_lda(docs, n_topics=4, max_iter=5, min_df=2, max_df=0.95)
+    return res.document_topics(docs).select("doc_id", "topic_distribution")
+
+
+@q("dimension_reduction")
+def _dimension_reduction(spark, sf_dir):
+    from redshells_spark.ml.dimension_reduction import DimensionReductionModel
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = DimensionReductionModel.fit(emb, top_n=16, normalize=True)
+    out = model.transform(emb)
+    return out.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x, 4)).alias("embedding"),
     )
 
 

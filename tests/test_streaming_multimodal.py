@@ -1,0 +1,137 @@
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshells_spark.multimodal.binary_ops import (
+    attach_binary_metadata,
+    decode_images,
+    extract_image_features,
+    sample_video_frames,
+)
+from redshells_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    sessionize,
+    streaming_click_counts,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_windowed_event_counts_batch(events):
+    out = windowed_event_counts(events, "1 hour")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert sum(r["n_events"] for r in rows) == events.count()
+
+
+def test_sessionize_batch(events):
+    out = sessionize(events, gap="30 minutes")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+    assert sum(r["n_events"] for r in rows) == events.count()
+
+
+def test_streaming_end_to_end(spark, sf_dir, tmp_path):
+    # copy the parquet file into a stream dir and run a real
+    # Structured Streaming query to a memory sink
+    import shutil, glob, os
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    src = f"{sf_dir}/events.parquet"
+    paths = glob.glob(os.path.join(src, "*.parquet")) if os.path.isdir(src) else [src]
+    for i, p in enumerate(paths):
+        shutil.copy(p, stream_dir / f"part{i}.parquet")
+
+    stream = read_event_stream(spark, str(stream_dir))
+    assert stream.isStreaming
+    counts = streaming_click_counts(stream)
+    q = run_stream_to_memory(counts, "click_counts_test", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT sum(n) AS total FROM click_counts_test").head()["total"]
+        batch = spark.read.parquet(src).count()
+        assert got == batch  # stream result == batch result (parity)
+    finally:
+        q.stop()
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    import shutil, glob, os
+
+    stream_dir = tmp_path / "wstream"
+    stream_dir.mkdir()
+    src = f"{sf_dir}/events.parquet"
+    paths = glob.glob(os.path.join(src, "*.parquet")) if os.path.isdir(src) else [src]
+    for i, p in enumerate(paths):
+        shutil.copy(p, stream_dir / f"part{i}.parquet")
+
+    stream = read_event_stream(spark, str(stream_dir))
+    windowed = windowed_event_counts(stream, "6 hours", watermark="1 hour")
+    q = run_stream_to_memory(windowed, "windowed_test", output_mode="append")
+    try:
+        q.processAllAvailable()
+        # append mode emits only watermark-closed windows; batch parity
+        # on the emitted subset
+        stream_rows = spark.sql(
+            "SELECT window_start, event_type, n_events FROM windowed_test"
+        ).collect()
+        batch = windowed_event_counts(
+            spark.read.parquet(src), "6 hours"
+        ).collect()
+        batch_map = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch}
+        assert len(stream_rows) > 0
+        for r in stream_rows:
+            assert batch_map[(r["window_start"], r["event_type"])] == r["n_events"]
+    finally:
+        q.stop()
+
+
+@pytest.fixture(scope="module")
+def binary_df(spark):
+    rows = [(i, bytes([i % 256] * (100 + i))) for i in range(20)]
+    return spark.createDataFrame(rows, "item_id long, payload binary")
+
+
+def test_attach_binary_metadata(binary_df):
+    out = attach_binary_metadata(binary_df)
+    rows = {r["item_id"]: r for r in out.collect()}
+    assert rows[0]["byte_size"] == 100
+    assert rows[5]["byte_size"] == 105
+    assert len(rows[0]["content_id"]) == 32
+    # identical payload → identical content id (dedup key)
+    assert out.select("content_id").distinct().count() == 20
+
+
+def test_decode_images_deterministic(binary_df):
+    out1 = decode_images(binary_df, height=8, width=8)
+    out2 = decode_images(binary_df, height=8, width=8)
+    p1 = {r["item_id"]: r["pixels"] for r in out1.collect()}
+    p2 = {r["item_id"]: r["pixels"] for r in out2.collect()}
+    assert p1 == p2  # deterministic fake decode through full plumbing
+    assert all(len(v) == 64 for v in p1.values())
+
+
+def test_image_feature_pipeline(binary_df):
+    decoded = decode_images(binary_df, height=8, width=8)
+    feats = extract_image_features(decoded, feature_dim=4)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["embedding"]) == 4 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["embedding"])
+
+
+def test_sample_video_frames(binary_df):
+    frames = sample_video_frames(binary_df, num_frames=4)
+    assert frames.count() == 80
+    per_item = frames.groupBy("item_id").count().collect()
+    assert all(r["count"] == 4 for r in per_item)
