@@ -1,0 +1,304 @@
+"""Graph-Convolutional Matrix Completion — §2.H ``train_gcmc``
+(arXiv 1706.02263).
+
+Reference: ``contrib/model/graph_convolutional_matrix_completion.py``
+(graph ``:34-216``, model ``:219-456``) + ``gcmc_dataset.py:14-246``.
+
+Spark-first decomposition (the reference's own boundary, §3 entry
+point 3: TF training is single-node there too):
+
+- **Id maps** (``GcmcIdMap``, ``gcmc_dataset.py:43-70``): count-bounded
+  dense indices from 1, 0 reserved for unknowns —
+  :func:`redshells_spark.operators.aggregates.value_counts_id_map`.
+- **Graph dataset**: edge DataFrame (user_idx, item_idx, rating_class,
+  is_train) with a seeded Bernoulli test mask
+  (``gcmc_dataset.py:155-246``); per-rating degree normalization
+  computed with Spark window counts.
+- **Training**: edges capped at ``max_data_size`` (reference default
+  50M, ``train_graph_convolutional_matrix_completion.py:39``) are
+  collected and a from-scratch numpy GCMC is trained on the driver:
+  per-rating graph convolution (symmetric degree-normalized adjacency),
+  shared node embeddings, ReLU + dense encoder, softmax-over-ratings
+  bilinear decoder, expectation prediction, Adam, early stopping.
+- **Inference**: learned U/V factors return to Spark as DataFrames;
+  scoring any (user, item) pair set is a join + decoder expression —
+  fully distributed, no driver loop (``:391-397`` cartesian scoring =
+  ``cartesian_product_scoring`` + this).
+- **Cold start** (``predict_with_new_items``/``add_dataset``,
+  ``gcmc_dataset.py:175-186``): unknown ids hit index 0, whose factor
+  row is the zero vector → prediction falls back to the rating prior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_gcmc_dataset(
+    ratings: DataFrame,
+    user_column: str = "user_id",
+    item_column: str = "item_id",
+    rating_column: str = "rating",
+    test_size: float = 0.1,
+    min_user_count: int = 0,
+    min_item_count: int = 0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (edges, user_map, item_map). edges = (user_idx, item_idx,
+    rating, is_train); maps = (id, count, index) with index from 1
+    (0 = unknown/cold-start)."""
+    from redshells_spark.operators.aggregates import value_counts_id_map
+
+    user_map = value_counts_id_map(ratings, user_column, min_count=min_user_count)
+    item_map = value_counts_id_map(ratings, item_column, min_count=min_item_count)
+    edges = (
+        ratings.join(
+            F.broadcast(user_map.select(F.col(user_column), F.col("index").alias("user_idx"))),
+            on=user_column,
+        )
+        .join(
+            F.broadcast(item_map.select(F.col(item_column), F.col("index").alias("item_idx"))),
+            on=item_column,
+        )
+        .select(
+            "user_idx",
+            "item_idx",
+            F.col(rating_column).alias("rating"),
+            # portable seeded Bernoulli mask (reference uses np.random
+            # binomial, gcmc_dataset.py:158-162)
+            (
+                F.conv(F.substring(F.md5(F.concat_ws("_", "user_idx", "item_idx", F.lit(seed))), 1, 8), 16, 10)
+                .cast("long") % 100 >= int(test_size * 100)
+            ).alias("is_train"),
+        )
+    )
+    return edges, user_map, item_map
+
+
+@dataclass
+class GCMCModel:
+    user_factors: np.ndarray  # (n_users+1, d) row 0 = zeros (unknown)
+    item_factors: np.ndarray  # (n_items+1, d)
+    decoder_q: np.ndarray  # (R, d, d)
+    rating_values: np.ndarray  # (R,)
+    history: list = field(default_factory=list)
+
+    def predict_local(self, user_idx: np.ndarray, item_idx: np.ndarray) -> np.ndarray:
+        u = self.user_factors[user_idx]
+        v = self.item_factors[item_idx]
+        logits = np.einsum("ed,rdk,ek->er", u, self.decoder_q, v)
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        return p @ self.rating_values
+
+    def factors_df(self, spark, side: str = "item") -> DataFrame:
+        mat = self.item_factors if side == "item" else self.user_factors
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(mat.shape[0])]
+        return spark.createDataFrame(rows, f"{side}_idx int, factors array<double>")
+
+    def predict(self, pairs: DataFrame, user_idx: str = "user_idx", item_idx: str = "item_idx") -> DataFrame:
+        """Distributed scoring: join factor tables, decoder math in an
+        Arrow batch (Q is (R,d,d) — broadcast-sized)."""
+        import pandas as pd
+
+        spark = pairs.sparkSession
+        uf = self.factors_df(spark, "user").withColumnRenamed("factors", "__u")
+        vf = self.factors_df(spark, "item").withColumnRenamed("factors", "__v")
+        joined = (
+            pairs.withColumn("user_idx", F.col(user_idx))
+            .withColumn("item_idx", F.col(item_idx))
+            .join(F.broadcast(uf), on="user_idx", how="left")
+            .join(F.broadcast(vf), on="item_idx", how="left")
+        )
+        q = self.decoder_q
+        rvals = self.rating_values
+        d = q.shape[1]
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                u = np.array([x if x is not None else [0.0] * d for x in pdf["__u"]])
+                v = np.array([x if x is not None else [0.0] * d for x in pdf["__v"]])
+                logits = np.einsum("ed,rdk,ek->er", u, q, v)
+                logits -= logits.max(axis=1, keepdims=True)
+                p = np.exp(logits)
+                p /= p.sum(axis=1, keepdims=True)
+                out = pdf.drop(columns=["__u", "__v"])
+                out["prediction"] = p @ rvals
+                yield out
+
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in joined.drop("__u", "__v").schema.fields
+        ) + ", prediction double"
+        return joined.mapInPandas(score, out_schema)
+
+
+def train_gcmc(
+    edges: DataFrame,
+    n_users: int,
+    n_items: int,
+    encoder_hidden: int = 64,
+    encoder_size: int = 16,
+    epochs: int = 60,
+    learning_rate: float = 0.01,
+    dropout: float = 0.0,
+    max_data_size: int = 50_000_000,
+    seed: int = 42,
+    verbose: bool = False,
+) -> GCMCModel:
+    """Driver-side numpy GCMC on the (capped) collected edge list.
+
+    Per-rating symmetric-normalized adjacency convolution with shared
+    node embeddings → ReLU → dense → bilinear softmax decoder, Adam.
+    Matches the reference's quality gate (test RMSE < 0.7 on its
+    synthetic fixture — see tests)."""
+    rng = np.random.default_rng(seed)
+    cap = edges.limit(max_data_size)
+    pdf = cap.select("user_idx", "item_idx", "rating", "is_train").toPandas()
+    ratings = np.sort(pdf["rating"].unique())
+    r_index = {r: k for k, r in enumerate(ratings)}
+    R = len(ratings)
+    u = pdf["user_idx"].to_numpy()
+    i = pdf["item_idx"].to_numpy()
+    rc = np.array([r_index[r] for r in pdf["rating"]])
+    train_mask = pdf["is_train"].to_numpy().astype(bool)
+
+    tu, ti, tr = u[train_mask], i[train_mask], rc[train_mask]
+
+    nu, ni = n_users + 1, n_items + 1
+    # per-rating normalized adjacency (dense — training is capped; the
+    # distributed path for bigger graphs aggregates messages via Spark
+    # joins, see aggregate_messages())
+    A = np.zeros((R, nu, ni))
+    A[tr, tu, ti] = 1.0
+    du = A.sum(axis=2, keepdims=True)
+    di = A.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        An = A / np.sqrt(np.maximum(du, 1)) / np.sqrt(np.maximum(di, 1))
+
+    d0, h, d = encoder_hidden, encoder_hidden, encoder_size
+    Xu = rng.normal(0, 0.1, (nu, d0))
+    Xi = rng.normal(0, 0.1, (ni, d0))
+    Wr = rng.normal(0, 0.1, (R, d0, h))
+    Wdu = rng.normal(0, 0.1, (h, d))
+    Wdi = rng.normal(0, 0.1, (h, d))
+    Q = np.stack([np.eye(d) + rng.normal(0, 0.01, (d, d)) for _ in range(R)])
+
+    params = [Xu, Xi, Wr, Wdu, Wdi, Q]
+    adam_m = [np.zeros_like(p) for p in params]
+    adam_v = [np.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    history = []
+    onehot = np.zeros((len(tu), R))
+    onehot[np.arange(len(tu)), tr] = 1.0
+    rvals = ratings.astype(float)
+
+    for epoch in range(1, epochs + 1):
+        # forward
+        Ti = np.einsum("nd,rdh->rnh", Xi, Wr)  # (R, ni, h)
+        Tu = np.einsum("nd,rdh->rnh", Xu, Wr)
+        Su = np.einsum("run,rnh->uh", An, Ti)
+        Si = np.einsum("run,ruh->nh", An, Tu)
+        Hu = np.maximum(Su, 0)
+        Hi = np.maximum(Si, 0)
+        U = Hu @ Wdu  # (nu, d)
+        V = Hi @ Wdi
+        logits = np.einsum("ed,rdk,ek->er", U[tu], Q, V[ti])
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        loss = -np.log(np.clip(p[np.arange(len(tu)), tr], 1e-12, None)).mean()
+
+        # backward
+        dlog = (p - onehot) / len(tu)  # (E, R)
+        dQ = np.einsum("er,ed,ek->rdk", dlog, U[tu], V[ti])
+        dUe = np.einsum("er,rdk,ek->ed", dlog, Q, V[ti])
+        dVe = np.einsum("er,rdk,ed->ek", dlog, Q, U[tu])
+        dU = np.zeros_like(U)
+        np.add.at(dU, tu, dUe)
+        dV = np.zeros_like(V)
+        np.add.at(dV, ti, dVe)
+        dWdu = Hu.T @ dU
+        dWdi = Hi.T @ dV
+        dHu = dU @ Wdu.T
+        dHi = dV @ Wdi.T
+        dSu = dHu * (Su > 0)
+        dSi = dHi * (Si > 0)
+        dTi = np.einsum("run,uh->rnh", An, dSu)
+        dTu = np.einsum("run,nh->ruh", An, dSi)
+        dWr = np.einsum("nd,rnh->rdh", Xi, dTi) + np.einsum("nd,rnh->rdh", Xu, dTu)
+        dXi = np.einsum("rnh,rdh->nd", dTi, Wr)
+        dXu = np.einsum("rnh,rdh->nd", dTu, Wr)
+
+        grads = [dXu, dXi, dWr, dWdu, dWdi, dQ]
+        for k, (prm, g) in enumerate(zip(params, grads)):
+            adam_m[k] = b1 * adam_m[k] + (1 - b1) * g
+            adam_v[k] = b2 * adam_v[k] + (1 - b2) * g * g
+            mhat = adam_m[k] / (1 - b1**epoch)
+            vhat = adam_v[k] / (1 - b2**epoch)
+            prm -= learning_rate * mhat / (np.sqrt(vhat) + eps)
+
+        history.append(loss)
+        if verbose and epoch % 10 == 0:
+            print(f"epoch {epoch}: train CE {loss:.4f}")
+        # early stopping on relative improvement (reference threshold
+        # 1e-4, graph_convolutional_matrix_completion.py:255-259)
+        if len(history) > 5 and abs(history[-2] - history[-1]) / max(history[-2], 1e-12) < 1e-4:
+            break
+
+    # final factors; row 0 zeroed = unknown/cold-start fallback
+    Ti = np.einsum("nd,rdh->rnh", Xi, Wr)
+    Tu = np.einsum("nd,rdh->rnh", Xu, Wr)
+    U = np.maximum(np.einsum("run,rnh->uh", An, Ti), 0) @ Wdu
+    V = np.maximum(np.einsum("run,ruh->nh", An, Tu), 0) @ Wdi
+    U[0] = 0.0
+    V[0] = 0.0
+    return GCMCModel(
+        user_factors=U, item_factors=V, decoder_q=Q, rating_values=rvals, history=history
+    )
+
+
+def aggregate_messages(
+    edges: DataFrame,
+    node_state: DataFrame,
+    src: str = "item_idx",
+    dst: str = "user_idx",
+    state_column: str = "state",
+    rating_column: str = "rating",
+) -> DataFrame:
+    """One distributed graph-conv message pass: per (dst, rating),
+    degree-normalized sum of source node states — the GraphFrames
+    aggregateMessages pattern as join + groupBy. This is the 100 TB
+    path for a single conv layer when the graph exceeds driver memory
+    (the reference's conv is ``:157-208``)."""
+    deg_dst = Window.partitionBy(dst, rating_column)
+    deg_src = Window.partitionBy(src, rating_column)
+    normalized = (
+        edges.withColumn("__cd", F.count(F.lit(1)).over(deg_dst))
+        .withColumn("__cs", F.count(F.lit(1)).over(deg_src))
+        .withColumn("__w", 1.0 / F.sqrt(F.col("__cd") * F.col("__cs")))
+    )
+    joined = normalized.join(
+        node_state.withColumnRenamed(state_column, "__s"), on=src, how="inner"
+    )
+    weighted = joined.withColumn(
+        "__ws", F.transform("__s", lambda x: x * F.col("__w"))
+    )
+    return (
+        weighted.groupBy(dst, rating_column)
+        .agg(
+            F.aggregate(
+                F.collect_list("__ws"),
+                F.expr("cast(array() as array<double>)"),
+                lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
+                    F.zip_with(acc, v, lambda a, b: a + b)
+                ),
+            ).alias(state_column)
+        )
+    )

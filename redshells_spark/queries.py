@@ -1215,6 +1215,60 @@ def _dimension_reduction(spark, sf_dir):
     )
 
 
+@q("gcmc_predictions")  # driver-trained numpy GCMC → rows-only
+def _gcmc_predictions(spark, sf_dir):
+    from redshells_spark.ml.gcmc import build_gcmc_dataset, train_gcmc
+
+    li = _t(spark, sf_dir, "lineitem")
+    ratings = (
+        li.select(
+            F.col("l_suppkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("item_id"),
+            F.when(F.col("l_quantity") > 25, 2.0).otherwise(1.0).alias("rating"),
+        )
+        .dropDuplicates(["user_id", "item_id"])
+        .limit(20000)
+    )
+    edges, user_map, item_map = build_gcmc_dataset(ratings, test_size=0.1)
+    model = train_gcmc(
+        edges, user_map.count(), item_map.count(),
+        encoder_hidden=16, encoder_size=8, epochs=20,
+    )
+    return model.predict(edges.filter(~F.col("is_train")))
+
+
+@q("feature_aggregation_similarity")  # driver-trained → rows-only
+def _feature_aggregation_similarity(spark, sf_dir):
+    from redshells_spark.ml.feature_aggregation import (
+        train_feature_aggregation_similarity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthesize indexed feature pairs from consecutive embedding rows
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").cast("int").alias("x_item_index"),
+            F.col("b.vec_id").cast("int").alias("y_item_index"),
+            F.array(
+                (F.col("a.vec_id") % 20 + 1).cast("int"),
+                (F.col("a.label") + 1).cast("int"),
+            ).alias("x_item_features"),
+            F.array(
+                (F.col("b.vec_id") % 20 + 1).cast("int"),
+                (F.col("b.label") + 1).cast("int"),
+            ).alias("y_item_features"),
+            F.when(F.col("a.label") == F.col("b.label"), 1.0).otherwise(-0.2).alias("score"),
+        )
+        .limit(400)
+    )
+    model = train_feature_aggregation_similarity(pairs, embedding_size=8, epochs=50)
+    return model.predict(pairs).select(
+        "x_item_index", "y_item_index", F.round("similarity", 4).alias("similarity")
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

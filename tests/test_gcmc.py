@@ -1,0 +1,99 @@
+"""GCMC tests mirroring the reference's synthetic quality gate
+(``test/contrib/model/test_graph_convolutional_matrix_completion.py:19-48``:
+random sparse bipartite graph, assert test loss < 1.0, test RMSE < 0.7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from redshells_spark.ml.gcmc import (
+    GCMCModel,
+    aggregate_messages,
+    build_gcmc_dataset,
+    train_gcmc,
+)
+
+
+@pytest.fixture(scope="module")
+def synthetic_ratings(spark):
+    # reference fixture shape: ~101 users × 233 items, ratings {1, 2},
+    # rating correlated with (user, item) block structure so the model
+    # has signal to learn
+    rng = np.random.default_rng(7)
+    rows = []
+    for _ in range(6000):
+        u = int(rng.integers(0, 101))
+        i = int(rng.integers(0, 233))
+        r = 2 if (u % 2 == i % 2) else 1
+        rows.append((u, i, float(r)))
+    return spark.createDataFrame(
+        list({(u, i): (u, i, r) for u, i, r in rows}.values()),
+        "user_id int, item_id int, rating double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(spark, synthetic_ratings):
+    edges, user_map, item_map = build_gcmc_dataset(
+        synthetic_ratings, test_size=0.1, seed=11
+    )
+    n_users = user_map.count()
+    n_items = item_map.count()
+    model = train_gcmc(
+        edges, n_users, n_items, encoder_hidden=32, encoder_size=8,
+        epochs=80, learning_rate=0.02, seed=11,
+    )
+    return edges, model
+
+
+def test_dataset_shapes(spark, synthetic_ratings):
+    edges, user_map, item_map = build_gcmc_dataset(synthetic_ratings, test_size=0.2, seed=3)
+    assert edges.count() == synthetic_ratings.count()
+    # indices dense from 1 (0 reserved for unknown)
+    assert user_map.agg(F.min("index")).head()[0] == 1
+    frac_test = edges.filter(~F.col("is_train")).count() / edges.count()
+    assert 0.1 < frac_test < 0.3
+
+
+def test_gcmc_learns_structure(trained):
+    edges, model = trained
+    test = edges.filter(~F.col("is_train")).toPandas()
+    preds = model.predict_local(test["user_idx"].to_numpy(), test["item_idx"].to_numpy())
+    rmse = float(np.sqrt(np.mean((preds - test["rating"].to_numpy()) ** 2)))
+    # reference gate: test RMSE < 0.7 on its synthetic graph
+    assert rmse < 0.7, f"test RMSE {rmse}"
+    assert model.history[-1] < 1.0  # reference: loss < 1.0
+
+
+def test_gcmc_distributed_predict_matches_local(spark, trained):
+    edges, model = trained
+    test = edges.filter(~F.col("is_train")).limit(200)
+    out = model.predict(test).toPandas()
+    local = model.predict_local(out["user_idx"].to_numpy(), out["item_idx"].to_numpy())
+    assert np.allclose(out["prediction"].to_numpy(), local, atol=1e-9)
+
+
+def test_gcmc_cold_start_prior(spark, trained):
+    _, model = trained
+    # unknown ids (index 0) → zero factors → uniform softmax → mean rating
+    pairs = spark.createDataFrame([(0, 0)], "user_idx int, item_idx int")
+    pred = model.predict(pairs).head()["prediction"]
+    assert pred == pytest.approx(float(np.mean(model.rating_values)), abs=1e-6)
+
+
+def test_aggregate_messages(spark):
+    edges = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 1.0), (2, 10, 2.0)],
+        "user_idx int, item_idx int, rating double",
+    )
+    state = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "item_idx int, state array<double>"
+    )
+    out = aggregate_messages(edges, state)
+    got = {(r["user_idx"], r["rating"]): r["state"] for r in out.collect()}
+    # user 1, rating 1: two edges; item 10 deg=1, item 11 deg=1, user deg=2
+    # weights 1/sqrt(2): state = [0.707, 0.707]
+    assert got[(1, 1.0)] == pytest.approx([1 / np.sqrt(2), 1 / np.sqrt(2)])
+    assert got[(2, 2.0)] == pytest.approx([1.0, 0.0])
