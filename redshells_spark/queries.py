@@ -1215,6 +1215,72 @@ def _dimension_reduction(spark, sf_dir):
     )
 
 
+@q(
+    "value_percentiles",
+    """SELECT event_type,
+         round(quantile_cont(value, 0.25), 4) AS p25,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.95), 4) AS p95
+       FROM events GROUP BY event_type""",
+)
+def _value_percentiles(spark, sf_dir):
+    # beyond-reference OLAP: exact interpolated percentiles (Spark
+    # `percentile` == DuckDB `quantile_cont` semantics)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r4(F.expr("percentile(value, 0.25)"), "p25"),
+        _r4(F.expr("percentile(value, 0.5)"), "p50"),
+        _r4(F.expr("percentile(value, 0.95)"), "p95"),
+    )
+
+
+@q(
+    "orders_rollup",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n, round(sum(o_totalprice), 4) AS total
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def _orders_rollup(spark, sf_dir):
+    # Catalyst rollup (SURVEY §2.C: free in Spark, absent in reference)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _r4(F.sum("o_totalprice"), "total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "salted_aggregate",
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+       FROM events GROUP BY event_type""",
+)
+def _salted_aggregate(spark, sf_dir):
+    # two-phase salted aggregation produces identical results to the
+    # plain groupBy — oracle proves it; the salt spreads hot keys
+    from redshells_spark.operators.skew import salted_aggregate
+
+    out = salted_aggregate(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        {"n": "count", "sum_value": "sum:value"},
+        num_salts=8,
+    )
+    return out.select("event_type", "n", _r4(F.col("sum_value"), "sum_value"))
+
+
+@q("approx_distinct_users")  # HLL sketch → engine-specific → rows-only
+def _approx_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id").alias("approx_users"))
+
+
 @q("gcmc_predictions")  # driver-trained numpy GCMC → rows-only
 def _gcmc_predictions(spark, sf_dir):
     from redshells_spark.ml.gcmc import build_gcmc_dataset, train_gcmc
