@@ -28,6 +28,12 @@ HEADLINE = [
     "brute_force_topk",
     "embedding_near_dup",
     "token_count",
+    "sessionize",
+    "windowed_event_counts",
+    "value_percentiles",
+    "salted_aggregate",
+    "orders_rollup",
+    "semi_join_isin",
 ]
 
 

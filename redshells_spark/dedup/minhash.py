@@ -73,23 +73,40 @@ def doc_shingles(
     )
 
 
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [((j * 2654435761 + 1) % P, (j * 40503 + 17) % P) for j in range(num_hashes)]
+
+
+def minhash_signatures_wide(
+    shingles: DataFrame, num_hashes: int = 16, with_size: bool = True
+) -> DataFrame:
+    """→ (doc_id, mh0..mh{k-1}[, sz]): all k permutation minima as
+    parallel aggregate expressions in ONE groupBy — no k× row blowup,
+    one shuffle with map-side partial min per column."""
+    aggs = [
+        F.min((F.lit(a) * F.col("shingle") + F.lit(b)) % P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_perm_params(num_hashes))
+    ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("sz"))
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """→ (doc_id, j, minhash). Cross join with the k-row param table
-    (broadcast) then min per (doc, j) — map-side partial min keeps the
-    shuffle at k rows per doc per partition."""
-    params = _hash_params(shingles.sparkSession, num_hashes)
-    return (
-        shingles.crossJoin(F.broadcast(params))
-        .select(
-            "doc_id",
-            "j",
-            ((F.col("a") * F.col("shingle") + F.col("b")) % P).alias("h"),
+    """→ (doc_id, j, minhash) — long form (the oracle-checked
+    representation), unpivoted from the wide aggregation."""
+    wide = minhash_signatures_wide(shingles, num_hashes, with_size=False)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).cast("int").alias("j"), F.col(f"mh{j}").alias("minhash"))
+                for j in range(num_hashes)
+            ]
         )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("minhash"))
-    )
+    ).alias("s")
+    return wide.select("doc_id", stack).select("doc_id", "s.j", "s.minhash")
 
 
 def minhash_lsh_candidates(
@@ -98,7 +115,10 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """→ candidate pairs (doc_id_0 < doc_id_1) sharing an LSH bucket.
+    """→ candidate pairs (doc_id_0 < doc_id_1) sharing an LSH bucket;
+    takes the long (doc_id, j, minhash) form. Prefer
+    :func:`minhash_lsh_candidates_wide` in pipelines — it skips the
+    extra band groupBy entirely.
 
     band key = md5 of the band's ordered minhash values (portable
     across engines). Buckets larger than ``max_bucket_size`` are
@@ -114,6 +134,40 @@ def minhash_lsh_candidates(
             ).alias("bucket")
         )
     )
+    return _bucket_pairs(banded, max_bucket_size)
+
+
+def minhash_lsh_candidates_wide(
+    wide: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Wide-signature candidate generation: band keys are md5 column
+    expressions over the wide row — one explode of ``bands`` structs
+    per doc (vs k rows + a groupBy in the long path)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return _bucket_pairs(banded, max_bucket_size)
+
+
+def _bucket_pairs(banded: DataFrame, max_bucket_size: int) -> DataFrame:
     sized = banded.withColumn(
         "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("__bsz") <= max_bucket_size)
@@ -128,12 +182,17 @@ def minhash_lsh_candidates(
 
 
 def verify_jaccard(
-    candidates: DataFrame, shingles: DataFrame, threshold: float = 0.5
+    candidates: DataFrame,
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs → keep ≥ threshold.
     |A∩B| via join on shingle restricted to candidate pairs; |A∪B| =
-    |A|+|B|−|A∩B| from per-doc sizes (broadcastable)."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    |A|+|B|−|A∩B| from per-doc sizes (broadcastable; pass precomputed
+    ``sizes`` (doc_id, sz) to reuse the wide-signature aggregate)."""
+    if sizes is None:
+        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s0 = shingles.select(F.col("doc_id").alias("doc_id_0"), "shingle")
     s1 = shingles.select(F.col("doc_id").alias("doc_id_1"), "shingle")
     inter = (
@@ -154,6 +213,80 @@ def verify_jaccard(
     )
 
 
+def doc_shingle_arrays(
+    docs: DataFrame,
+    vocab: DataFrame,
+    doc_id_column: str = "doc_id",
+    tokens_column: str = "tokens",
+    shingle_len: int = 2,
+) -> DataFrame:
+    """→ (doc_id, shingles: array<long>) with NO shuffle: the vocab is
+    collected into a literal map expression (bounded — keep_n caps it)
+    and shingling is pure array algebra inside codegen. Semantics are
+    identical to :func:`doc_shingles` (OOV dropped before pairing,
+    distinct shingles). Use when the vocab fits the driver (≤ ~100k
+    entries); fall back to the join path otherwise."""
+    require_columns(docs, [doc_id_column, tokens_column])
+    pairs = vocab.select("token", "token_id").collect()
+    vocab_map = F.create_map(
+        *[F.lit(x) for row in pairs for x in (row["token"], int(row["token_id"]))]
+    )
+    ids = F.filter(
+        F.transform(F.col(tokens_column), lambda t: F.element_at(vocab_map, t)),
+        lambda x: x.isNotNull(),
+    )
+    docs = docs.withColumn("__ids", F.transform(ids, lambda x: x.cast("long")))
+    sh = F.col("__ids")
+
+    def mk(i):
+        # shingle value for the window starting at 1-based index i
+        v = F.element_at(sh, i)
+        for k in range(1, shingle_len):
+            v = (v * SHINGLE_BASE + F.element_at(sh, i + k)) % P
+        return v
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(sh) - (shingle_len - 1), F.lit(0)))
+    shingles = F.array_distinct(F.transform(idxs, lambda i: mk(i)))
+    return docs.select(
+        F.col(doc_id_column).alias("doc_id"), shingles.alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_near_dedup_fast(
+    docs: DataFrame,
+    vocab: DataFrame,
+    doc_id_column: str = "doc_id",
+    tokens_column: str = "tokens",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Array-native end-to-end near-dedup: shingles AND all k
+    permutation minima are computed as codegen array expressions per
+    row — the plan's only shuffles are the LSH bucket self-join and
+    the Jaccard verify join. Bit-identical results to the staged
+    pipeline (same oracle)."""
+    arr = doc_shingle_arrays(docs, vocab, doc_id_column, tokens_column).cache()
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: (F.lit(a) * s + F.lit(b)) % P)
+        )
+
+    mh_cols = [
+        perm_min(a, b).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_perm_params(num_hashes))
+    ]
+    wide = arr.select("doc_id", F.size("shingles").cast("long").alias("sz"), *mh_cols)
+    cand = minhash_lsh_candidates_wide(
+        wide, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    )
+    shingles = arr.select("doc_id", F.explode("shingles").alias("shingle"))
+    return verify_jaccard(
+        cand, shingles, threshold=threshold, sizes=wide.select("doc_id", "sz")
+    )
+
+
 def minhash_near_dedup(
     docs: DataFrame,
     vocab: DataFrame,
@@ -168,10 +301,14 @@ def minhash_near_dedup(
     jaccard). Drop policy (keep min id per connected component) is left
     to the caller — components need iterative joins (see
     :func:`connected_components_dedup`)."""
-    sh = doc_shingles(docs, vocab, doc_id_column, tokens_column)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    cand = minhash_lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band)
-    return verify_jaccard(cand, sh, threshold=threshold)
+    # shingles feed both the signature path and the Jaccard verify —
+    # cache so the explode+join+window runs once, not twice
+    sh = doc_shingles(docs, vocab, doc_id_column, tokens_column).cache()
+    wide = minhash_signatures_wide(sh, num_hashes=num_hashes)
+    cand = minhash_lsh_candidates_wide(wide, bands=bands, rows_per_band=rows_per_band)
+    return verify_jaccard(
+        cand, sh, threshold=threshold, sizes=wide.select("doc_id", "sz")
+    )
 
 
 def connected_components_dedup(

@@ -724,7 +724,7 @@ _SHINGLE_SQL = f"""
         SELECT CAST(jj AS INTEGER) AS j,
                (jj * 2654435761 + 1) % 2147483647 AS a,
                (jj * 40503 + 17) % 2147483647 AS b
-        FROM (SELECT unnest(generate_series(0, 7)) AS jj)),
+        FROM (SELECT unnest(generate_series(0, 15)) AS jj)),
     sigs AS (
         SELECT doc_id, j, min((a * shingle + b) % 2147483647) AS minhash
         FROM shingles CROSS JOIN params
@@ -739,7 +739,7 @@ _SHINGLE_SQL = f"""
 )
 def _minhash_signatures(spark, sf_dir):
     sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
-    sig = minhash_signatures(sh, num_hashes=8)
+    sig = minhash_signatures(sh, num_hashes=16)
     return sig.select("doc_id", F.col("j").cast("long").alias("j"), "minhash")
 
 
@@ -747,10 +747,10 @@ def _minhash_signatures(spark, sf_dir):
     "minhash_near_dedup",
     f"""WITH {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
        banded AS (
-         SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
+         SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j ASC)) AS bucket
-         FROM sigs WHERE CAST(j // 2 AS INTEGER) < 4
-         GROUP BY doc_id, CAST(j // 2 AS INTEGER)),
+         FROM sigs WHERE CAST(j // 4 AS INTEGER) < 4
+         GROUP BY doc_id, CAST(j // 4 AS INTEGER)),
        sized AS (
          SELECT * FROM (
            SELECT band, bucket, doc_id, count(*) OVER (PARTITION BY band, bucket) AS bsz
@@ -774,10 +774,15 @@ def _minhash_signatures(spark, sf_dir):
        WHERE i.inter * 1.0 / (z0.sz + z1.sz - i.inter) >= 0.1""",
 )
 def _minhash_near_dedup(spark, sf_dir):
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
-    sig = minhash_signatures(sh, num_hashes=8)
-    cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=2)
-    out = verify_jaccard(cand, sh, threshold=0.1)
+    from redshells_spark.dedup.minhash import (
+        minhash_lsh_candidates_wide,
+        minhash_signatures_wide,
+    )
+
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
+    wide = minhash_signatures_wide(sh, num_hashes=16)
+    cand = minhash_lsh_candidates_wide(wide, bands=4, rows_per_band=4)
+    out = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
     return out.select("doc_id_0", "doc_id_1", _r4(F.col("jaccard"), "jaccard"))
 
 
