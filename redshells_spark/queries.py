@@ -709,6 +709,33 @@ def _keyword_match(spark, sf_dir):
     return keyword_match_join(_tokens(spark, sf_dir), keywords, "doc_id", "tokens")
 
 
+@q(
+    "find_item_keyword",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL},
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+       scored AS (
+         SELECT tf.doc_id, tf.token,
+                tf.tf * log2((SELECT count(*) FROM documents) * 1.0 / v.doc_freq) AS tfidf
+         FROM tf JOIN vocab v ON tf.token = v.token
+         WHERE tf.tf * log2((SELECT count(*) FROM documents) * 1.0 / v.doc_freq) <> 0.0),
+       ranked AS (
+         SELECT doc_id, token, tfidf,
+                row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn,
+                ceil(count(*) OVER (PARTITION BY doc_id) * 0.3) + 1 AS k
+         FROM scored)
+       SELECT DISTINCT doc_id, token AS keyword FROM ranked
+       WHERE rn <= k AND token IN {str(KEYWORDS)}""",
+)
+def _find_item_keyword(spark, sf_dir):
+    # §2.I composite: per-item top-TF-IDF tokens ∩ keyword list
+    # (reference find_item_keyword_by_matching.py:10-42)
+    sc = tfidf_scores(_tokens(spark, sf_dir), _vocab(spark, sf_dir), normalize=False)
+    top = tfidf_top_tokens(sc, keep_top_rate=0.3)
+    top_tokens = top.groupBy("doc_id").agg(F.collect_list("token").alias("tokens"))
+    keywords = spark.createDataFrame([(k,) for k in KEYWORDS], "keyword string")
+    return keyword_match_join(top_tokens, keywords, "doc_id", "tokens")
+
+
 # ------------------------------------------------------------ dedup ops
 
 _SHINGLE_SQL = f"""

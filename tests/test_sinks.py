@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshells_spark.sources.sinks import compact, write_partitioned
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.range(1000).withColumn("part", (F.col("id") % 4).cast("string"))
+    out = str(tmp_path / "p")
+    write_partitioned(df, out, partition_by=["part"])
+    # hive layout on disk
+    assert sorted(os.path.basename(p) for p in glob.glob(f"{out}/part=*")) == [
+        "part=0", "part=1", "part=2", "part=3",
+    ]
+    # partition filter prunes directories (partition count visible in plan)
+    back = spark.read.parquet(out).filter(F.col("part") == "2")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert back.count() == 250
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    df = spark.range(10000)
+    src = str(tmp_path / "many")
+    df.repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+    compact(spark, src, target_file_mb=512)
+    out_files = glob.glob(f"{src}_compacted/*.parquet")
+    assert len(out_files) == 1
+    assert spark.read.parquet(f"{src}_compacted").count() == 10000
