@@ -21,12 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-document TF-IDF top tokens over the sf0.001
-    documents table — the text-pipeline core (relational dictionary →
-    tf·idf → per-doc top-k window), all JVM-side."""
+    """Flagship: end-to-end word→item retrieval on sf0.001 — keyword
+    matching → word embeddings (L2-normalized sums over member docs) →
+    broadcast dot-product retrieval with per-word top-k. The whole
+    reference app dataflow, all JVM-side, oracle-verified at sf0.01."""
     from redshells_spark.queries import QUERIES
 
-    return QUERIES["tfidf_top_tokens"](spark, "/root/testdata/sf0.001")
+    return QUERIES["word_item_retrieval"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

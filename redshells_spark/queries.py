@@ -88,10 +88,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_TOKEN_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tokenize_on_space(
-        _t(spark, sf_dir, "documents"), "text", "tokens", lowercase=True
-    )
+    # tokenization feeds vocab + tf + shingles in the text queries —
+    # cache per (session, sf) so the scan+split runs once per query set
+    key = (id(spark), sf_dir)
+    if key not in _TOKEN_CACHE:
+        _TOKEN_CACHE[key] = tokenize_on_space(
+            _t(spark, sf_dir, "documents"), "text", "tokens", lowercase=True
+        ).cache()
+    return _TOKEN_CACHE[key]
 
 
 def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1108,6 +1116,59 @@ def _top_revenue_orders(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+@q(
+    "word_item_retrieval",
+    f"""WITH w2i AS (
+         SELECT DISTINCT token AS word, doc_id AS item_id
+         FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+               FROM documents)
+         WHERE token IN {str(KEYWORDS)}),
+       ex AS (
+         SELECT w.word, generate_subscripts(e.embedding, 1) AS dim,
+                unnest(e.embedding::DOUBLE[]) AS x
+         FROM w2i w JOIN embeddings e ON e.vec_id = w.item_id),
+       s AS (SELECT word, dim, sum(x) AS s FROM ex GROUP BY word, dim),
+       wemb AS (
+         SELECT word, dim,
+                s / greatest(sqrt(sum(s * s) OVER (PARTITION BY word)), 1e-12) AS e
+         FROM s),
+       scores AS (
+         SELECT w.word, c.vec_id, sum(w.e * cx.x) AS score
+         FROM wemb w
+         CROSS JOIN embeddings c
+         JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                      unnest(embedding::DOUBLE[]) AS x FROM embeddings) cx
+           ON cx.vec_id = c.vec_id AND cx.dim = w.dim
+         GROUP BY w.word, c.vec_id),
+       ranked AS (
+         SELECT word, vec_id AS item_id, score,
+                row_number() OVER (PARTITION BY word ORDER BY score DESC, vec_id ASC) AS rn
+         FROM scores)
+       SELECT word, item_id, round(score, 4) AS similarity
+       FROM ranked WHERE rn <= 10""",
+)
+def _word_item_retrieval(spark, sf_dir):
+    """Flagship end-to-end retrieval, fully oracle-verified:
+    keyword→doc groups → word embedding = L2(Σ doc embeddings) →
+    dot-product retrieval top-10 per word (the reference's
+    word_item_similarity dataflow on the driver testdata)."""
+    from redshells_spark.pipelines.word_item_similarity import calculate_word_embedding
+
+    keywords = spark.createDataFrame([(k,) for k in KEYWORDS], "keyword string")
+    w2i = keyword_match_join(_tokens(spark, sf_dir), keywords, "doc_id", "tokens").select(
+        F.col("keyword").alias("word"), F.col("doc_id").alias("item_id")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    wemb = calculate_word_embedding(w2i, emb, item_column="item_id")
+    a = wemb.select("word", F.col("embedding").alias("__we"))
+    b = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("__ce"))
+    scored = b.crossJoin(F.broadcast(a)).select(
+        "word", "item_id", dot_product("__we", "__ce").alias("score")
+    )
+    top = per_group_topk(scored, "word", "score", 10, tie_break=["item_id"])
+    return top.select("word", "item_id", _r4(F.col("score"), "similarity"))
 
 
 # --------------------------------------------- pair generation / pipelines

@@ -89,3 +89,49 @@ def task(
     **kwargs: Any,
 ) -> SparkTask:
     return SparkTask(name=name, params=params or {}, build=build, requires=requires or {}, **kwargs)
+
+
+@dataclass
+class MultiOutputSparkTask(SparkTask):
+    """Task whose ``build`` returns a dict of named DataFrames, each
+    materialized under ``<target>/<output_name>`` (reference multi-
+    output tasks, e.g. train/test splits ``data/data_frame_utils.py:
+    165-183``). ``requires`` entries may address one output as
+    ``(task, output_name)`` via :func:`load_data_of_task`."""
+
+    output_names: tuple[str, ...] = ()
+
+    def complete(self) -> bool:
+        return all(
+            os.path.exists(os.path.join(self.output_path(), n, "_SUCCESS"))
+            for n in self.output_names
+        )
+
+    def run_all(self, spark: SparkSession, force: bool = False) -> dict[str, DataFrame]:
+        path = self.output_path()
+        if not force and self.complete():
+            return {n: spark.read.parquet(os.path.join(path, n)) for n in self.output_names}
+        inputs = {k: t.run(spark, force=force) for k, t in self.requires.items()}
+        outs = self.build(spark, inputs)
+        if set(outs) != set(self.output_names):
+            raise ValueError(f"build returned {sorted(outs)}, declared {sorted(self.output_names)}")
+        for n, df in outs.items():
+            df.write.mode("overwrite").parquet(os.path.join(path, n))
+        return {n: spark.read.parquet(os.path.join(path, n)) for n in self.output_names}
+
+    def run(self, spark: SparkSession, force: bool = False) -> DataFrame:
+        return self.run_all(spark, force=force)[self.output_names[0]]
+
+
+def load_data_of_task(
+    multi_task: MultiOutputSparkTask, target_name: str
+) -> SparkTask:
+    """Select one named output of a multi-output task as a dependency
+    (reference ``LoadDataOfTask``, ``data/load_data_of_task.py:5-14``)."""
+    return SparkTask(
+        name=f"{multi_task.name}__{target_name}",
+        params={"target": target_name},
+        build=lambda spark, _inputs: multi_task.run_all(spark)[target_name],
+        requires={},
+        cache_root=multi_task.cache_root,
+    )

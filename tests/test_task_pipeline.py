@@ -51,6 +51,33 @@ def test_task_caching_and_dag(spark, tmp_path):
     assert base2.output_path() != base.output_path()
 
 
+def test_multi_output_task_and_load(spark, tmp_path):
+    from redshells_spark.task import MultiOutputSparkTask, load_data_of_task
+
+    def build_split(s, inputs):
+        df = s.range(100)
+        train, test = df.randomSplit([0.8, 0.2], seed=1)
+        return {"train": train, "test": test}
+
+    split = MultiOutputSparkTask(
+        name="split", params={}, build=build_split, cache_root=str(tmp_path),
+        output_names=("train", "test"),
+    )
+    outs = split.run_all(spark)
+    assert outs["train"].count() + outs["test"].count() == 100
+    assert split.complete()
+    # single-output selection task (reference LoadDataOfTask)
+    test_only = load_data_of_task(split, "test")
+    assert test_only.run(spark).count() == outs["test"].count()
+    # declared/returned mismatch raises
+    bad = MultiOutputSparkTask(
+        name="bad", params={}, build=build_split, cache_root=str(tmp_path),
+        output_names=("train", "nope"),
+    )
+    with pytest.raises(ValueError):
+        bad.run_all(spark)
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     topics = {
