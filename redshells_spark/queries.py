@@ -94,7 +94,7 @@ _TOKEN_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenization feeds vocab + tf + shingles in the text queries —
     # cache per (session, sf) so the scan+split runs once per query set
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TOKEN_CACHE:
         _TOKEN_CACHE[key] = tokenize_on_space(
             _t(spark, sf_dir, "documents"), "text", "tokens", lowercase=True

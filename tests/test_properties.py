@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+surface (SURVEY §5: reference has none): operator semantics checked
+against pandas ground truth on generated inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SMALL_FRAMES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-100, max_value=100),  # value
+        st.integers(min_value=0, max_value=50),  # order
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+HSETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=SMALL_FRAMES)
+@HSETTINGS
+def test_extract_column_as_dict_matches_pandas_first(spark, rows):
+    from redshells_spark.data.frame_ops import extract_column_as_dict
+
+    df = spark.createDataFrame(rows, "k int, v int, ord int")
+    got = {
+        r["k"]: r["v"]
+        for r in extract_column_as_dict(df, "k", "v", order_by=["ord", "v"]).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "v", "ord"]).sort_values(["ord", "v"], kind="stable")
+    want = pdf.groupby("k")["v"].first().to_dict()
+    assert got == want
+
+
+@given(rows=SMALL_FRAMES)
+@HSETTINGS
+def test_group_count_filter_matches_pandas(spark, rows):
+    from redshells_spark.data.frame_ops import filter_by_column  # noqa: F401
+    from redshells_spark.operators.aggregates import group_count_filter
+
+    df = spark.createDataFrame(rows, "k int, v int, ord int")
+    got = sorted(tuple(r) for r in group_count_filter(df, "k", 2, 10).collect())
+    pdf = pd.DataFrame(rows, columns=["k", "v", "ord"])
+    counts = pdf.groupby("k")["k"].transform("count")
+    want = sorted(map(tuple, pdf[(counts >= 2) & (counts <= 10)].itertuples(index=False)))
+    assert got == want
+
+
+@given(rows=SMALL_FRAMES, k=st.integers(min_value=1, max_value=5))
+@HSETTINGS
+def test_per_group_topk_matches_pandas(spark, rows, k):
+    from redshells_spark.operators.topk import per_group_topk
+
+    df = spark.createDataFrame(rows, "k int, v int, ord int")
+    got = sorted(
+        (r["k"], r["v"], r["ord"])
+        for r in per_group_topk(df, "k", "v", k, tie_break=["ord"]).collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "v", "ord"])
+    want = sorted(
+        map(
+            tuple,
+            pdf.sort_values(["v", "ord"], ascending=[False, True], kind="stable")
+            .groupby("k")
+            .head(k)
+            .itertuples(index=False),
+        )
+    )
+    # multiset compare: ties beyond (v, ord) may pick different rows
+    assert sorted((a, b) for a, b, _ in got) == sorted((a, b) for a, b, _ in want)
+
+
+@given(
+    tokens=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=15,
+    )
+)
+@HSETTINGS
+def test_jaccard_bounds_and_symmetry(spark, tokens):
+    from redshells_spark.dedup.ngram import jaccard
+
+    rows = [(t, list(reversed(t))) for t in tokens]
+    df = spark.createDataFrame(rows, "x array<string>, y array<string>")
+    vals = [r["j"] for r in df.select(jaccard("x", "y").alias("j")).collect()]
+    for v, t in zip(vals, tokens):
+        assert 0.0 <= v <= 1.0
+        if t:  # same distinct set in both directions → jaccard 1
+            assert v == pytest.approx(1.0)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@HSETTINGS
+def test_portable_hash_str_deterministic(spark, seed):
+    import duckdb
+
+    from redshells_spark.schema import portable_hash_str, portable_hash_str_sql
+
+    df = spark.range(20).selectExpr("cast(id as string) as s")
+    got = {r["s"]: r["h"] for r in df.select("s", portable_hash_str("s", seed).alias("h")).collect()}
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT CAST(r AS VARCHAR), {portable_hash_str_sql('r', seed)} FROM range(20) t(r)"
+        ).fetchall()
+    )
+    assert got == want  # bit-identical across engines for any seed
