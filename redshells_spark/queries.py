@@ -683,6 +683,48 @@ def _tfidf(spark, sf_dir):
 
 
 @q(
+    "tfidf_normalized",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL},
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+       scored AS (
+         SELECT tf.doc_id, tf.token,
+                tf.tf * log2((SELECT count(*) FROM documents) * 1.0 / v.doc_freq) AS tfidf
+         FROM tf JOIN vocab v ON tf.token = v.token
+         WHERE tf.tf * log2((SELECT count(*) FROM documents) * 1.0 / v.doc_freq) <> 0.0)
+       SELECT doc_id, token,
+              round(tfidf / sqrt(sum(tfidf * tfidf) OVER (PARTITION BY doc_id)), 4) AS tfidf
+       FROM scored""",
+)
+def _tfidf_normalized(spark, sf_dir):
+    # gensim-default cosine doc-normalization ('nnc') — the variant the
+    # reference's TfidfModel applies (model/tfidf.py:11-18)
+    sc = tfidf_scores(_tokens(spark, sf_dir), _vocab(spark, sf_dir), normalize=True)
+    return sc.select("doc_id", "token", _r4(F.col("tfidf"), "tfidf"))
+
+
+@q(
+    "events_cube",
+    """SELECT coalesce(event_type, 'ALL') AS etype,
+              coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+              count(*) AS n
+       FROM events GROUP BY CUBE (event_type, CAST(user_id % 10 AS VARCHAR))""",
+)
+def _events_cube(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("string")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
+            "n",
+        )
+    )
+
+
+@q(
     "tfidf_top_tokens",
     f"""WITH {_VOCAB_SQL}, {_TOK_SQL},
        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
@@ -1067,6 +1109,80 @@ def _event_time_gaps(spark, sf_dir):
         F.count(F.lit(1)).alias("n_gaps"),
         _r4(F.avg(F.col("gap_us") / 1000000.0), "avg_gap_s"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
+@q(
+    "monthly_order_rollup",
+    """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start,
+              o_orderstatus, count(*) AS n_orders,
+              round(sum(o_totalprice), 4) AS total, round(avg(o_totalprice), 4) AS avg_price
+       FROM orders GROUP BY 1, 2""",
+)
+def _monthly_order_rollup(spark, sf_dir):
+    # date/time functions (absent in reference — SURVEY §2.G — covered
+    # by Spark builtins for the driver's timestamped tables)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("month_start", F.date_trunc("month", "o_orderdate").cast("long"))
+        .groupBy("month_start", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r4(F.sum("o_totalprice"), "total"),
+            _r4(F.avg("o_totalprice"), "avg_price"),
+        )
+    )
+
+
+@q(
+    "correlation_stats",
+    """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+              round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+              round(covar_samp(l_discount, l_tax), 4) AS covar_disc_tax
+       FROM lineitem""",
+)
+def _correlation_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        _r4(F.corr("l_quantity", "l_extendedprice"), "corr_qty_price"),
+        _r4(F.covar_pop("l_quantity", "l_extendedprice"), "covar_qty_price"),
+        _r4(F.covar_samp("l_discount", "l_tax"), "covar_disc_tax"),
+    )
+
+
+@q(
+    "string_functions",
+    """SELECT p_partkey, upper(p_brand) AS brand_upper,
+              length(p_name) AS name_len,
+              substr(p_type, 1, 5) AS type_prefix,
+              levenshtein(p_brand, 'Brand#00') AS brand_dist,
+              regexp_extract(p_type, '([A-Z]+)', 1) AS first_word
+       FROM part""",
+)
+def _string_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("long").alias("brand_dist"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+    )
+
+
+@q(
+    "quantity_histogram",
+    """SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bucket,
+              count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+       FROM lineitem GROUP BY 1""",
+)
+def _quantity_histogram(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("bucket", F.floor(F.col("l_quantity") / 5.0).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), _r4(F.avg("l_extendedprice"), "avg_price"))
     )
 
 

@@ -27,9 +27,10 @@ def norm_cell(v):
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+        # EXACT comparison — queries must round in-query on both sides
+        # so doubles are bit-identical; no tolerance here, matching the
+        # driver's value-hash behavior
+        return "NaN" if math.isnan(v) else v
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
