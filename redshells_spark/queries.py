@@ -1490,6 +1490,61 @@ def _approx_distinct_users(spark, sf_dir):
     return ev.agg(F.approx_count_distinct("user_id").alias("approx_users"))
 
 
+@q("classifier_predictions")  # MLlib fit → rows-only
+def _classifier_predictions(spark, sf_dir):
+    from redshells_spark.ml.classifiers import train_classifier
+
+    li = _t(spark, sf_dir, "lineitem")
+    data = li.select(
+        (F.col("l_discount") > 0.05).cast("int").alias("y"),
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax",
+    )
+    model = train_classifier(
+        data, ["l_quantity", "l_extendedprice", "l_tax"], "y", "LogisticRegression"
+    )
+    return model.transform(data).select("l_orderkey", "l_linenumber", "prediction")
+
+
+@q("pairwise_similarity_predictions")  # Hadamard features + classifier → rows-only
+def _pairwise_similarity_predictions(spark, sf_dir):
+    from redshells_spark.ml.pairwise import (
+        predict_pairwise_similarity,
+        train_pairwise_similarity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("item_id_0"),
+            F.col("b.vec_id").alias("item_id_1"),
+            F.when(F.col("a.label") == F.col("b.label"), 1).otherwise(0).alias("similarity"),
+        )
+    )
+    model = train_pairwise_similarity(pairs, emb, "LogisticRegression")
+    return predict_pairwise_similarity(
+        model, pairs.select("item_id_0", "item_id_1"), emb
+    ).select("item_id_0", "item_id_1", "prediction")
+
+
+@q("fm_predictions")  # FMClassifier CTR pipeline → rows-only
+def _fm_predictions(spark, sf_dir):
+    from redshells_spark.ml.factorization_machine import train_factorization_machine
+
+    ev = _t(spark, sf_dir, "events")
+    data = ev.select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.col("value").alias("I1"),
+        (F.col("user_id") % 20).cast("string").alias("C1"),
+    ).na.fill(0)
+    model = train_factorization_machine(
+        data, ["I1"], ["C1"], embedding_size=4, max_iter=5
+    )
+    return model.transform(data).select("event_id", "prediction")
+
+
 @q("gcmc_predictions")  # driver-trained numpy GCMC → rows-only
 def _gcmc_predictions(spark, sf_dir):
     from redshells_spark.ml.gcmc import build_gcmc_dataset, train_gcmc
