@@ -1008,9 +1008,9 @@ def _embedding_near_dup(spark, sf_dir):
 @q(
     "events_rollup",
     """SELECT user_id,
-         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
          round(sum(value), 4) AS sum_value
        FROM events GROUP BY user_id""",
 )
