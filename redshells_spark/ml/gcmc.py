@@ -79,6 +79,59 @@ def build_gcmc_dataset(
     return edges, user_map, item_map
 
 
+def extend_gcmc_dataset(
+    user_map: DataFrame,
+    item_map: DataFrame,
+    new_ratings: DataFrame,
+    user_column: str = "user_id",
+    item_column: str = "item_id",
+    rating_column: str = "rating",
+    only_known_users: bool = False,
+    only_known_items: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental ``add_dataset`` (reference
+    ``gcmc_dataset.py:175-186``): append new ratings, assigning fresh
+    indices to unseen ids while existing ids keep theirs (the
+    reference's ``GcmcIdMap.add`` in-place mutation, ``:43-70``,
+    becomes a pure union + offset ranking). ``only_known_*`` drops
+    rows whose ids are outside the current maps — the reference's
+    id-scope filters. → (new_edges, user_map', item_map')."""
+
+    def extend(mapping: DataFrame, col: str, known_only: bool):
+        max_idx = mapping.agg(F.max("index")).head()[0] or 0
+        if known_only:
+            return mapping, new_ratings.join(
+                F.broadcast(mapping.select(col)), on=col, how="left_semi"
+            )
+        fresh = (
+            new_ratings.select(col)
+            .distinct()
+            .join(F.broadcast(mapping.select(col)), on=col, how="left_anti")
+        )
+        fresh = fresh.withColumn(
+            "index", F.row_number().over(Window.orderBy(col)) + max_idx
+        ).withColumn("count", F.lit(0))
+        return mapping.unionByName(fresh.select(*mapping.columns)), new_ratings
+
+    user_map2, scoped = extend(user_map, user_column, only_known_users)
+    item_map2, scoped2 = extend(item_map, item_column, only_known_items)
+    scoped_ratings = scoped.join(
+        scoped2.select(new_ratings.columns), on=new_ratings.columns, how="left_semi"
+    )
+    edges = (
+        scoped_ratings.join(
+            F.broadcast(user_map2.select(F.col(user_column), F.col("index").alias("user_idx"))),
+            on=user_column,
+        )
+        .join(
+            F.broadcast(item_map2.select(F.col(item_column), F.col("index").alias("item_idx"))),
+            on=item_column,
+        )
+        .select("user_idx", "item_idx", F.col(rating_column).alias("rating"), F.lit(True).alias("is_train"))
+    )
+    return edges, user_map2, item_map2
+
+
 @dataclass
 class GCMCModel:
     user_factors: np.ndarray  # (n_users+1, d) row 0 = zeros (unknown)

@@ -83,6 +83,32 @@ def test_gcmc_cold_start_prior(spark, trained):
     assert pred == pytest.approx(float(np.mean(model.rating_values)), abs=1e-6)
 
 
+def test_extend_gcmc_dataset(spark):
+    """Mirrors reference add_dataset id-scoping tests
+    (``test_gcmc_graph_dataset_map.py:18-28``): known ids keep indices,
+    new ids get appended ones, scope filters drop unknowns."""
+    from redshells_spark.ml.gcmc import extend_gcmc_dataset
+
+    base = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 11, 2.0)], "user_id int, item_id int, rating double"
+    )
+    edges, umap, imap = build_gcmc_dataset(base, test_size=0.0)
+    u_before = {r["user_id"]: r["index"] for r in umap.collect()}
+
+    new = spark.createDataFrame(
+        [(1, 12, 1.0), (3, 10, 2.0)], "user_id int, item_id int, rating double"
+    )
+    edges2, umap2, imap2 = extend_gcmc_dataset(umap, imap, new)
+    u_after = {r["user_id"]: r["index"] for r in umap2.collect()}
+    assert all(u_after[k] == v for k, v in u_before.items())  # stable indices
+    assert u_after[3] == max(u_before.values()) + 1  # appended
+    assert edges2.count() == 2
+
+    # scope filter: only known users → the (3, 10) row is dropped
+    edges3, _, _ = extend_gcmc_dataset(umap, imap, new, only_known_users=True)
+    assert edges3.count() == 1
+
+
 def test_aggregate_messages(spark):
     edges = spark.createDataFrame(
         [(1, 10, 1.0), (1, 11, 1.0), (2, 10, 2.0)],

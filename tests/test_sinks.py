@@ -28,6 +28,32 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert back.count() == 250
 
 
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    import contextlib, io
+
+    from redshells_spark.sources.sinks import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        a = spark.range(2000).withColumn("v", F.col("id") * 2)
+        b = spark.range(2000).withColumn("w", F.col("id") * 3)
+        write_bucketed_table(a, "bucketed_a", ["id"], num_buckets=4, sort_by=["id"])
+        write_bucketed_table(b, "bucketed_b", ["id"], num_buckets=4, sort_by=["id"])
+        joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), on="id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # co-located bucketed join: sort-merge with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
 def test_compact_reduces_files(spark, tmp_path):
     df = spark.range(10000)
     src = str(tmp_path / "many")
