@@ -158,6 +158,22 @@ def split_train_test_data(
     return train, test
 
 
+def hash_split(
+    df: DataFrame, key_column: str, test_size_rate: float, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic train/test split keyed on an integer column via
+    the portable multiplicative hash: bucket = (key·KNUTH+seed) mod
+    2³² mod 100; test = bucket < rate·100. Reproducible across
+    engines, partitionings, and reruns — the split oracle-checkable
+    counterpart of :func:`split_train_test_data` (which keeps Spark's
+    per-row Bernoulli semantics for ML use)."""
+    from redshells_spark.schema import portable_hash
+
+    bucket = portable_hash(key_column, seed) % 100
+    cut = int(test_size_rate * 100)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
 def sample_data(
     df: DataFrame, sample_size: int, seed: int = 42, key_column: str | None = None
 ) -> DataFrame:

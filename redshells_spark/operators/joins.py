@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from redshells_spark.functions.vector import dot_product
-from redshells_spark.schema import portable_hash_str, require_columns
+from redshells_spark.schema import KNUTH, portable_hash_str, require_columns
 
 
 def semi_join_isin(
@@ -88,13 +88,20 @@ def anti_join_negative_sampling(
     )
 
     n_cand = n_pos * candidate_factor
-    # candidate k → (hash-derived user index, item index); encoded-pair
-    # trick from the reference (u + i·n_users) is implicit in using
-    # independent hashes per k
+    # candidate k → (hash-derived user index, item index) via two
+    # decorrelated multiplicative hashes — pure int64 arithmetic, so
+    # the sampling is reproducible in ANY engine (oracle-checkable),
+    # unlike engine RNG. Encoded-pair trick from the reference
+    # (u + i·n_users) is implicit in independent per-k hashes.
+    K2 = 2246822519  # second odd multiplier (xxhash prime), decorrelates axes
     cand = (
         positives.sparkSession.range(n_cand)
-        .withColumn("__uidx", F.abs(F.xxhash64(F.col("id"), F.lit(seed))) % n_users)
-        .withColumn("__iidx", F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % n_items)
+        .withColumn(
+            "__uidx", ((F.col("id") * KNUTH + seed) % (2**32)) % n_users
+        )
+        .withColumn(
+            "__iidx", ((F.col("id") * K2 + seed) % (2**32)) % n_items
+        )
         .drop("id")
         .dropDuplicates(["__uidx", "__iidx"])
     )

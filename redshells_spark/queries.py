@@ -355,8 +355,40 @@ def _rename_column(spark, sf_dir):
     )
 
 
-@q("anti_join_negative_sampling")  # engine-hash sampling → rows-only check
+@q(
+    "anti_join_negative_sampling",
+    """WITH pos AS (
+         SELECT DISTINCT l_suppkey AS user_id, l_partkey AS item_id FROM lineitem),
+       users AS (
+         SELECT user_id, row_number() OVER (ORDER BY user_id ASC) - 1 AS uidx
+         FROM (SELECT DISTINCT user_id FROM pos)),
+       items AS (
+         SELECT item_id, row_number() OVER (ORDER BY item_id ASC) - 1 AS iidx
+         FROM (SELECT DISTINCT item_id FROM pos)),
+       ks AS (
+         SELECT unnest(generate_series(0, 999999)) AS k),
+       cand AS (
+         SELECT DISTINCT
+           (k * 2654435761 + 42) % 4294967296 % (SELECT count(*) FROM users) AS uidx,
+           (k * 2246822519 + 42) % 4294967296 % (SELECT count(*) FROM items) AS iidx
+         FROM ks WHERE k < 3 * (SELECT count(*) FROM pos)),
+       mapped AS (
+         SELECT u.user_id, i.item_id
+         FROM cand c JOIN users u ON u.uidx = c.uidx JOIN items i ON i.iidx = c.iidx),
+       neg AS (
+         SELECT m.user_id, m.item_id FROM mapped m
+         ANTI JOIN pos p ON p.user_id = m.user_id AND p.item_id = m.item_id)
+       SELECT user_id, item_id FROM (
+         SELECT user_id, item_id,
+                row_number() OVER (
+                  ORDER BY md5(CAST(user_id AS VARCHAR) || '|' || CAST(item_id AS VARCHAR) || '42') ASC
+                ) AS rn
+         FROM neg)
+       WHERE rn <= (SELECT count(*) FROM pos)""",
+)
 def _negative_sampling(spark, sf_dir):
+    # fully portable sampling (multiplicative hashes + md5 cap order) —
+    # even the "random" negative sampler is oracle-verified
     li = _t(spark, sf_dir, "lineitem")
     positives = li.select(
         F.col("l_suppkey").alias("user_id"), F.col("l_partkey").alias("item_id")
@@ -405,12 +437,20 @@ def _drop_duplicates_subset(spark, sf_dir):
     )
 
 
-@q("split_train_test_data")  # engine-RNG Bernoulli split → rows-only check
+@q(
+    "split_train_test_data",
+    """SELECT o_orderkey,
+              CASE WHEN (o_orderkey * 2654435761 + 42) % 4294967296 % 100 < 25
+                   THEN 'test' ELSE 'train' END AS part
+       FROM orders""",
+)
 def _split_train_test(spark, sf_dir):
-    from redshells_spark.data.frame_ops import split_train_test_data
+    # portable hash split (oracle-checked); split_train_test_data keeps
+    # Spark randomSplit Bernoulli semantics for ML pipelines
+    from redshells_spark.data.frame_ops import hash_split
 
-    train, test = split_train_test_data(
-        _t(spark, sf_dir, "orders"), test_size_rate=0.25, seed=42
+    train, test = hash_split(
+        _t(spark, sf_dir, "orders"), "o_orderkey", test_size_rate=0.25, seed=42
     )
     return train.select("o_orderkey").withColumn("part", F.lit("train")).unionByName(
         test.select("o_orderkey").withColumn("part", F.lit("test"))
