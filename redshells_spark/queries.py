@@ -1358,6 +1358,42 @@ def _random_pair_within_group(spark, sf_dir):
     return random_pair_within_group(w2i, seed=42)
 
 
+@q(
+    "cross_group_negative_pairs",
+    """WITH w2i AS (
+         SELECT DISTINCT token AS word, doc_id AS item_id
+         FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+               FROM documents)
+         WHERE token IN ('spark', 'join', 'window')),
+       items AS (
+         SELECT item_id AS item_id_1,
+                row_number() OVER (ORDER BY md5(CAST(item_id AS VARCHAR) || '42') ASC) - 1 AS gr
+         FROM (SELECT DISTINCT item_id FROM w2i)),
+       grp AS (
+         SELECT word, item_id AS item_id_0,
+                (row_number() OVER (PARTITION BY word ORDER BY item_id ASC) * 2654435761 + 42)
+                  % (SELECT count(*) FROM items) AS gr
+         FROM w2i),
+       paired AS (
+         SELECT g.word, g.item_id_0, i.item_id_1
+         FROM grp g JOIN items i ON i.gr = g.gr)
+       SELECT p.word, p.item_id_0, p.item_id_1
+       FROM paired p
+       ANTI JOIN w2i w ON w.word = p.word AND w.item_id = p.item_id_1""",
+)
+def _cross_group_negative_pairs(spark, sf_dir):
+    # the "random outside-group item" pairing is md5/arithmetic-hash
+    # driven → fully oracle-checkable (reference make_similarity_data
+    # negatives, :57-66)
+    from redshells_spark.pipelines.similarity_data import cross_group_negative_pairs
+
+    keywords = spark.createDataFrame([(k,) for k in ("spark", "join", "window")], "keyword string")
+    w2i = keyword_match_join(_tokens(spark, sf_dir), keywords, "doc_id", "tokens").select(
+        F.col("keyword").alias("word"), F.col("doc_id").alias("item_id")
+    )
+    return cross_group_negative_pairs(w2i, seed=42)
+
+
 @q("make_click_train_data")  # anti-join sampling is engine-hash → rows-only
 def _make_click_train_data(spark, sf_dir):
     from redshells_spark.pipelines.click_train_data import make_click_train_data
