@@ -1394,8 +1394,51 @@ def _cross_group_negative_pairs(spark, sf_dir):
     return cross_group_negative_pairs(w2i, seed=42)
 
 
-@q("make_click_train_data")  # anti-join sampling is engine-hash → rows-only
+@q(
+    "make_click_train_data",
+    """WITH pairs AS (
+         SELECT DISTINCT l_suppkey AS user_id, l_partkey AS item_id FROM lineitem),
+       nu AS (SELECT count(DISTINCT user_id) AS c FROM pairs),
+       if1 AS (
+         SELECT * FROM pairs WHERE item_id IN (
+           SELECT item_id FROM pairs GROUP BY item_id
+           HAVING count(*) >= 2 AND count(*) <= (SELECT c FROM nu))),
+       uf AS (
+         SELECT * FROM if1 WHERE user_id IN (
+           SELECT user_id FROM if1 GROUP BY user_id HAVING count(*) >= 5)),
+       users AS (
+         SELECT user_id, row_number() OVER (ORDER BY user_id ASC) - 1 AS uidx
+         FROM (SELECT DISTINCT user_id FROM uf)),
+       items AS (
+         SELECT item_id, row_number() OVER (ORDER BY item_id ASC) - 1 AS iidx
+         FROM (SELECT DISTINCT item_id FROM uf)),
+       ks AS (SELECT unnest(generate_series(0, 999999)) AS k),
+       cand AS (
+         SELECT DISTINCT
+           (k * 2654435761 + 42) % 4294967296 % (SELECT count(*) FROM users) AS uidx,
+           (k * 2246822519 + 42) % 4294967296 % (SELECT count(*) FROM items) AS iidx
+         FROM ks WHERE k < 3 * (SELECT count(*) FROM uf)),
+       mapped AS (
+         SELECT u.user_id, i.item_id
+         FROM cand c JOIN users u ON u.uidx = c.uidx JOIN items i ON i.iidx = c.iidx),
+       neg AS (
+         SELECT m.user_id, m.item_id FROM mapped m
+         ANTI JOIN uf p ON p.user_id = m.user_id AND p.item_id = m.item_id),
+       capped AS (
+         SELECT user_id, item_id FROM (
+           SELECT user_id, item_id,
+                  row_number() OVER (
+                    ORDER BY md5(CAST(user_id AS VARCHAR) || '|' || CAST(item_id AS VARCHAR) || '42') ASC
+                  ) AS rn
+           FROM neg)
+         WHERE rn <= (SELECT count(*) FROM uf))
+       SELECT user_id, item_id, 1 AS click FROM uf
+       UNION ALL
+       SELECT user_id, item_id, 0 AS click FROM capped""",
+)
 def _make_click_train_data(spark, sf_dir):
+    # the complete §2.I composite — dedup, count filters, labeling,
+    # portable negative sampling, union — value-verified end to end
     from redshells_spark.pipelines.click_train_data import make_click_train_data
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1419,8 +1462,32 @@ def _make_similarity_data(spark, sf_dir):
     return make_similarity_data(w2i)
 
 
-@q("word_item_similarity_two_stage")  # BLAS prequery + rerank → rows-only
+@q(
+    "word_item_similarity_two_stage",
+    """WITH cent AS (
+         SELECT CAST(label AS VARCHAR) AS word, dim, avg(x) AS m
+         FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                      unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+         GROUP BY label, dim),
+       scores AS (
+         SELECT c.word, e.vec_id AS item_id, sum(c.m * ex.x) AS score
+         FROM cent c
+         CROSS JOIN embeddings e
+         JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                      unnest(embedding::DOUBLE[]) AS x FROM embeddings) ex
+           ON ex.vec_id = e.vec_id AND ex.dim = c.dim
+         GROUP BY c.word, e.vec_id)
+       SELECT word, item_id, round(score, 4) AS similarity FROM (
+         SELECT word, item_id, score,
+                row_number() OVER (PARTITION BY word ORDER BY score DESC, item_id ASC) AS rn
+         FROM scores)
+       WHERE rn <= 10""",
+)
 def _word_item_similarity_two_stage(spark, sf_dir):
+    # two-stage retrieval (BLAS matmul prequery top-50 → rerank →
+    # top-10); with identity rerank this equals direct top-10, so the
+    # oracle is the direct computation — verifying the staged plan
+    # loses nothing
     from redshells_spark.pipelines.word_item_similarity import (
         calculate_word_item_similarity,
     )
@@ -1435,9 +1502,10 @@ def _word_item_similarity_two_stage(spark, sf_dir):
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).m.alias("embedding"))
         .select(F.col("label").cast("string").alias("word"), "embedding")
     )
-    return calculate_word_item_similarity(
+    out = calculate_word_item_similarity(
         words, emb, prequery_return_size=50, return_size=10
     )
+    return out.select("word", "item_id", _r4(F.col("similarity"), "similarity"))
 
 
 # ----------------------------------------------------- ML (rows-only)
