@@ -120,4 +120,12 @@ def make_similarity_data(
             )
         )
         parts += [mf_pos, mf_neg]
-    return union_concat(*parts).dropDuplicates(["item_id_0", "item_id_1"])
+    # pair dedup: the reference concats positives first then
+    # drop_duplicates keep-first → positives win on conflict. The
+    # deterministic distributed equivalent is max(similarity) per pair
+    # (1 > 0), which is also partition-order-independent.
+    return (
+        union_concat(*parts)
+        .groupBy("item_id_0", "item_id_1")
+        .agg(F.max("similarity").alias("similarity"))
+    )

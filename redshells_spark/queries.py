@@ -1451,8 +1451,45 @@ def _make_click_train_data(spark, sf_dir):
     )
 
 
-@q("make_similarity_data")  # rows-only: composition incl. hash sampling
+@q(
+    "make_similarity_data",
+    """WITH w2i AS (
+         SELECT DISTINCT token AS word, doc_id AS item_id
+         FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+               FROM documents)
+         WHERE token IN ('spark', 'join', 'window')),
+       a AS (SELECT word, item_id AS item_id_0,
+                    row_number() OVER (PARTITION BY word ORDER BY item_id ASC) AS r
+             FROM w2i),
+       b AS (SELECT word, item_id AS item_id_1,
+                    row_number() OVER (PARTITION BY word ORDER BY md5(CAST(item_id AS VARCHAR) || '42') ASC) AS r
+             FROM w2i),
+       pos AS (
+         SELECT a.item_id_0, b.item_id_1, 1 AS similarity
+         FROM a JOIN b ON a.word = b.word AND a.r = b.r
+         WHERE a.item_id_0 <> b.item_id_1),
+       items AS (
+         SELECT item_id AS item_id_1,
+                row_number() OVER (ORDER BY md5(CAST(item_id AS VARCHAR) || '42') ASC) - 1 AS gr
+         FROM (SELECT DISTINCT item_id FROM w2i)),
+       grp AS (
+         SELECT word, item_id AS item_id_0,
+                (row_number() OVER (PARTITION BY word ORDER BY item_id ASC) * 2654435761 + 42)
+                  % (SELECT count(*) FROM items) AS gr
+         FROM w2i),
+       neg AS (
+         SELECT p.item_id_0, p.item_id_1, 0 AS similarity
+         FROM (SELECT g.word, g.item_id_0, i.item_id_1
+               FROM grp g JOIN items i ON i.gr = g.gr) p
+         ANTI JOIN w2i w ON w.word = p.word AND w.item_id = p.item_id_1)
+       SELECT item_id_0, item_id_1, max(similarity) AS similarity
+       FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+       GROUP BY item_id_0, item_id_1""",
+)
 def _make_similarity_data(spark, sf_dir):
+    # positives (seeded permutation pairing) + negatives (hash-mapped
+    # outside-group items) + keep-positive pair dedup — all portable,
+    # the full composite value-verified
     from redshells_spark.pipelines.similarity_data import make_similarity_data
 
     keywords = spark.createDataFrame([(k,) for k in ("spark", "join", "window")], "keyword string")
