@@ -315,16 +315,29 @@ def connected_components_dedup(
     pairs: DataFrame, max_iterations: int = 10
 ) -> DataFrame:
     """→ (doc_id, keep_id): map every doc in a near-dup component to
-    the component's min id via iterative label propagation (small-star
-    style). Converges in O(log(component diameter)) joins; near-dup
-    components are shallow in practice so the default cap is generous."""
+    the component's min id.
+
+    Each iteration does hash-min propagation over the edges AND a
+    pointer-doubling compression step (lbl(v) ← lbl(lbl(v))), so
+    convergence is O(log(component diameter)) iterations — a
+    64-node path converges in ~7 rounds, not 63. Near-dup components
+    are shallow in practice, so the default cap is generous."""
     edges = pairs.select(
         F.col("doc_id_0").alias("src"), F.col("doc_id_1").alias("dst")
     )
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # sym is re-read every iteration; labels' lineage would otherwise
+    # grow by a join + outer join per iteration, making iteration k
+    # recompute all k-1 predecessors (O(k²) total) and eventually
+    # blowing up the plan — truncate lineage with localCheckpoint
+    # (eager: also serves as the materialization the convergence check
+    # needs, so exceptAll compares two small materialized frames)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = (
         sym.groupBy("src").agg(F.min("dst").alias("lbl"))
         .select("src", F.least("src", "lbl").alias("lbl"))
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         prop = (
@@ -333,15 +346,23 @@ def connected_components_dedup(
             .agg(F.min("lbl").alias("nlbl"))
             .withColumnRenamed("dst", "src")
         )
-        new_labels = (
-            labels.join(prop, on="src", how="outer")
-            .select(
-                "src",
-                F.least(F.coalesce("lbl", "nlbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-            )
+        merged = labels.join(prop, on="src", how="outer").select(
+            "src",
+            F.least(F.coalesce("lbl", "nlbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
         )
-        if new_labels.exceptAll(labels).isEmpty():
-            labels = new_labels
-            break
+        # pointer doubling: lbl(v) ← lbl(lbl(v)). Combined with the
+        # hash-min step above, label distance to the component min
+        # roughly halves per round → O(log diameter) iterations
+        parent = merged.select(
+            F.col("src").alias("lbl"), F.col("lbl").alias("plbl")
+        )
+        new_labels = (
+            merged.join(parent, on="lbl", how="left")
+            .select("src", F.least("lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        converged = new_labels.exceptAll(labels).isEmpty()
         labels = new_labels
+        if converged:
+            break
     return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("keep_id"))

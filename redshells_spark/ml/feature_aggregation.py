@@ -90,7 +90,15 @@ class FeatureAggregationSimilarityModel:
                 F.transform("__sum", lambda x: x / F.col("__n")).alias(out),
             )
 
-        with_id = pairs.withColumn("__pid", F.monotonically_increasing_id())
+        # __pid is only a stable join key if the three branches below
+        # (xa, ya, outer join) all see the SAME materialization —
+        # monotonically_increasing_id over a recomputed nondeterministic
+        # upstream (shuffle/sample/limit) could assign different ids per
+        # branch and join pairs to the wrong averaged embeddings.
+        # localCheckpoint pins the ids once.
+        with_id = pairs.withColumn(
+            "__pid", F.monotonically_increasing_id()
+        ).localCheckpoint()
         xa = avg_side(with_id, x_features, "__xe")
         ya = avg_side(with_id, y_features, "__ye")
         joined = (

@@ -119,20 +119,45 @@ def mf_item_similarity(
     mf: MatrixFactorization,
     threshold: float | None = None,
     normalize: bool = True,
+    max_exact_items: int = 100_000,
 ) -> DataFrame:
     """Item-item similarity from MF factors (reference
     ``calculate_similarity_with_matrix_factorization.py:21-66``:
     blocked dot products of normalized factors, upper-triangular).
 
-    BLAS-vectorized all-pairs (``allpairs``) instead of the
-    reference's driver-side 1000-row block loop."""
+    Tiered by catalog size: up to ``max_exact_items`` items the exact
+    BLAS all-pairs path runs (the operator is inherently O(n²) — the
+    reference's own 1000-row block loop is too, so the exact tier is
+    only for bounded catalogs). Bigger catalogs require an explicit
+    ``threshold`` and route through LSH-bucketed candidates with exact
+    verification (sub-quadratic; recall approximate, precision exact).
+    ``threshold=None`` on a big catalog fails loudly instead of
+    emitting n² rows through an unguarded driver collect."""
     from redshells_spark.similarity.allpairs import all_pairs_above_threshold
+    from redshells_spark.similarity.ann import lsh_pairs_above_threshold
 
     factors = item_factors(mf, normalize=normalize)
-    return all_pairs_above_threshold(
+    metric = "dot" if not normalize else "cosine"
+    n = factors.limit(max_exact_items + 1).count()
+    if n <= max_exact_items:
+        return all_pairs_above_threshold(
+            factors,
+            id_column="item_id",
+            embedding_column="embedding",
+            threshold=threshold if threshold is not None else -1e18,
+            metric=metric,
+            max_broadcast_rows=max_exact_items,
+        )
+    if threshold is None:
+        raise ValueError(
+            f"mf_item_similarity: > {max_exact_items} items is n² pairs; "
+            "pass an explicit threshold to use the LSH-bucketed path, or "
+            "raise max_exact_items if the catalog is genuinely bounded"
+        )
+    return lsh_pairs_above_threshold(
         factors,
+        threshold=threshold,
         id_column="item_id",
         embedding_column="embedding",
-        threshold=threshold if threshold is not None else -1e18,
-        metric="dot" if not normalize else "cosine",
+        metric=metric,
     )

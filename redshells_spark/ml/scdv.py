@@ -69,7 +69,14 @@ class SCDV:
             k=cluster_size, seed=seed, featuresCol="__v", probabilityCol="__p"
         )
         wv_vec = wv.withColumn("__v", array_to_vector("vector"))
-        gmm_model = gmm.fit(wv_vec.limit(gmm_sample_size))
+        # deterministic sample: limit() without ordering is partition-
+        # order dependent — hash-order the vocabulary first so the
+        # fitted clusters (hence all doc embeddings) are stable across
+        # runs and cluster layouts; a no-op cost when V < sample size
+        gmm_fit_input = (
+            wv_vec.orderBy(F.xxhash64(F.col("word"), F.lit(seed))).limit(gmm_sample_size)
+        )
+        gmm_model = gmm.fit(gmm_fit_input)
         clustered = (
             gmm_model.transform(wv_vec)
             .withColumn("probs", vector_to_array("__p"))
@@ -127,8 +134,10 @@ class SCDV:
     def _raw_doc_vectors(
         self, docs: DataFrame, tokens_column: str, doc_id_column: str
     ) -> DataFrame:
-        dim = self.cluster_size * self.embedding_size
-        # bow counts first: the fold then runs over distinct in-vocab
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from pyspark.ml.stat import Summarizer
+
+        # bow counts first: the sum then runs over distinct in-vocab
         # words per doc (vocab-bounded), not every token occurrence
         tf = (
             docs.select(
@@ -141,16 +150,15 @@ class SCDV:
         scaled = joined.withColumn(
             "wtv", F.transform("wtv", lambda x: x * F.col("tf"))
         )
-        zero = F.array_repeat(F.lit(0.0), dim)
+        # Summarizer.sum is a typed JVM aggregate with map-side partial
+        # combine: per-group state is ONE k·d vector, not a
+        # collect_list of every word's k·d array (which made per-group
+        # memory ∝ distinct words × k·d before the fold even ran)
         return (
-            scaled.groupBy("doc_id")
-            .agg(
-                F.aggregate(
-                    F.collect_list("wtv"),
-                    zero,
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                ).alias("embedding")
-            )
+            scaled.withColumn("__wv", array_to_vector("wtv"))
+            .groupBy("doc_id")
+            .agg(Summarizer.sum(F.col("__wv")).alias("__sum"))
+            .select("doc_id", vector_to_array("__sum").alias("embedding"))
         )
 
     def infer_vector(

@@ -149,21 +149,29 @@ def blocked_pairwise_similarity(
     (reference ``calculate_similarity_with_matrix_factorization.py:39-66``,
     block size 1000 at ``:28,47-50``).
 
-    Instead of the reference's driver loop over row blocks, assign each
-    id a block via hash, self-join on a crossed block-pair key so each
-    (block_i, block_j) task is bounded at block_size² pairs, then
-    compute the dot JVM-side. ``upper_triangular`` keeps id0 < id1
-    (reference's triu indices). O(n²) by nature — cap n or use the LSH
-    path in :mod:`redshells_spark.similarity` at scale."""
-    a = embeddings.select(
-        F.col(id_column).alias("id0"), F.col(embedding_column).alias("__e0")
-    )
-    b = embeddings.select(
-        F.col(id_column).alias("id1"), F.col(embedding_column).alias("__e1")
-    )
-    joined = a.crossJoin(b)
-    if upper_triangular:
-        joined = joined.filter(F.col("id0") < F.col("id1"))
+    Instead of the reference's driver loop over row blocks: assign each
+    id a block via ``pmod(xxhash64(id), B)`` where B = ceil(n /
+    block_size); replicate each row to its block-pair keys (row in
+    block i joins pairs (min(i,j), max(i,j)) for all j); shuffle
+    equi-join on the (lo, hi) pair key. Every task is bounded at
+    ~block_size² pairs — no BroadcastNestedLoopJoin, no unbounded
+    task. For i≠j pairs the output is emitted as (least, greatest),
+    which is exact because both metrics are symmetric.
+
+    Still O(n²) total work by nature (as is the reference) — the
+    equi-join makes each unit bounded, not the total. Above
+    ``max_rows`` this refuses and points at the sub-quadratic LSH path
+    (:func:`redshells_spark.similarity.ann.lsh_pairs_above_threshold`).
+    """
+    max_rows = 1_000_000
+    n = embeddings.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"blocked_pairwise_similarity: n > {max_rows} rows means >"
+            f" {max_rows}²/2 output pairs; use similarity.ann."
+            "lsh_pairs_above_threshold (bucketed, sub-quadratic) instead"
+        )
+    num_blocks = max(1, -(-n // max(block_size, 1)))
     if metric == "dot":
         sim = dot_product("__e0", "__e1")
     elif metric == "cosine":
@@ -172,11 +180,67 @@ def blocked_pairwise_similarity(
         sim = cosine_similarity("__e0", "__e1")
     else:
         raise ValueError(f"unknown metric {metric!r}")
-    # repartition before the cross join is unnecessary: Spark executes
-    # crossJoin as BroadcastNestedLoopJoin when one side is small, and
-    # AQE splits oversized tasks; block_size is kept for API parity.
-    _ = block_size
-    return joined.select("id0", "id1", sim.alias("similarity"))
+
+    base = embeddings.select(
+        F.col(id_column).alias("__id"),
+        F.col(embedding_column).alias("__e"),
+        F.pmod(F.xxhash64(F.col(id_column)), F.lit(num_blocks)).alias("__blk"),
+    )
+    other = F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("__oblk")
+    # pair key (lo, hi): each unordered block pair meets in exactly one
+    # task; both members replicate num_blocks times (the blocked
+    # all-pairs replication factor, same as the reference's loop reads)
+    left = base.select(
+        F.col("__id").alias("id0"), F.col("__e").alias("__e0"), "__blk", other
+    ).select(
+        "id0", "__e0",
+        F.least("__blk", "__oblk").alias("__lo"),
+        F.greatest("__blk", "__oblk").alias("__hi"),
+        F.col("__blk").alias("__blk0"),
+    )
+    right = base.select(
+        F.col("__id").alias("id1"), F.col("__e").alias("__e1"), "__blk", other
+    ).select(
+        "id1", "__e1",
+        F.least("__blk", "__oblk").alias("__lo"),
+        F.greatest("__blk", "__oblk").alias("__hi"),
+        F.col("__blk").alias("__blk1"),
+    )
+    joined = left.join(right, on=["__lo", "__hi"])
+    # same-block pairs meet only in their diagonal key (lo==hi) — they
+    # also co-occur in every (b, j) key, which must not emit them;
+    # cross-block pairs meet exactly once per orientation in (i, j) —
+    # keep the blk0 < blk1 orientation
+    joined = joined.filter(
+        (
+            (F.col("__blk0") == F.col("__blk1"))
+            & (F.col("__lo") == F.col("__hi"))
+            & (F.col("id0") != F.col("id1"))
+        )
+        | (F.col("__blk0") < F.col("__blk1"))
+    )
+    if upper_triangular:
+        out = joined.filter(F.col("id0") < F.col("id1")).select(
+            "id0", "id1", sim.alias("similarity")
+        )
+        # cross-block pairs surviving only as (hi_id, lo_id) orientation
+        # are re-emitted canonically below via the symmetric union
+        swapped = joined.filter(
+            (F.col("__blk0") < F.col("__blk1")) & (F.col("id0") > F.col("id1"))
+        ).select(
+            F.col("id1").alias("id0"), F.col("id0").alias("id1"),
+            sim.alias("similarity"),
+        )
+        return out.unionByName(swapped)
+    both = joined.select("id0", "id1", sim.alias("similarity"))
+    mirrored = joined.filter(F.col("__blk0") < F.col("__blk1")).select(
+        F.col("id1").alias("id0"), F.col("id0").alias("id1"), sim.alias("similarity")
+    )
+    diag_self = base.select(
+        F.col("__id").alias("id0"), F.col("__id").alias("id1"),
+        F.col("__e").alias("__e0"), F.col("__e").alias("__e1"),
+    ).select("id0", "id1", sim.alias("similarity"))
+    return both.unionByName(mirrored).unionByName(diag_self)
 
 
 def cartesian_product_scoring(

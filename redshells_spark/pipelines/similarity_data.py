@@ -110,9 +110,12 @@ def make_similarity_data(
             F.col("id0").alias("item_id_0"), F.col("id1").alias("item_id_1"),
             F.lit(1).alias("similarity"),
         )
+        # reference _negative_similarity sorts similarity DESC and takes
+        # head(size): keeps the hardest negatives just below the
+        # threshold, mirroring the positive side's top-k shape.
         mf_neg = (
             mf_similarity.filter(F.col("similarity") < negative_rate)
-            .orderBy(F.col("similarity").asc(), F.col("id0").asc(), F.col("id1").asc())
+            .orderBy(F.col("similarity").desc(), F.col("id0").asc(), F.col("id1").asc())
             .limit(max_pairs)
             .select(
                 F.col("id0").alias("item_id_0"), F.col("id1").alias("item_id_1"),

@@ -32,6 +32,24 @@ def _to_matrix(rows: list, dim: int | None = None) -> tuple[np.ndarray, np.ndarr
     return ids, mat
 
 
+def _collect_bounded(df: DataFrame, cap: int, what: str) -> list:
+    """Driver-side collect with a hard size guard.
+
+    Probes with ``limit(cap + 1)`` so the check never scans more than
+    cap+1 rows; an oversized side fails loudly instead of OOMing the
+    driver. Callers that genuinely have a bigger side must bucket
+    first (:func:`redshells_spark.similarity.ann.lsh_pairs_above_threshold`
+    / IVF) — the broadcast tier is for bounded candidate sets only."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: side to broadcast exceeds max_broadcast_rows={cap}; "
+            "bucket it first (similarity.ann.lsh_pairs_above_threshold or "
+            "ivf_topk) or raise the cap explicitly if the driver can hold it"
+        )
+    return rows
+
+
 def all_pairs_above_threshold(
     embeddings: DataFrame,
     id_column: str = "vec_id",
@@ -39,15 +57,22 @@ def all_pairs_above_threshold(
     threshold: float = 0.9,
     metric: str = "cosine",
     upper_triangular: bool = True,
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """→ (id0, id1, similarity ≥ threshold), id0 < id1.
 
-    Corpus side collected + broadcast (callers bound it — this is the
-    within-bucket / bounded-candidate verifier); stream side stays
-    distributed. One BLAS matmul per Arrow batch.
+    Corpus side collected + broadcast with a hard ``max_broadcast_rows``
+    guard (at the 200k default and d=64 the matrix is ~100 MB — the
+    ceiling of sane driver broadcast); stream side stays distributed.
+    One BLAS matmul per Arrow batch. Bigger corpora must go through the
+    LSH/IVF bucketed tier instead of raising the cap blindly.
     """
     spark = embeddings.sparkSession
-    rows = embeddings.select(id_column, embedding_column).collect()
+    rows = _collect_bounded(
+        embeddings.select(id_column, embedding_column),
+        max_broadcast_rows,
+        "all_pairs_above_threshold",
+    )
     ids_c, mat_c = _to_matrix(rows)
     if metric == "cosine":
         norms = np.linalg.norm(mat_c, axis=1)
@@ -93,17 +118,21 @@ def matmul_topk(
     corpus_id: str = "vec_id",
     embedding_column: str = "embedding",
     metric: str = "cosine",
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Exact top-k neighbours via per-batch BLAS matmul + partial top-k.
 
-    The query side (small) is broadcast as a matrix; the corpus streams
-    through mapInPandas producing each batch's top-k per query; a final
-    per-query window merges partial top-ks — the shuffle carries at
-    most (#queries × k × #partitions) rows, not n² scores."""
+    The query side (small, guarded by ``max_broadcast_rows``) is
+    broadcast as a matrix; the corpus streams through mapInPandas
+    producing each batch's top-k per query; a final per-query window
+    merges partial top-ks — the shuffle carries at most
+    (#queries × k × #partitions) rows, not n² scores."""
     from redshells_spark.operators.topk import per_group_topk
 
     spark = corpus.sparkSession
-    rows = queries.select(query_id, embedding_column).collect()
+    rows = _collect_bounded(
+        queries.select(query_id, embedding_column), max_broadcast_rows, "matmul_topk"
+    )
     ids_q, mat_q = _to_matrix(rows)
     if metric == "cosine":
         qn = np.linalg.norm(mat_q, axis=1)

@@ -127,10 +127,15 @@ def load_data_of_task(
     multi_task: MultiOutputSparkTask, target_name: str
 ) -> SparkTask:
     """Select one named output of a multi-output task as a dependency
-    (reference ``LoadDataOfTask``, ``data/load_data_of_task.py:5-14``)."""
+    (reference ``LoadDataOfTask``, ``data/load_data_of_task.py:5-14``).
+
+    The wrapper's params include the parent's param-hash output path so
+    that changing the parent's params invalidates the wrapper's cache
+    too — otherwise a stale ``_SUCCESS`` under the old wrapper path
+    would silently serve the previous parent's data."""
     return SparkTask(
         name=f"{multi_task.name}__{target_name}",
-        params={"target": target_name},
+        params={"target": target_name, "parent": multi_task.output_path()},
         build=lambda spark, _inputs: multi_task.run_all(spark)[target_name],
         requires={},
         cache_root=multi_task.cache_root,
