@@ -9,10 +9,10 @@ Reference: name→class registry with lazy imports and
 
 Spark-first: the registry maps names to MLlib Estimator builders;
 training is a Pipeline (StringIndexer for labels + VectorAssembler);
-validation = CrossValidator; optimization = TrainValidationSplit over
-a param grid (grid/random search replaces TPE — same objective,
-documented delta; an Optuna driver loop can wrap ``train_classifier``
-when TPE semantics matter).
+validation = CrossValidator; optimization is either
+``optimize_classifier`` (TrainValidationSplit grid — cheap, parallel)
+or ``optimize_classifier_tpe`` (the reference's 100-trial TPE study
+shape, via :mod:`redshells_spark.ml.tpe`).
 """
 
 from __future__ import annotations
@@ -46,10 +46,34 @@ def register_prediction_model(name: str, builder: Callable[..., Any]) -> None:
 register_prediction_model("RandomForestClassifier", RandomForestClassifier)
 register_prediction_model("GBTClassifier", GBTClassifier)
 register_prediction_model("LogisticRegression", LogisticRegression)
-# XGBClassifier/LGBMClassifier/CatBoostClassifier need external Spark
-# packages (xgboost4j-spark / SynapseML); register GBT as the in-box
-# gradient-boosting substitute under the reference's default name.
-register_prediction_model("XGBClassifier", GBTClassifier)
+
+
+def _boosted_tree_entry(ref_name: str, pkg_hint: str) -> Callable[..., Any]:
+    """XGB/LGBM/CatBoost (the reference's lazily-imported entries,
+    ``factory/prediction_model_factory.py:6-52``) need external Spark
+    packages not present here. Asking for them by name fails loudly
+    with the substitution spelled out — silently aliasing to GBT would
+    hand back different semantics under the requested name. Opt into
+    the in-box substitute with ``allow_fallback=True`` (params are
+    forwarded to GBTClassifier where they exist)."""
+
+    def build(*, allow_fallback: bool = False, **params: Any) -> Any:
+        if not allow_fallback:
+            raise ImportError(
+                f"{ref_name} requires {pkg_hint}, which is not installed. "
+                "Use model_name='GBTClassifier' (the in-box gradient-boosted "
+                f"trees), or pass allow_fallback=True to run {ref_name!r} "
+                "with GBTClassifier semantics explicitly."
+            )
+        gbt_params = {k: v for k, v in params.items() if GBTClassifier().hasParam(k)}
+        return GBTClassifier(**gbt_params)
+
+    return build
+
+
+register_prediction_model("XGBClassifier", _boosted_tree_entry("XGBClassifier", "xgboost4j-spark"))
+register_prediction_model("LGBMClassifier", _boosted_tree_entry("LGBMClassifier", "SynapseML"))
+register_prediction_model("CatBoostClassifier", _boosted_tree_entry("CatBoostClassifier", "catboost-spark"))
 
 
 def build_prediction_model(name: str, **params: Any) -> Any:
@@ -73,7 +97,7 @@ def train_classifier(
     train_data: DataFrame,
     feature_columns: Sequence[str],
     target_column: str,
-    model_name: str = "XGBClassifier",
+    model_name: str = "GBTClassifier",
     model_params: dict[str, Any] | None = None,
 ) -> PipelineModel:
     """Fit registry model on (features, target) — reference
@@ -86,7 +110,7 @@ def validate_classifier(
     train_data: DataFrame,
     feature_columns: Sequence[str],
     target_column: str,
-    model_name: str = "XGBClassifier",
+    model_name: str = "GBTClassifier",
     model_params: dict[str, Any] | None = None,
     cv: int = 3,
     binary: bool = False,
@@ -119,7 +143,7 @@ def optimize_classifier(
     train_data: DataFrame,
     feature_columns: Sequence[str],
     target_column: str,
-    model_name: str = "XGBClassifier",
+    model_name: str = "GBTClassifier",
     param_grid: dict[str, Sequence[Any]] | None = None,
     test_size: float = 0.25,
     binary: bool = False,
@@ -151,6 +175,57 @@ def optimize_classifier(
     )
     fitted = tvs.fit(train_data)
     return fitted.bestModel, float(max(fitted.validationMetrics))
+
+
+def optimize_classifier_tpe(
+    train_data: DataFrame,
+    feature_columns: Sequence[str],
+    target_column: str,
+    model_name: str = "GBTClassifier",
+    param_rule: str | None = None,
+    n_trials: int = 100,
+    test_size: float = 0.25,
+    binary: bool = False,
+    seed: int = 42,
+) -> tuple[dict[str, Any], float]:
+    """TPE hyperparameter study → (best_params, best_value).
+
+    Mirrors reference ``optimize_model`` (``train/utils/utils.py:40-58``):
+    per trial, re-split train/test, sample params from the registered
+    define-by-run space (``factory/optuna_param_factory.py:8-62``
+    analogue — :mod:`redshells_spark.ml.tpe`), fit, and minimize
+    1 − accuracy (or 1 − AUC when ``binary``). The study loop is
+    driver-side; every fit/eval is a distributed Spark job. Unlike the
+    reference's unseeded ``train_test_split``, the per-trial split is
+    seeded (trial index folded into the seed) so studies are
+    reproducible on a fixed input.
+    """
+    from redshells_spark.ml.tpe import Study, Trial, get_tpe_param
+
+    rule = param_rule or f"{model_name}_default"
+    evaluator = (
+        BinaryClassificationEvaluator(metricName="areaUnderROC")
+        if binary
+        else MulticlassClassificationEvaluator(metricName="accuracy")
+    )
+    data = train_data.cache()
+    trial_no = {"n": 0}
+
+    def objective(trial: Trial) -> float:
+        trial_no["n"] += 1
+        params = get_tpe_param(rule, trial)
+        tr, te = data.randomSplit(
+            [1.0 - test_size, test_size], seed=seed * 1_000_003 + trial_no["n"]
+        )
+        fitted = _pipeline(
+            build_prediction_model(model_name, **params), feature_columns, target_column
+        ).fit(tr)
+        return 1.0 - float(evaluator.evaluate(fitted.transform(te)))
+
+    study = Study(seed=seed)
+    study.optimize(objective, n_trials=n_trials)
+    data.unpersist()
+    return study.best_params, study.best_value
 
 
 def _default_grid(model: Any) -> dict[str, Sequence[Any]]:

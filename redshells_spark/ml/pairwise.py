@@ -47,7 +47,7 @@ def make_pairwise_features(
 def train_pairwise_similarity(
     similarity_data: DataFrame,
     item2embedding: DataFrame,
-    model_name: str = "XGBClassifier",
+    model_name: str = "GBTClassifier",
     model_params: dict[str, Any] | None = None,
     **feature_kwargs: Any,
 ) -> PipelineModel:

@@ -1557,6 +1557,30 @@ def _word2vec_vectors(spark, sf_dir):
     return word_vectors(model)
 
 
+@q("fasttext_oov_vectors")  # w2v fit RNG → rows-only check
+def _fasttext_oov_vectors(spark, sf_dir):
+    """FastText subword composition: OOV words still get vectors
+    (reference train/train_fasttext.py:14-38 — the capability Word2Vec
+    alone lacks). Known + OOV words inferred together; the oov flag
+    distinguishes trained vs composed vectors."""
+    from redshells_spark.ml.fasttext import FastTextVectors
+
+    ft = FastTextVectors.fit(
+        _tokens(spark, sf_dir), vector_size=16, min_count=2,
+        bucket=100_000, seed=42,
+    )
+    words = spark.createDataFrame(
+        [("spark",), ("window",), ("sparkly",), ("windowing",), ("quuxzilch",)],
+        ["word"],
+    )
+    out = ft.infer_vectors(words)
+    return out.select(
+        "word",
+        "oov",
+        F.round(F.coalesce(F.aggregate("vector", F.lit(0.0), lambda a, x: a + F.abs(x)), F.lit(-1.0)), 4).alias("l1_norm"),
+    ).orderBy("word")
+
+
 @q("scdv_doc_vectors")
 def _scdv_doc_vectors(spark, sf_dir):
     from redshells_spark.ml.scdv import SCDV
