@@ -127,6 +127,8 @@ def train_feature_aggregation_similarity(
     epochs: int = 100,
     learning_rate: float = 0.05,
     early_stop_rel: float = 1e-5,
+    early_stopping_try_count: int = 1,
+    early_stopping_decay: float = 2.0,
     seed: int = 42,
     x_index: str = "x_item_index",
     y_index: str = "y_item_index",
@@ -152,6 +154,14 @@ def train_feature_aggregation_similarity(
     mE = np.zeros_like(E); vE = np.zeros_like(E)
     mb = np.zeros_like(bias); vb = np.zeros_like(bias)
     b1, b2, eps = 0.9, 0.999, 1e-8
+    from redshells_spark.ml.early_stopping import EarlyStopping
+
+    early_stop = EarlyStopping(
+        try_count=early_stopping_try_count,
+        learning_rate=learning_rate,
+        decay_speed=early_stopping_decay,
+        threshold=early_stop_rel,
+    )
     history: list[float] = []
 
     xmask = (xf > 0)[..., None]
@@ -190,7 +200,12 @@ def train_feature_aggregation_similarity(
             prm -= learning_rate * (m_ / (1 - b1**epoch)) / (np.sqrt(v_ / (1 - b2**epoch)) + eps)
         E[0] = 0.0
 
-        if len(history) > 5 and abs(history[-2] - history[-1]) / max(history[-2], 1e-12) < early_stop_rel:
+        # reference early-stopping semantics: regression → restore
+        # best params + Adam state, decay lr, spend a retry
+        if len(history) > 5 and early_stop.does_stop(
+            loss, [E, bias], [mE, mb], [vE, vb]
+        ):
             break
+        learning_rate = early_stop.learning_rate
 
     return FeatureAggregationSimilarityModel(embeddings=E, item_bias=bias, history=history)

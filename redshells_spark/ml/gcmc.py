@@ -132,6 +132,56 @@ def extend_gcmc_dataset(
     return edges, user_map2, item_map2
 
 
+def features_matrix(
+    id_map: DataFrame,
+    features: DataFrame,
+    id_column: str,
+    feature_column: str = "features",
+    dim: int | None = None,
+) -> np.ndarray:
+    """Dense (n+1, f) side-feature matrix aligned to the id map's
+    indices; rows without features are the zero default row (reference
+    ``gcmc_dataset.py:163-173`` zero-padding). Driver-sized: the id
+    map is the training catalog, which the trainer caps anyway."""
+    rows = (
+        id_map.select("index", id_column)
+        .join(
+            features.select(F.col(id_column), F.col(feature_column).alias("__f")),
+            on=id_column,
+            how="left",
+        )
+        .select("index", "__f")
+        .collect()
+    )
+    if dim is None:
+        dims = [len(r["__f"]) for r in rows if r["__f"] is not None]
+        if not dims:
+            raise ValueError("no feature rows found; pass dim explicitly")
+        if len(set(dims)) != 1:
+            raise ValueError(f"feature size must be same; got {sorted(set(dims))}")
+        dim = dims[0]
+    n = max(r["index"] for r in rows) + 1
+    mat = np.zeros((n, dim), dtype=np.float64)
+    for r in rows:
+        if r["__f"] is not None:
+            mat[r["index"]] = np.asarray(r["__f"], dtype=np.float64)
+    return mat
+
+
+def _cross_feature_forward(
+    feats: list[np.ndarray], Wf: list[np.ndarray], Wc: np.ndarray
+) -> tuple[np.ndarray, list[np.ndarray], np.ndarray]:
+    """Reference ``_cross_feature_layer``
+    (``graph_convolutional_matrix_completion.py:159-170``):
+    y = (∏_k (F_k @ Wf_k + 1)) @ Wc. Returns (y, per-k L, product P)
+    for the backward pass."""
+    L = [f @ w + 1.0 for f, w in zip(feats, Wf)]
+    P = L[0].copy()
+    for lk in L[1:]:
+        P = P * lk
+    return P @ Wc, L, P
+
+
 @dataclass
 class GCMCModel:
     user_factors: np.ndarray  # (n_users+1, d) row 0 = zeros (unknown)
@@ -139,6 +189,24 @@ class GCMCModel:
     decoder_q: np.ndarray  # (R, d, d)
     rating_values: np.ndarray  # (R,)
     history: list = field(default_factory=list)
+    # side-feature layers (None when trained without features)
+    user_feature_weights: list | None = None  # [Wf_k], user side
+    user_cross_weight: np.ndarray | None = None
+    item_feature_weights: list | None = None
+    item_cross_weight: np.ndarray | None = None
+
+    def item_embeddings_for_features(self, feats: list[np.ndarray]) -> np.ndarray:
+        """Embedding of NEW items known only by side features: base
+        factor is the unknown row (zeros), so the embedding is purely
+        the cross-feature layer — identical features ⇒ identical
+        embeddings (reference
+        ``test_graph_convolutional_matrix_completion.py:144-156``)."""
+        if self.item_feature_weights is None:
+            raise ValueError("model was trained without item features")
+        y, _, _ = _cross_feature_forward(
+            feats, self.item_feature_weights, self.item_cross_weight
+        )
+        return y
 
     def predict_local(self, user_idx: np.ndarray, item_idx: np.ndarray) -> np.ndarray:
         u = self.user_factors[user_idx]
@@ -192,6 +260,23 @@ class GCMCModel:
         return joined.mapInPandas(score, out_schema)
 
 
+def _cross_feature_backward(
+    dY: np.ndarray, feats: list[np.ndarray], Wc: np.ndarray, L: list[np.ndarray], P: np.ndarray
+) -> tuple[list[np.ndarray], np.ndarray]:
+    dWc = P.T @ dY
+    dP = dY @ Wc.T
+    dWf = []
+    for k in range(len(L)):
+        others = None
+        for j, lj in enumerate(L):
+            if j == k:
+                continue
+            others = lj if others is None else others * lj
+        dLk = dP if others is None else dP * others
+        dWf.append(feats[k].T @ dLk)
+    return dWf, dWc
+
+
 def train_gcmc(
     edges: DataFrame,
     n_users: int,
@@ -204,14 +289,34 @@ def train_gcmc(
     max_data_size: int = 50_000_000,
     seed: int = 42,
     verbose: bool = False,
+    user_features: list[np.ndarray] | np.ndarray | None = None,
+    item_features: list[np.ndarray] | np.ndarray | None = None,
+    early_stopping_try_count: int = 1,
+    early_stopping_decay: float = 2.0,
+    early_stopping_threshold: float = 1e-4,
 ) -> GCMCModel:
     """Driver-side numpy GCMC on the (capped) collected edge list.
 
     Per-rating symmetric-normalized adjacency convolution with shared
     node embeddings → ReLU → dense → bilinear softmax decoder, Adam.
     Matches the reference's quality gate (test RMSE < 0.7 on its
-    synthetic fixture — see tests)."""
+    synthetic fixture — see tests).
+
+    ``user_features`` / ``item_features``: optional side-feature
+    matrices (n+1, f) aligned to indices (row 0 = zero default; build
+    with :func:`features_matrix`), or a list of such matrices. They
+    feed the reference's cross-feature layers
+    (``graph_convolutional_matrix_completion.py:128-142,159-170``):
+    encoder = graph factor + Dense(∏_k(Dense(f_k)+1)), trained
+    end-to-end — new items with identical features get identical
+    embeddings via :meth:`GCMCModel.item_embeddings_for_features`."""
     rng = np.random.default_rng(seed)
+    feats_u = (
+        [user_features] if isinstance(user_features, np.ndarray) else list(user_features or [])
+    )
+    feats_i = (
+        [item_features] if isinstance(item_features, np.ndarray) else list(item_features or [])
+    )
     cap = edges.limit(max_data_size)
     pdf = cap.select("user_idx", "item_idx", "rating", "is_train").toPandas()
     ratings = np.sort(pdf["rating"].unique())
@@ -242,11 +347,27 @@ def train_gcmc(
     Wdu = rng.normal(0, 0.1, (h, d))
     Wdi = rng.normal(0, 0.1, (h, d))
     Q = np.stack([np.eye(d) + rng.normal(0, 0.01, (d, d)) for _ in range(R)])
+    Wfu = [rng.normal(0, 0.1, (f.shape[1], h)) for f in feats_u]
+    Wcu = rng.normal(0, 0.1, (h, d)) if feats_u else None
+    Wfi = [rng.normal(0, 0.1, (f.shape[1], h)) for f in feats_i]
+    Wci = rng.normal(0, 0.1, (h, d)) if feats_i else None
 
-    params = [Xu, Xi, Wr, Wdu, Wdi, Q]
+    params = [Xu, Xi, Wr, Wdu, Wdi, Q] + Wfu + Wfi
+    if Wcu is not None:
+        params.append(Wcu)
+    if Wci is not None:
+        params.append(Wci)
     adam_m = [np.zeros_like(p) for p in params]
     adam_v = [np.zeros_like(p) for p in params]
     b1, b2, eps = 0.9, 0.999, 1e-8
+    from redshells_spark.ml.early_stopping import EarlyStopping
+
+    early_stop = EarlyStopping(
+        try_count=early_stopping_try_count,
+        learning_rate=learning_rate,
+        decay_speed=early_stopping_decay,
+        threshold=early_stopping_threshold,
+    )
     history = []
     onehot = np.zeros((len(tu), R))
     onehot[np.arange(len(tu)), tr] = 1.0
@@ -262,6 +383,12 @@ def train_gcmc(
         Hi = np.maximum(Si, 0)
         U = Hu @ Wdu  # (nu, d)
         V = Hi @ Wdi
+        if feats_u:
+            fu_y, fu_L, fu_P = _cross_feature_forward(feats_u, Wfu, Wcu)
+            U = U + fu_y
+        if feats_i:
+            fi_y, fi_L, fi_P = _cross_feature_forward(feats_i, Wfi, Wci)
+            V = V + fi_y
         logits = np.einsum("ed,rdk,ek->er", U[tu], Q, V[ti])
         logits -= logits.max(axis=1, keepdims=True)
         p = np.exp(logits)
@@ -290,6 +417,20 @@ def train_gcmc(
         dXu = np.einsum("rnh,rdh->nd", dTu, Wr)
 
         grads = [dXu, dXi, dWr, dWdu, dWdi, dQ]
+        if feats_u:
+            dWfu, dWcu = _cross_feature_backward(dU, feats_u, Wcu, fu_L, fu_P)
+            grads += dWfu
+        else:
+            dWfu, dWcu = [], None
+        if feats_i:
+            dWfi, dWci = _cross_feature_backward(dV, feats_i, Wci, fi_L, fi_P)
+            grads += dWfi
+        else:
+            dWfi, dWci = [], None
+        if dWcu is not None:
+            grads.append(dWcu)
+        if dWci is not None:
+            grads.append(dWci)
         for k, (prm, g) in enumerate(zip(params, grads)):
             adam_m[k] = b1 * adam_m[k] + (1 - b1) * g
             adam_v[k] = b2 * adam_v[k] + (1 - b2) * g * g
@@ -300,20 +441,37 @@ def train_gcmc(
         history.append(loss)
         if verbose and epoch % 10 == 0:
             print(f"epoch {epoch}: train CE {loss:.4f}")
-        # early stopping on relative improvement (reference threshold
-        # 1e-4, graph_convolutional_matrix_completion.py:255-259)
-        if len(history) > 5 and abs(history[-2] - history[-1]) / max(history[-2], 1e-12) < 1e-4:
+        # early stopping with retries: on regression, restore the best
+        # params + optimizer state, decay the lr, spend one try
+        # (reference contrib/model/early_stopping.py:13-45)
+        if epoch > 5 and early_stop.does_stop(loss, params, adam_m, adam_v):
             break
+        learning_rate = early_stop.learning_rate
 
-    # final factors; row 0 zeroed = unknown/cold-start fallback
+    # final factors; row 0 of the BASE factor zeroed = unknown/cold-
+    # start fallback. Feature contributions are added on top, so an
+    # unknown id with known features still gets a feature-driven
+    # embedding (the reference's cold-start-by-features property).
     Ti = np.einsum("nd,rdh->rnh", Xi, Wr)
     Tu = np.einsum("nd,rdh->rnh", Xu, Wr)
     U = np.maximum(np.einsum("run,rnh->uh", An, Ti), 0) @ Wdu
     V = np.maximum(np.einsum("run,ruh->nh", An, Tu), 0) @ Wdi
     U[0] = 0.0
     V[0] = 0.0
+    if feats_u:
+        U = U + _cross_feature_forward(feats_u, Wfu, Wcu)[0]
+    if feats_i:
+        V = V + _cross_feature_forward(feats_i, Wfi, Wci)[0]
     return GCMCModel(
-        user_factors=U, item_factors=V, decoder_q=Q, rating_values=rvals, history=history
+        user_factors=U,
+        item_factors=V,
+        decoder_q=Q,
+        rating_values=rvals,
+        history=history,
+        user_feature_weights=Wfu or None,
+        user_cross_weight=Wcu,
+        item_feature_weights=Wfi or None,
+        item_cross_weight=Wci,
     )
 
 

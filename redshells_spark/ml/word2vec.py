@@ -7,14 +7,13 @@ distributed skip-gram, no corpus shuffle needed (hogwild-style
 partition training makes input order irrelevant; seed fixed for
 reproducibility).
 
-FastText (``train/train_fasttext.py:14-38``) and Doc2Vec
-(``train/train_doc2vec.py:11-30``) have no Spark-native equivalent:
-- FastText's subword OOV handling is substituted by MLlib Word2Vec
-  (documented gap: unseen tokens get no vector instead of an n-gram
-  composition).
-- Doc2Vec is substituted by SCDV (:mod:`redshells_spark.ml.scdv`) —
-  the reference's own preferred doc embedding — or by mean-of-word-
-  vectors (``doc_vectors_mean``).
+FastText (``train/train_fasttext.py:14-38``) subword OOV composition
+lives in :mod:`redshells_spark.ml.fasttext` (char-n-gram bucket
+vectors induced on top of this Word2Vec). Doc2Vec
+(``train/train_doc2vec.py:11-30``) is available as a from-scratch
+PV-DBOW in :mod:`redshells_spark.ml.doc2vec`; SCDV
+(:mod:`redshells_spark.ml.scdv`) and ``doc_vectors_mean`` here remain
+the recommended distributed document embeddings at scale.
 """
 
 from __future__ import annotations

@@ -1557,6 +1557,23 @@ def _word2vec_vectors(spark, sf_dir):
     return word_vectors(model)
 
 
+@q("doc2vec_vectors")  # SGD fit → rows-only check
+def _doc2vec_vectors(spark, sf_dir):
+    """PV-DBOW doc vectors (reference train/train_doc2vec.py:11-30);
+    driver fit on a capped corpus, distributed inference."""
+    from redshells_spark.ml.doc2vec import Doc2Vec
+
+    toks = _tokens(spark, sf_dir).limit(300)
+    model = Doc2Vec.fit(
+        toks, vector_size=16, min_count=2, epochs=5, seed=42
+    )
+    out = model.infer_vector(toks.limit(50))
+    return out.select(
+        "doc_id",
+        F.round(F.aggregate("vector", F.lit(0.0), lambda a, x: a + F.abs(x)), 4).alias("l1_norm"),
+    ).orderBy("doc_id")
+
+
 @q("fasttext_oov_vectors")  # w2v fit RNG → rows-only check
 def _fasttext_oov_vectors(spark, sf_dir):
     """FastText subword composition: OOV words still get vectors
@@ -1770,6 +1787,47 @@ def _gcmc_predictions(spark, sf_dir):
         encoder_hidden=16, encoder_size=8, epochs=20,
     )
     return model.predict(edges.filter(~F.col("is_train")))
+
+
+@q("gcmc_feature_cold_start")  # driver-trained numpy GCMC → rows-only
+def _gcmc_feature_cold_start(spark, sf_dir):
+    """GCMC with item side features (reference cross-feature layers,
+    graph_convolutional_matrix_completion.py:128-142): embeddings for
+    NEW items known only by features; identical features → identical
+    embeddings (l2 distance 0 between the two clones)."""
+    import numpy as np
+
+    from redshells_spark.ml.gcmc import build_gcmc_dataset, features_matrix, train_gcmc
+
+    li = _t(spark, sf_dir, "lineitem")
+    ratings = (
+        li.select(
+            F.col("l_suppkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("item_id"),
+            F.when(F.col("l_quantity") > 25, 2.0).otherwise(1.0).alias("rating"),
+        )
+        .dropDuplicates(["user_id", "item_id"])
+        .limit(5000)
+    )
+    edges, user_map, item_map = build_gcmc_dataset(ratings, test_size=0.1)
+    feats = item_map.select(
+        "item_id",
+        F.array(
+            (F.col("item_id") % 7).cast("double"), (F.col("item_id") % 3).cast("double")
+        ).alias("features"),
+    )
+    fmat = features_matrix(item_map, feats, "item_id")
+    model = train_gcmc(
+        edges, user_map.count(), item_map.count(),
+        encoder_hidden=16, encoder_size=8, epochs=15, item_features=fmat,
+    )
+    new_feats = np.array([[1.0, 2.0], [1.0, 2.0], [3.0, 1.0]])
+    emb = model.item_embeddings_for_features([new_feats])
+    rows = [
+        (i, round(float(np.abs(v).sum()), 4), float(np.linalg.norm(emb[0] - emb[1])))
+        for i, v in enumerate(emb)
+    ]
+    return spark.createDataFrame(rows, "new_item int, l1_norm double, clone_gap double")
 
 
 @q("feature_aggregation_similarity")  # driver-trained → rows-only

@@ -123,3 +123,69 @@ def test_aggregate_messages(spark):
     # weights 1/sqrt(2): state = [0.707, 0.707]
     assert got[(1, 1.0)] == pytest.approx([1 / np.sqrt(2), 1 / np.sqrt(2)])
     assert got[(2, 2.0)] == pytest.approx([1.0, 0.0])
+
+
+def test_side_features_cold_start_parity(spark, synthetic_ratings):
+    """Port of reference test_graph_convolutional_matrix_completion.py:
+    144-156: items known only by side features get embeddings from the
+    cross-feature layer, and identical features ⇒ identical
+    embeddings. Also: training with features must keep learning
+    (history decreases) and known items' embeddings change vs the
+    featureless model."""
+    from redshells_spark.ml.gcmc import features_matrix
+
+    edges, user_map, item_map = build_gcmc_dataset(
+        synthetic_ratings, test_size=0.1, seed=11
+    )
+    n_users, n_items = user_map.count(), item_map.count()
+    # one side feature per item: its parity class, one-hot — the same
+    # signal the synthetic ratings are built from
+    feats = item_map.select(
+        "item_id",
+        F.when(F.col("item_id") % 2 == 0, F.array(F.lit(1.0), F.lit(0.0)))
+        .otherwise(F.array(F.lit(0.0), F.lit(1.0)))
+        .alias("features"),
+    )
+    fmat = features_matrix(item_map, feats, "item_id")
+    assert fmat.shape == (n_items + 1, 2)
+    assert (fmat[0] == 0).all()  # zero default row
+
+    model = train_gcmc(
+        edges, n_users, n_items, encoder_hidden=32, encoder_size=8,
+        epochs=40, learning_rate=0.02, seed=11, item_features=fmat,
+    )
+    assert model.history[-1] < model.history[0]  # still learns
+
+    # two new items with identical features → identical embeddings;
+    # different features → different embeddings
+    new_feats = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    emb = model.item_embeddings_for_features([new_feats])
+    assert emb.shape == (3, 8)
+    np.testing.assert_almost_equal(emb[0], emb[1])
+    assert not np.allclose(emb[0], emb[2])
+
+
+def test_side_features_improve_or_hold_rmse(spark, synthetic_ratings):
+    """With parity features encoding the exact rating rule, the
+    featured model must stay within the reference RMSE gate."""
+    from redshells_spark.ml.gcmc import features_matrix
+
+    edges, user_map, item_map = build_gcmc_dataset(
+        synthetic_ratings, test_size=0.1, seed=11
+    )
+    n_users, n_items = user_map.count(), item_map.count()
+    feats = item_map.select(
+        "item_id",
+        F.when(F.col("item_id") % 2 == 0, F.array(F.lit(1.0), F.lit(0.0)))
+        .otherwise(F.array(F.lit(0.0), F.lit(1.0)))
+        .alias("features"),
+    )
+    fmat = features_matrix(item_map, feats, "item_id")
+    model = train_gcmc(
+        edges, n_users, n_items, encoder_hidden=32, encoder_size=8,
+        epochs=80, learning_rate=0.02, seed=11, item_features=fmat,
+    )
+    test_edges = edges.filter(~F.col("is_train"))
+    pred = model.predict(test_edges).toPandas()
+    rmse = float(np.sqrt(((pred["prediction"] - pred["rating"]) ** 2).mean()))
+    assert rmse < 0.7, rmse
