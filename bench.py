@@ -26,6 +26,7 @@ HEADLINE = [
     "tfidf_top_tokens",
     "minhash_near_dedup",
     "brute_force_topk",
+    "lsh_topk",
     "embedding_near_dup",
     "token_count",
     "sessionize",
@@ -49,14 +50,22 @@ def main() -> None:
     # one warmup action to amortize JVM/codegen startup out of q1's time
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # median of 3 runs per query: single-run local[32] numbers have a
+    # ±50% noise floor (GC, page cache), which would swamp real
+    # round-over-round deltas
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        runs = []
+        n = 0
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        print(f"# {name}: {n} rows, median {timings[name]}s of {[round(r, 3) for r in runs]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

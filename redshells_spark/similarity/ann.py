@@ -198,12 +198,42 @@ def lsh_topk(
     )
     q = queries.select(F.col(query_id).alias("query_id"), F.col(embedding_column).alias("__qe"))
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(embedding_column).alias("__ce"))
-    scored = (
-        cand.join(F.broadcast(q), on="query_id")
-        .join(c, on="vec_id")
-        .select("query_id", "vec_id", cosine_similarity("__qe", "__ce").alias("score"))
-    )
+    paired = cand.join(F.broadcast(q), on="query_id").join(c, on="vec_id")
+    scored = _cosine_rerank(paired, "query_id", "vec_id", "__qe", "__ce")
     return per_group_topk(scored, "query_id", "score", k, tie_break=["vec_id"], rank_column="rank")
+
+
+def _cosine_rerank(
+    paired: DataFrame, qid: str, cid: str, qe: str, ce: str
+) -> DataFrame:
+    """Exact cosine over candidate pairs, one vectorized numpy batch
+    per Arrow chunk — the Catalyst higher-order-function cosine costs
+    ~3·dim interpreted lambda steps per pair, which dominates rerank
+    time once candidates reach ~10⁵."""
+    qt = paired.schema[qid].dataType.simpleString()
+    ct = paired.schema[cid].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf[qe]), dtype=np.float64)
+            b = np.array(list(pdf[ce]), dtype=np.float64)
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            denom = na * nb
+            denom[denom == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[qid],
+                    "vec_id": pdf[cid],
+                    "score": (a * b).sum(axis=1) / denom,
+                }
+            )
+
+    return paired.select(qid, cid, qe, ce).mapInPandas(
+        run, schema=f"query_id {qt}, vec_id {ct}, score double"
+    )
 
 
 def lsh_pairs_above_threshold(
