@@ -1029,8 +1029,30 @@ def _lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # dim passed explicitly: skips the driver first() probe job
-    return lsh_topk(queries, emb, k=10, num_planes=16, num_blocks=4, dim=64)
+    # dim passed explicitly: skips the driver first() probe job;
+    # multiprobe=1 probes Hamming-1 neighbor buckets (near-exact recall
+    # at ~2× candidate volume)
+    return lsh_topk(
+        queries, emb, k=10, num_planes=16, num_blocks=4, dim=64, multiprobe=1
+    )
+
+
+@q("ivf_topk")  # KMeans fit RNG → rows-only check
+def _ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: KMeans coarse quantizer + nprobe
+    inverted-list probing — the default ANN shape at 10^10 vectors."""
+    from redshells_spark.similarity.ann import ivf_build_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    indexed, centroids = ivf_build_index(emb, num_centroids=16)
+    out = ivf_topk(queries, indexed, centroids, k=10, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", _r4(F.col("score"), "score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @q(

@@ -157,12 +157,20 @@ def lsh_topk(
     embedding_column: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 of ``num_blocks``
-    signature blocks (multi-probe banding), then exact cosine rerank.
-    Recall rises with num_blocks (more probes) and falls with
-    num_planes (finer buckets). Pass ``dim`` explicitly to avoid a
-    driver ``first()`` probe job."""
+    signature blocks (banding), then exact cosine rerank. Recall rises
+    with num_blocks (more probes) and falls with num_planes (finer
+    buckets). Pass ``dim`` explicitly to avoid a driver ``first()``
+    probe job.
+
+    ``multiprobe=1`` additionally probes every Hamming-distance-1
+    neighbor of each query block value (classic multi-probe LSH, Lv et
+    al. VLDB 2007): near-misses where one hyperplane voted the other
+    way land in a neighboring bucket, so flipping single bits recovers
+    them. Candidate volume grows ~(1+width)× on the QUERY side only —
+    the corpus is never re-bucketed."""
     if dim is None:
         dim = len(queries.select(embedding_column).first()[0])
     qsig = lsh_hyperplane_signatures(
@@ -174,24 +182,24 @@ def lsh_topk(
     )
     width = num_planes // num_blocks
 
-    def blocks(sig_df: DataFrame, idcol: str) -> DataFrame:
-        blk = F.explode(
-            F.array(
-                *[
+    def blocks(sig_df: DataFrame, idcol: str, probe_bits: int = 0) -> DataFrame:
+        entries = []
+        for i in range(num_blocks):
+            base = F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            entries.append(F.struct(F.lit(i).alias("block_idx"), base.alias("block_val")))
+            if probe_bits:
+                entries += [
                     F.struct(
                         F.lit(i).alias("block_idx"),
-                        F.shiftright(F.col("sig"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("block_val"),
+                        base.bitwiseXOR(F.lit(1 << b)).alias("block_val"),
                     )
-                    for i in range(num_blocks)
+                    for b in range(width)
                 ]
-            )
-        ).alias("blk")
+        blk = F.explode(F.array(*entries)).alias("blk")
         return sig_df.select(idcol, blk).select(idcol, "blk.block_idx", "blk.block_val")
 
     cand = (
-        blocks(qsig, "query_id")
+        blocks(qsig, "query_id", probe_bits=multiprobe)
         .join(blocks(csig, "vec_id"), on=["block_idx", "block_val"])
         .select("query_id", "vec_id")
         .dropDuplicates()

@@ -61,6 +61,16 @@ def test_lsh_recall(queries_df, emb, truth):
     assert r > 0.5, f"LSH recall@{K} = {r}"
 
 
+def test_lsh_multiprobe_recall_dominates(queries_df, emb, truth):
+    base = lsh_topk(queries_df, emb, k=K, num_planes=16, num_blocks=8)
+    probed = lsh_topk(queries_df, emb, k=K, num_planes=16, num_blocks=8, multiprobe=1)
+    r_base, r_probe = _recall(base, truth), _recall(probed, truth)
+    # Hamming-1 probing can only add candidates → recall never drops,
+    # and on this corpus it should be near-exact
+    assert r_probe >= r_base
+    assert r_probe > 0.9, f"multiprobe recall@{K} = {r_probe}"
+
+
 def test_ivf_recall(queries_df, emb, truth):
     indexed, centroids = ivf_build_index(emb, num_centroids=16)
     approx = ivf_topk(queries_df, indexed, centroids, k=K, nprobe=8)
