@@ -713,6 +713,50 @@ def _exact_dedup(spark, sf_dir):
 
 
 @q(
+    "binary_metadata",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+              md5(text) AS content_id,
+              'blob' AS modality
+       FROM documents""",
+)
+def _binary_metadata(spark, sf_dir):
+    """Multimodal metadata path (multimodal/binary_ops.py) over an
+    opaque binary column — synthesized here by encoding document text
+    to bytes, since the testdata ships no true image/audio payloads.
+    Everything is JVM-side (length/md5) — the pruning filters a real
+    pipeline applies before any decode — and oracle-checkable."""
+    from redshells_spark.multimodal.binary_ops import attach_binary_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return attach_binary_metadata(docs, "payload", modality="blob").select(
+        "doc_id", "byte_size", "content_id", "modality"
+    )
+
+
+@q(
+    "stream_dedup_fingerprints",
+    """SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+              min(doc_id) AS first_doc, CAST(count(*) AS BIGINT) AS n
+       FROM documents GROUP BY 1""",
+)
+def _stream_dedup_fingerprints(spark, sf_dir):
+    """Ingest-dedup fingerprint (streaming/dedup.py): normalized md5,
+    identical in batch and stream — here the batch-parity aggregate a
+    stream's state would hold (first arrival + duplicate count)."""
+    from redshells_spark.streaming.dedup import fingerprint_column
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint_column("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
 )
