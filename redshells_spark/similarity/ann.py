@@ -306,14 +306,36 @@ def lsh_pairs_above_threshold(
     )
     e0 = embeddings.select(F.col(id_column).alias("id0"), F.col(embedding_column).alias("__e0"))
     e1 = embeddings.select(F.col(id_column).alias("id1"), F.col(embedding_column).alias("__e1"))
-    score = (
-        cosine_similarity("__e0", "__e1") if metric == "cosine" else dot_product("__e0", "__e1")
-    )
-    return (
-        cand.join(e0, on="id0")
-        .join(e1, on="id1")
-        .select("id0", "id1", score.alias("similarity"))
-        .filter(F.col("similarity") >= threshold)
+    paired = cand.join(e0, on="id0").join(e1, on="id1")
+    # vectorized exact verification (one numpy batch per Arrow chunk —
+    # the Catalyst lambda metric costs ~3·dim interpreted steps/pair)
+    t0 = paired.schema["id0"].dataType.simpleString()
+    t1 = paired.schema["id1"].dataType.simpleString()
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf["__e0"]), dtype=np.float64)
+            b = np.array(list(pdf["__e1"]), dtype=np.float64)
+            s = (a * b).sum(axis=1)
+            if metric == "cosine":
+                denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                denom[denom == 0] = 1.0
+                s = s / denom
+            keep = s >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "id0": pdf["id0"].to_numpy()[keep],
+                    "id1": pdf["id1"].to_numpy()[keep],
+                    "similarity": s[keep],
+                }
+            )
+
+    return paired.select("id0", "id1", "__e0", "__e1").mapInPandas(
+        verify, schema=f"id0 {t0}, id1 {t1}, similarity double"
     )
 
 
@@ -377,7 +399,6 @@ def ivf_topk(
     c = indexed_corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(embedding_column).alias("__ce"), "centroid"
     )
-    scored = qprobe.join(c, on="centroid").select(
-        "query_id", "vec_id", cosine_similarity("__qe", "__ce").alias("score")
-    )
+    paired = qprobe.join(c, on="centroid")
+    scored = _cosine_rerank(paired, "query_id", "vec_id", "__qe", "__ce")
     return per_group_topk(scored, "query_id", "score", k, tie_break=["vec_id"], rank_column="rank")
