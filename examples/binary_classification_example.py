@@ -41,6 +41,15 @@ def main() -> None:
         data, features, "y", "LogisticRegression", param_grid={"regParam": [0.0, 0.01, 0.1]}
     )
     print(f"best held-out accuracy: {metric:.3f}")
+
+    # TPE study (the reference's optimize_model shape — 100 trials in
+    # production; a short seeded study here)
+    from redshells_spark.ml.classifiers import optimize_classifier_tpe
+
+    tpe_params, tpe_loss = optimize_classifier_tpe(
+        data.limit(5000), features, "y", "LogisticRegression", n_trials=8, seed=7
+    )
+    print(f"TPE best params {tpe_params}, 1-accuracy {tpe_loss:.3f}")
     spark.stop()
 
 

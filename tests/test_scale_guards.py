@@ -111,6 +111,22 @@ def test_lsh_pairs_precision_exact_recall_positive(emb):
         assert len(approx) / len(exact) > 0.3
 
 
+def test_lsh_pairs_skew_guard_drops_degenerate_buckets(spark):
+    # all-identical vectors: every row lands in the same bucket in
+    # every block → without the guard this is an n² self-join. With
+    # max_bucket_size below n, the degenerate buckets are dropped and
+    # the result is empty instead of quadratic.
+    n = 500
+    same = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5), F.lit(-0.25)).alias("embedding"),
+    )
+    out = lsh_pairs_above_threshold(
+        same, threshold=0.5, num_planes=8, num_blocks=4, max_bucket_size=100
+    )
+    assert out.count() == 0
+
+
 def test_mf_item_similarity_refuses_unbounded_no_threshold(spark):
     from redshells_spark.ml.matrix_factorization import mf_item_similarity
 
