@@ -963,6 +963,63 @@ def _minhash_near_dedup(spark, sf_dir):
 
 
 @q(
+    "near_dup_components",
+    f"""WITH RECURSIVE {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
+       banded AS (
+         SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j ASC)) AS bucket
+         FROM sigs WHERE CAST(j // 4 AS INTEGER) < 4
+         GROUP BY doc_id, CAST(j // 4 AS INTEGER)),
+       sized AS (
+         SELECT * FROM (
+           SELECT band, bucket, doc_id, count(*) OVER (PARTITION BY band, bucket) AS bsz
+           FROM banded) WHERE bsz <= 1000),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_id_0, b.doc_id AS doc_id_1
+         FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id),
+       sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_id_0, c.doc_id_1, count(*) AS inter
+         FROM cand c
+         JOIN shingles s0 ON s0.doc_id = c.doc_id_0
+         JOIN shingles s1 ON s1.doc_id = c.doc_id_1 AND s1.shingle = s0.shingle
+         GROUP BY c.doc_id_0, c.doc_id_1),
+       pairs AS (
+         SELECT i.doc_id_0, i.doc_id_1
+         FROM inter i
+         JOIN sz z0 ON z0.doc_id = i.doc_id_0
+         JOIN sz z1 ON z1.doc_id = i.doc_id_1
+         WHERE i.inter * 1.0 / (z0.sz + z1.sz - i.inter) >= 0.1),
+       edges AS (
+         SELECT doc_id_0 AS src, doc_id_1 AS dst FROM pairs
+         UNION ALL SELECT doc_id_1, doc_id_0 FROM pairs),
+       reach(id, r) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+       SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id""",
+)
+def _near_dup_components(spark, sf_dir):
+    """Drop policy over the near-dup graph: every doc labeled with its
+    connected component's min id (dedup/minhash.py
+    connected_components_dedup — hash-min + pointer doubling,
+    checkpointed). Oracle: recursive-CTE transitive closure over the
+    SAME pair set DuckDB already value-matches."""
+    from redshells_spark.dedup.minhash import (
+        connected_components_dedup,
+        minhash_lsh_candidates_wide,
+        minhash_signatures_wide,
+    )
+
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
+    wide = minhash_signatures_wide(sh, num_hashes=16)
+    cand = minhash_lsh_candidates_wide(wide, bands=4, rows_per_band=4)
+    pairs = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
+    return connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))
+
+
+@q(
     "ngram_jaccard",
     """WITH tok AS (
          SELECT doc_id, source, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
@@ -1713,6 +1770,28 @@ def _als_item_factors(spark, sf_dir):
     )
     mf = train_matrix_factorization(ratings, n_latent_factors=8, max_iter=5, reg_param=0.1)
     return item_factors(mf, normalize=True)
+
+
+@q("mf_item_similarity")  # ALS fit RNG → rows-only check
+def _mf_item_similarity(spark, sf_dir):
+    """Item-item similarity from ALS factors (reference
+    calculate_similarity_with_matrix_factorization.py:21-66), tiered
+    exact-BLAS here (catalog below max_exact_items); the LSH-bucketed
+    big-catalog path is exercised in tests/test_scale_guards.py."""
+    from redshells_spark.ml.matrix_factorization import (
+        mf_item_similarity,
+        train_matrix_factorization,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ratings = li.select(
+        F.col("l_suppkey").cast("int").alias("user_id"),
+        F.col("l_partkey").cast("int").alias("item_id"),
+        (F.col("l_quantity") / 10.0).alias("rating"),
+    )
+    mf = train_matrix_factorization(ratings, n_latent_factors=8, max_iter=5, reg_param=0.1)
+    out = mf_item_similarity(mf, threshold=0.95)
+    return out.select("id0", "id1", _r4(F.col("similarity"), "similarity"))
 
 
 @q("lda_doc_topics")
