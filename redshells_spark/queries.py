@@ -1019,6 +1019,130 @@ def _near_dup_components(spark, sf_dir):
     return connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))
 
 
+_LANG_HITS_SQL = ", ".join(
+    f"len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''), t -> t IN {lst})) AS hits_{lang}"
+    for lang, lst in {
+        "de": "('der','die','das','und','ist','nicht','mit','ein','zu','den')",
+        "en": "('the','and','of','to','in','is','that','with','for','it')",
+        "es": "('el','los','las','es','no','una','por','con','para','del')",
+        "fr": "('le','la','les','et','est','pas','des','une','dans','que')",
+    }.items()
+)
+
+
+@q(
+    "llm_corpus_pipeline",
+    f"""WITH RECURSIVE {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
+       banded AS (
+         SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j ASC)) AS bucket
+         FROM sigs WHERE CAST(j // 4 AS INTEGER) < 4
+         GROUP BY doc_id, CAST(j // 4 AS INTEGER)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_id_0, b.doc_id AS doc_id_1
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id),
+       zz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_id_0, c.doc_id_1, count(*) AS inter
+         FROM cand c
+         JOIN shingles s0 ON s0.doc_id = c.doc_id_0
+         JOIN shingles s1 ON s1.doc_id = c.doc_id_1 AND s1.shingle = s0.shingle
+         GROUP BY c.doc_id_0, c.doc_id_1),
+       pairs AS (
+         SELECT i.doc_id_0, i.doc_id_1 FROM inter i
+         JOIN zz z0 ON z0.doc_id = i.doc_id_0
+         JOIN zz z1 ON z1.doc_id = i.doc_id_1
+         WHERE i.inter * 1.0 / (z0.sz + z1.sz - i.inter) >= 0.1),
+       edges AS (
+         SELECT doc_id_0 AS src, doc_id_1 AS dst FROM pairs
+         UNION ALL SELECT doc_id_1, doc_id_0 FROM pairs),
+       reach(id, r) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       comp AS (SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id),
+       lang AS (
+         SELECT doc_id, CASE
+             WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+             WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+             WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+             WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+         FROM (SELECT doc_id, {_LANG_HITS_SQL} FROM documents) h),
+       qual AS (
+         SELECT doc_id, CAST(round(
+             (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.05 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN punct / greatest(n_chars, 1) <= 0.3 THEN 0.3 ELSE 0.0 END), 4) AS DOUBLE) AS quality,
+             CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM (SELECT doc_id, length(text) AS n_chars,
+                 CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the','and','of','to','in','is','that','with','for','it'))) AS BIGINT) AS stop_hits,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+               FROM documents) b),
+       survivors AS (
+         SELECT d.doc_id, l.lang_pred, q.quality, q.n_tokens, md5(d.text) AS fp
+         FROM documents d
+         JOIN lang l ON l.doc_id = d.doc_id AND l.lang_pred = 'en'
+         JOIN qual q ON q.doc_id = d.doc_id AND q.quality >= 0.7),
+       exact_kept AS (
+         SELECT * FROM (
+           SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep
+           FROM survivors) WHERE doc_id = keep)
+       SELECT e.doc_id, e.lang_pred, e.quality, e.n_tokens
+       FROM exact_kept e
+       LEFT JOIN comp c ON c.doc_id = e.doc_id
+       WHERE c.doc_id IS NULL OR c.keep_id = e.doc_id""",
+)
+def _llm_corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus cleaning, the composite a 100 TB training-data
+    pipeline runs nightly: language filter → quality filter → exact
+    dedup (md5 keep-first) → near-dup drop (MinHash LSH components,
+    non-canonical members removed). Every stage is the already-
+    oracle-verified operator; this query value-checks their
+    composition."""
+    from redshells_spark.dedup.minhash import (
+        connected_components_dedup,
+        minhash_lsh_candidates_wide,
+        minhash_signatures_wide,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lang = detect_language(docs).select("doc_id", "lang_pred")
+    qual = quality_score(docs).select(
+        "doc_id", F.col("quality"), F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    survivors = (
+        docs.select("doc_id", "text")
+        .join(lang.filter(F.col("lang_pred") == "en"), on="doc_id")
+        .join(qual.filter(F.col("quality") >= 0.7), on="doc_id")
+        .withColumn("fp", F.md5("text"))
+    )
+    w = Window.partitionBy("fp")
+    exact_kept = (
+        survivors.withColumn("keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .drop("keep", "fp", "text")
+    )
+    # near-dup components over the full corpus (same graph the
+    # near_dup_components query verifies); drop non-canonical members.
+    # NB: candidates here use NO bucket-size guard to mirror the plain
+    # SQL closure — the guarded variant is the production default.
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
+    wide = minhash_signatures_wide(sh, num_hashes=16)
+    cand = minhash_lsh_candidates_wide(
+        wide, bands=4, rows_per_band=4, max_bucket_size=1_000_000
+    )
+    pairs = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
+    comp = connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))
+    non_canonical = comp.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    return exact_kept.join(non_canonical, on="doc_id", how="left_anti").select(
+        "doc_id", "lang_pred", _r4(F.col("quality"), "quality"), "n_tokens"
+    )
+
+
 @q(
     "ngram_jaccard",
     """WITH tok AS (
