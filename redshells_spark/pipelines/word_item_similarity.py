@@ -46,6 +46,41 @@ def calculate_word_embedding(
     return sum_embeddings_by_key(joined, word_column, "__e", normalize=True)
 
 
+def embed_query_words(
+    words: DataFrame,
+    word2embedding: DataFrame,
+    fasttext=None,
+    word_column: str = "word",
+    embedding_column: str = "embedding",
+) -> DataFrame:
+    """→ (word, embedding, oov): pipeline embedding when the word is
+    known, FastText char-n-gram composition when it is not.
+
+    This is why the reference trains FastText instead of Word2Vec
+    (``build_word_item_similarity.py:46-68``): query words unseen in
+    training — the common case in word→item retrieval — still get
+    vectors. Pass a fitted
+    :class:`redshells_spark.ml.fasttext.FastTextVectors`; without one,
+    OOV words fall out (Word2Vec behavior, flagged by omission)."""
+    w = words.select(F.col(word_column).alias("word")).dropDuplicates()
+    known = w.join(
+        word2embedding.select(
+            F.col(word_column).alias("word"), F.col(embedding_column).alias("embedding")
+        ),
+        on="word",
+        how="inner",
+    ).select("word", "embedding", F.lit(False).alias("oov"))
+    if fasttext is None:
+        return known
+    missing = w.join(known.select("word"), on="word", how="left_anti")
+    composed = (
+        fasttext.infer_vectors(missing, word_column="word")
+        .filter(F.col("vector").isNotNull())
+        .select("word", F.col("vector").alias("embedding"), F.lit(True).alias("oov"))
+    )
+    return known.unionByName(composed)
+
+
 def filter_item_by_word_similarity(
     word2items: DataFrame,
     word2embedding: DataFrame,

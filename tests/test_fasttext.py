@@ -92,3 +92,29 @@ def test_unmatchable_oov_gets_null_vector(spark, ft):
         assert out[0]["oov"]
     else:
         assert out[0]["oov"]
+
+
+def test_embed_query_words_pipeline_fallback(spark, ft):
+    """Retrieval front-door: known words use the pipeline embedding,
+    OOV words get the FastText composition, unmatchable junk falls
+    out — so a query batch never silently loses real words."""
+    from redshells_spark.pipelines.word_item_similarity import embed_query_words
+
+    word2emb = ft.word_vectors.limit(3).select(
+        "word", F.col("vector").alias("embedding")
+    )
+    known_words = [r["word"] for r in word2emb.collect()]
+    queries = spark.createDataFrame(
+        [(w,) for w in known_words + ["sparkly"]], ["word"]
+    )
+    out = embed_query_words(queries, word2emb, fasttext=ft)
+    rows = {r["word"]: r for r in out.collect()}
+    assert set(rows) == set(known_words) | {"sparkly"}
+    for w in known_words:
+        assert not rows[w]["oov"]
+    assert rows["sparkly"]["oov"]
+    assert rows["sparkly"]["embedding"] is not None
+
+    # without a fasttext model, OOV words are absent (Word2Vec behavior)
+    out2 = embed_query_words(queries, word2emb, fasttext=None)
+    assert {r["word"] for r in out2.collect()} == set(known_words)
