@@ -360,6 +360,42 @@ def ivf_build_index(
     return assigned, centroids
 
 
+def save_ivf_index(
+    indexed_corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    partition_by_centroid: bool = True,
+) -> None:
+    """Persist an IVF index: assignments as parquet partitioned by
+    centroid (each inverted list is its own directory → probing a
+    centroid is partition pruning, reading only nprobe/num_centroids
+    of the data), centroids as a tiny JSON sidecar. Build once, reuse
+    across query batches — at 10¹⁰ vectors the KMeans fit + assignment
+    is the expensive step and must not rerun per query batch."""
+    import json
+
+    writer = indexed_corpus.write.mode("overwrite")
+    if partition_by_centroid:
+        writer = writer.partitionBy("centroid")
+    writer.parquet(f"{path}/assignments")
+    spark = indexed_corpus.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(centroids),)], "centroids_json string"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Counterpart of :func:`save_ivf_index` → (indexed_corpus,
+    centroids). Centroid filters on the assignments frame prune
+    partitions (asserted in tests)."""
+    import json
+
+    assigned = spark.read.parquet(f"{path}/assignments")
+    row = spark.read.json(f"{path}/centroids").head()
+    centroids = json.loads(row["centroids_json"])
+    return assigned, centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     indexed_corpus: DataFrame,

@@ -47,3 +47,43 @@ def test_ivf_topk_self_recall(queries_df, emb):
     out = ivf_topk(queries_df, indexed, centroids, k=3, nprobe=2)
     top1 = {r["query_id"]: r["vec_id"] for r in out.filter(F.col("rank") == 1).collect()}
     assert top1 == {i: i for i in range(5)}
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, emb, queries_df, tmp_path):
+    """Persisted IVF index: results identical after save/load, and the
+    centroid partitioning means a probe reads only its inverted lists
+    (partition filters visible in the scan)."""
+    from redshells_spark.similarity.ann import (
+        ivf_build_index,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    indexed, centroids = ivf_build_index(emb, num_centroids=8)
+    live = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(queries_df, indexed, centroids, k=3, nprobe=2).collect()
+    }
+
+    path = str(tmp_path / "ivf")
+    save_ivf_index(indexed, centroids, path)
+    loaded, centroids2 = load_ivf_index(spark, path)
+    assert centroids2 == centroids
+    reloaded = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(queries_df, loaded, centroids2, k=3, nprobe=2).collect()
+    }
+    assert reloaded == live
+
+    # partition pruning: a centroid equality filter reaches the scan as
+    # a partition filter, not a data filter
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        loaded.filter(F.col("centroid") == 3).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "centroid" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
