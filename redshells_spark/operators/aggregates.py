@@ -113,9 +113,11 @@ def value_counts_id_map(
     (``contrib/model/gcmc_dataset.py:43-70``).
 
     Index = row_number over id order. The final global row_number is a
-    single-partition bottleneck at extreme vocab sizes; for those use
-    ``zipWithIndex``-style two-phase numbering — vocabularies (≤100M)
-    are fine here."""
+    single-partition bottleneck at extreme vocab sizes; beyond ~10⁸
+    ids switch to
+    :func:`redshells_spark.operators.ids.value_counts_id_map_scalable`
+    (range-partition + per-partition numbering + offsets — identical
+    output, no single-partition exchange)."""
     counts = df.groupBy(id_column).agg(F.count(F.lit(1)).alias("count"))
     counts = counts.filter(F.col("count") >= min_count)
     if max_count is not None:
