@@ -29,3 +29,33 @@ def embedding_near_dup_pairs(
         metric="cosine",
         upper_triangular=True,
     ).filter(F.col("similarity") >= threshold)
+
+
+def embedding_near_dup_pairs_scalable(
+    embeddings: DataFrame,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    num_blocks: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale variant: LSH-banded candidate buckets + exact cosine
+    verification (:func:`redshells_spark.similarity.ann.
+    lsh_pairs_above_threshold`) — sub-quadratic, precision exact,
+    recall probe-bound. Use when the corpus exceeds what the exact
+    blocked path may accept (1M rows)."""
+    from redshells_spark.similarity.ann import lsh_pairs_above_threshold
+
+    return lsh_pairs_above_threshold(
+        embeddings,
+        threshold=threshold,
+        num_planes=num_planes,
+        num_blocks=num_blocks,
+        id_column=id_column,
+        embedding_column=embedding_column,
+        metric="cosine",
+        dim=dim,
+        seed=seed,
+    )

@@ -1262,6 +1262,18 @@ def _lsh_topk(spark, sf_dir):
     )
 
 
+@q("embedding_near_dup_scalable")  # xxhash64 planes → rows-only check
+def _embedding_near_dup_scalable(spark, sf_dir):
+    """Sub-quadratic embedding near-dup (LSH-banded candidates + exact
+    verify) — the 100 TB path where the exact all-pairs tier would
+    need an unbounded broadcast. Precision exact by construction."""
+    from redshells_spark.dedup.embedding import embedding_near_dup_pairs_scalable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs_scalable(emb, threshold=0.3, dim=64)
+    return out.select("id0", "id1", _r4(F.col("similarity"), "similarity"))
+
+
 @q("ivf_topk")  # KMeans fit RNG → rows-only check
 def _ivf_topk(spark, sf_dir):
     """IVF approximate top-k: KMeans coarse quantizer + nprobe
