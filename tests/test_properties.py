@@ -115,3 +115,43 @@ def test_portable_hash_str_deterministic(spark, seed):
         ).fetchall()
     )
     assert got == want  # bit-identical across engines for any seed
+
+
+EMB_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1000),  # id (dedup below)
+        st.lists(
+            st.floats(min_value=-2, max_value=2, allow_nan=False, width=32),
+            min_size=3, max_size=3,
+        ),
+    ),
+    min_size=2,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=EMB_ROWS, block_size=st.integers(min_value=1, max_value=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_blocked_pairwise_equals_cross_join_property(spark, rows, block_size):
+    """For any embedding set and block size, the block-pair equi-join
+    must emit exactly the id0<id1 pairs of the cartesian product with
+    the same dot products."""
+    from redshells_spark.operators.joins import blocked_pairwise_similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["id0"], r["id1"]): r["similarity"]
+        for r in blocked_pairwise_similarity(df, block_size=block_size).collect()
+    }
+    ids = {i: v for i, v in rows}
+    want = {
+        (a, b): sum(x * y for x, y in zip(ids[a], ids[b]))
+        for a in ids for b in ids if a < b
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12)
