@@ -113,22 +113,29 @@ def calculate_word_item_similarity(
     word_column: str = "word",
     item_column: str = "item_id",
     item_key: str = "vec_id",
+    candidate_fn: Callable[[DataFrame, DataFrame, int], DataFrame] | None = None,
 ) -> DataFrame:
     """Two-stage retrieval per word → (word, item_id, similarity).
 
-    Stage 1: BLAS-blocked dot-product top-N₁ per word (the ANN layer's
-    exact path — at 100 TB swap in lsh/ivf candidates). Stage 2:
-    ``rerank_fn`` (e.g. a pairwise classifier via pandas_udf transform)
-    re-scores the prequery candidates; identity when None."""
+    Stage 1: candidate generation — by default the exact BLAS
+    dot-product top-N₁ per word (``matmul_topk``); pass
+    ``candidate_fn(queries, corpus, k) -> (query_id, vec_id, score)``
+    to swap in the approximate tiers at scale, e.g.
+    ``lambda q, c, k: lsh_topk(q, c, k=k, multiprobe=1)`` or an
+    ``ivf_topk`` closure over a prebuilt index. Stage 2: ``rerank_fn``
+    (e.g. a pairwise classifier via pandas_udf transform) re-scores
+    the candidates; identity when None."""
     queries = word2embedding.select(
         F.col(word_column).alias("query_id"), "embedding"
     )
     corpus = item2embedding.select(
         F.col(item_key).alias("vec_id"), "embedding"
     )
-    stage1 = matmul_topk(
-        queries, corpus, k=prequery_return_size, metric="dot"
-    ).select(
+    if candidate_fn is None:
+        candidates = matmul_topk(queries, corpus, k=prequery_return_size, metric="dot")
+    else:
+        candidates = candidate_fn(queries, corpus, prequery_return_size)
+    stage1 = candidates.select(
         F.col("query_id").alias(word_column),
         F.col("vec_id").alias(item_column),
         F.col("score").alias("similarity"),

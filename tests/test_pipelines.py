@@ -116,3 +116,33 @@ def test_calculate_word_item_similarity(spark, embeddings_small):
     got = {(r["word"], r["item_id"]) for r in out.collect()}
     assert ("wx", "i0") in got and ("wy", "i2") in got
     assert out.groupBy("word").count().filter(F.col("count") > 2).count() == 0
+
+
+def test_word_item_similarity_pluggable_candidates(spark, sf_dir):
+    """Stage-1 candidate generation swaps between the exact BLAS path
+    and the LSH tier; with multiprobe the approximate results cover
+    most of the exact top-k on this corpus."""
+    from pyspark.sql import functions as F
+
+    from redshells_spark.pipelines.word_item_similarity import (
+        calculate_word_item_similarity,
+    )
+    from redshells_spark.similarity.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    words = emb.filter(F.col("vec_id") < 10).select(
+        F.concat(F.lit("w"), F.col("vec_id")).alias("word"), "embedding"
+    )
+    exact = calculate_word_item_similarity(
+        words, emb, prequery_return_size=20, return_size=5
+    )
+    approx = calculate_word_item_similarity(
+        words, emb, prequery_return_size=20, return_size=5,
+        candidate_fn=lambda q, c, k: lsh_topk(q, c, k=k, multiprobe=1, dim=64),
+    )
+    e = {(r["word"], r["item_id"]) for r in exact.collect()}
+    a = {(r["word"], r["item_id"]) for r in approx.collect()}
+    assert len(e) == 50 and len(a) == 50
+    # NB: exact uses dot, lsh uses cosine — ranking may differ; on this
+    # corpus overlap must still be substantial
+    assert len(e & a) / len(e) > 0.5
