@@ -72,3 +72,24 @@ def test_dedup_shuffles_hash_not_payload(spark, sf_dir):
     plan = _plan(QUERIES["exact_dedup"](spark, sf_dir))
     # one exchange keyed on the md5 fingerprint
     assert "hashpartitioning(fingerprint" in plan
+
+
+def test_binary_metadata_stays_jvm_side(spark, sf_dir):
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["binary_metadata"](spark, sf_dir))
+    # metadata derivation (length/md5) must never leave codegen
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_stream_dedup_single_exchange_on_fingerprint(spark, sf_dir):
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["stream_dedup_fingerprints"](spark, sf_dir))
+    # one hash exchange keyed on the fingerprint, partial agg before it
+    # (each physical node prints twice in formatted output: tree + detail)
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(fingerprint" in plan
+    assert "SinglePartition" not in plan
