@@ -189,3 +189,43 @@ def test_side_features_improve_or_hold_rmse(spark, synthetic_ratings):
     pred = model.predict(test_edges).toPandas()
     rmse = float(np.sqrt(((pred["prediction"] - pred["rating"]) ** 2).mean()))
     assert rmse < 0.7, rmse
+
+
+def test_aggregate_messages_matches_numpy_convolution(spark):
+    """The distributed message pass (the 100 TB conv path) must equal
+    the numpy trainer's normalized-adjacency contraction on the same
+    graph: for each rating r, Su = An[r] @ state."""
+    rng = np.random.default_rng(3)
+    n_users, n_items, d = 6, 5, 4
+    edges_np = []
+    for u in range(n_users):
+        for i in range(n_items):
+            if rng.random() < 0.5:
+                edges_np.append((u, i, float(rng.integers(1, 3))))
+    state_np = rng.normal(size=(n_items, d))
+
+    edges = spark.createDataFrame(edges_np, "user_idx int, item_idx int, rating double")
+    state = spark.createDataFrame(
+        [(i, [float(x) for x in state_np[i]]) for i in range(n_items)],
+        "item_idx int, state array<double>",
+    )
+    out = {
+        (r["user_idx"], r["rating"]): np.array(r["state"])
+        for r in aggregate_messages(edges, state).collect()
+    }
+
+    ratings = sorted({r for _, _, r in edges_np})
+    A = np.zeros((len(ratings), n_users, n_items))
+    for u, i, r in edges_np:
+        A[ratings.index(r), u, i] = 1.0
+    du = A.sum(axis=2, keepdims=True)
+    di = A.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        An = A / np.sqrt(np.maximum(du, 1)) / np.sqrt(np.maximum(di, 1))
+    for k, r in enumerate(ratings):
+        expected = An[k] @ state_np  # (n_users, d)
+        for u in range(n_users):
+            if A[k, u].sum() == 0:
+                assert (u, r) not in out
+            else:
+                np.testing.assert_allclose(out[(u, r)], expected[u], rtol=1e-9)
