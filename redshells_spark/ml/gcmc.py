@@ -47,23 +47,36 @@ def build_gcmc_dataset(
     min_user_count: int = 0,
     min_item_count: int = 0,
     seed: int = 42,
+    keep_unknown: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (edges, user_map, item_map). edges = (user_idx, item_idx,
     rating, is_train); maps = (id, count, index) with index from 1
-    (0 = unknown/cold-start)."""
+    (0 = unknown/cold-start).
+
+    ``keep_unknown``: ids filtered by the min-count thresholds map to
+    index 0 and their edges stay in the dataset — the reference's
+    ``GcmcIdMap(use_default=True)`` semantics
+    (``gcmc_dataset.py:43-70``, ``test_gcmc_id_map.py:12-18``), where
+    the shared unknown bucket also receives gradient. Default False
+    keeps the stricter drop behavior."""
     from redshells_spark.operators.aggregates import value_counts_id_map
 
     user_map = value_counts_id_map(ratings, user_column, min_count=min_user_count)
     item_map = value_counts_id_map(ratings, item_column, min_count=min_item_count)
+    how = "left" if keep_unknown else "inner"
     edges = (
         ratings.join(
             F.broadcast(user_map.select(F.col(user_column), F.col("index").alias("user_idx"))),
             on=user_column,
+            how=how,
         )
         .join(
             F.broadcast(item_map.select(F.col(item_column), F.col("index").alias("item_idx"))),
             on=item_column,
+            how=how,
         )
+        .withColumn("user_idx", F.coalesce("user_idx", F.lit(0)))
+        .withColumn("item_idx", F.coalesce("item_idx", F.lit(0)))
         .select(
             "user_idx",
             "item_idx",

@@ -229,3 +229,27 @@ def test_aggregate_messages_matches_numpy_convolution(spark):
                 assert (u, r) not in out
             else:
                 np.testing.assert_allclose(out[(u, r)], expected[u], rtol=1e-9)
+
+
+def test_keep_unknown_maps_submin_ids_to_zero(spark):
+    """Reference GcmcIdMap(use_default=True) parity
+    (test_gcmc_id_map.py:12-18): ids [0,0,1,2,3,3] with min_count=2 →
+    indices [1,1,0,0,2,2] — sub-threshold ids share the unknown bucket
+    0 and their edges remain."""
+    ratings = spark.createDataFrame(
+        [(u, 100, 1.0) for u in [0, 0, 1, 2, 3, 3]],
+        "user_id int, item_id int, rating double",
+    )
+    edges, umap, imap = build_gcmc_dataset(
+        ratings, test_size=0.0, min_user_count=2, keep_unknown=True
+    )
+    idx = {r["user_id"]: r["index"] for r in umap.collect()}
+    assert idx == {0: 1, 3: 2}  # only ids meeting min_count get real indices
+    got = sorted(
+        (r["user_idx"],) for r in edges.select("user_idx").collect()
+    )
+    assert got == [(0,), (0,), (1,), (1,), (2,), (2,)]  # 1,2 → bucket 0, kept
+
+    # default (strict) behavior drops them instead
+    edges2, _, _ = build_gcmc_dataset(ratings, test_size=0.0, min_user_count=2)
+    assert edges2.count() == 4

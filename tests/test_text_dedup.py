@@ -153,3 +153,18 @@ def test_token_count(spark):
     df = spark.createDataFrame([(1, "a b a")], "doc_id int, text string")
     row = token_count(df).head()
     assert (row["n_tokens"], row["n_words"]) == (3, 2)
+
+
+def test_tfidf_empty_doc_yields_no_rows(spark):
+    """Reference Tfidf.apply([]) == [] (test/model/test_tfidf.py:16-20):
+    relationally, an empty-token doc contributes no score rows and
+    poisons nothing else."""
+    from redshells_spark.text.tfidf import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", "a"]), (2, ["b", "c"]), (3, [])],
+        "doc_id long, tokens array<string>",
+    )
+    out = tfidf_scores(docs, normalize=True)
+    assert out.filter(F.col("doc_id") == 3).count() == 0
+    assert out.filter(F.col("doc_id") != 3).count() > 0
