@@ -66,3 +66,22 @@ def test_distributed_predict_matches_local(spark, pairs, model):
         np.array(list(out["y_item_features"])),
     )
     assert np.allclose(out["similarity"].to_numpy(), local, atol=1e-9)
+
+
+def test_masked_embedding_for_all_pad_features(spark, sf_dir):
+    """Reference test_feature_aggregation_similarity_model.py:31-34:
+    embeddings of a feature row are the masked average; an all-zero
+    (all-pad) feature row must yield the zero embedding."""
+    import numpy as np
+
+    from redshells_spark.ml.feature_aggregation import FeatureAggregationSimilarityModel
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(6, 4))
+    emb[0] = 0.0
+    model = FeatureAggregationSimilarityModel(
+        embeddings=emb, item_bias=np.zeros(4), history=[]
+    )
+    out = model._avg(np.array([[1, 2], [0, 0]]))
+    assert float((out[0] ** 2).sum()) != 0.0
+    assert float((out[1] ** 2).sum()) == 0.0
