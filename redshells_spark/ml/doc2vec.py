@@ -125,6 +125,48 @@ class Doc2Vec:
     def doc_vectors_df(self, spark) -> DataFrame:
         return spark.createDataFrame(self.doc_vectors)
 
+    def save(self, path: str) -> None:
+        """npz (word vectors, noise table) + JSON vocab + parquet doc
+        vectors — the pickle-model-target role, dependency-free."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, "doc2vec.npz"),
+            word_vectors=self.word_vectors,
+            noise_probs=self.noise_probs,
+        )
+        with open(os.path.join(path, "doc2vec_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "word_index": self.word_index,
+                    "vector_size": self.vector_size,
+                    "negative": self.negative,
+                    "seed": self.seed,
+                },
+                f,
+            )
+        self.doc_vectors.to_parquet(os.path.join(path, "doc_vectors.parquet"))
+
+    @classmethod
+    def load(cls, path: str) -> "Doc2Vec":
+        import json
+        import os
+
+        z = np.load(os.path.join(path, "doc2vec.npz"))
+        with open(os.path.join(path, "doc2vec_meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            word_index=meta["word_index"],
+            word_vectors=z["word_vectors"],
+            doc_vectors=pd.read_parquet(os.path.join(path, "doc_vectors.parquet")),
+            vector_size=int(meta["vector_size"]),
+            negative=int(meta["negative"]),
+            noise_probs=z["noise_probs"],
+            seed=int(meta["seed"]),
+        )
+
     def infer_vector(
         self,
         docs: DataFrame,

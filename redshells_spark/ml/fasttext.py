@@ -124,6 +124,36 @@ class FastTextVectors:
             seed=seed,
         )
 
+    def save(self, path: str) -> None:
+        """Word + bucket vector tables as parquet (distributed-sized),
+        hyperparameters as a JSON sidecar — the model-target role for
+        a model whose state is DataFrames, not driver arrays."""
+        import json
+
+        self.word_vectors.write.mode("overwrite").parquet(f"{path}/word_vectors")
+        self.bucket_vectors.write.mode("overwrite").parquet(f"{path}/bucket_vectors")
+        spark = self.word_vectors.sparkSession
+        meta = json.dumps(
+            {"min_n": self.min_n, "max_n": self.max_n, "bucket": self.bucket, "seed": self.seed}
+        )
+        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "FastTextVectors":
+        import json
+
+        meta = json.loads(spark.read.json(f"{path}/meta").head()["meta"])
+        return cls(
+            word_vectors=spark.read.parquet(f"{path}/word_vectors"),
+            bucket_vectors=spark.read.parquet(f"{path}/bucket_vectors"),
+            min_n=int(meta["min_n"]),
+            max_n=int(meta["max_n"]),
+            bucket=int(meta["bucket"]),
+            seed=int(meta["seed"]),
+        )
+
     def infer_vectors(
         self, words: DataFrame, word_column: str = "word", normalize: bool = True
     ) -> DataFrame:

@@ -48,6 +48,27 @@ class FeatureAggregationSimilarityModel:
         cos = (xe * ye).sum(axis=1) / (nx * ny)
         return np.clip(cos + self.item_bias[x_idx] + self.item_bias[y_idx], -1.0, 1.0)
 
+    def save(self, path: str) -> None:
+        """npz persistence (pickle-model-target role, dependency-free)."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, "feature_aggregation_model.npz"),
+            embeddings=self.embeddings,
+            item_bias=self.item_bias,
+            history=np.array(self.history, dtype=np.float64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FeatureAggregationSimilarityModel":
+        import os
+
+        z = np.load(os.path.join(path, "feature_aggregation_model.npz"))
+        return cls(
+            embeddings=z["embeddings"], item_bias=z["item_bias"], history=list(z["history"])
+        )
+
     def embedding_df(self, spark) -> DataFrame:
         rows = [(i, [float(x) for x in self.embeddings[i]]) for i in range(len(self.embeddings))]
         return spark.createDataFrame(rows, "feature_index int, feature_embedding array<double>")

@@ -208,6 +208,53 @@ class GCMCModel:
     item_feature_weights: list | None = None
     item_cross_weight: np.ndarray | None = None
 
+    def save(self, path: str) -> None:
+        """Persist to ``<path>/gcmc_model.npz`` (reference persists via
+        pickle model targets; npz is the dependency-free equivalent for
+        the numpy trainer — same restartability role)."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        arrays = {
+            "user_factors": self.user_factors,
+            "item_factors": self.item_factors,
+            "decoder_q": self.decoder_q,
+            "rating_values": self.rating_values,
+            "history": np.array(self.history, dtype=np.float64),
+        }
+        meta = {
+            "n_user_feature_mats": len(self.user_feature_weights or []),
+            "n_item_feature_mats": len(self.item_feature_weights or []),
+        }
+        for i, w in enumerate(self.user_feature_weights or []):
+            arrays[f"user_fw_{i}"] = w
+        for i, w in enumerate(self.item_feature_weights or []):
+            arrays[f"item_fw_{i}"] = w
+        if self.user_cross_weight is not None:
+            arrays["user_cw"] = self.user_cross_weight
+        if self.item_cross_weight is not None:
+            arrays["item_cw"] = self.item_cross_weight
+        arrays["meta"] = np.array([meta["n_user_feature_mats"], meta["n_item_feature_mats"]])
+        np.savez(os.path.join(path, "gcmc_model.npz"), **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "GCMCModel":
+        import os
+
+        z = np.load(os.path.join(path, "gcmc_model.npz"))
+        n_u, n_i = (int(x) for x in z["meta"])
+        return cls(
+            user_factors=z["user_factors"],
+            item_factors=z["item_factors"],
+            decoder_q=z["decoder_q"],
+            rating_values=z["rating_values"],
+            history=list(z["history"]),
+            user_feature_weights=[z[f"user_fw_{i}"] for i in range(n_u)] or None,
+            user_cross_weight=z["user_cw"] if "user_cw" in z else None,
+            item_feature_weights=[z[f"item_fw_{i}"] for i in range(n_i)] or None,
+            item_cross_weight=z["item_cw"] if "item_cw" in z else None,
+        )
+
     def item_embeddings_for_features(self, feats: list[np.ndarray]) -> np.ndarray:
         """Embedding of NEW items known only by side features: base
         factor is the unknown row (zeros), so the embedding is purely
