@@ -161,6 +161,36 @@ class SCDV:
             .select("doc_id", vector_to_array("__sum").alias("embedding"))
         )
 
+    def save(self, path: str) -> None:
+        """Word-topic table as parquet + scalar params as JSON — the
+        model-target role for a model whose state is a DataFrame."""
+        import json
+
+        self.word_topic_vectors.write.mode("overwrite").parquet(f"{path}/wtv")
+        spark = self.word_topic_vectors.sparkSession
+        meta = json.dumps(
+            {
+                "cluster_size": self.cluster_size,
+                "embedding_size": self.embedding_size,
+                "sparsity_threshold": self.sparsity_threshold,
+            }
+        )
+        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SCDV":
+        import json
+
+        meta = json.loads(spark.read.json(f"{path}/meta").head()["meta"])
+        return cls(
+            word_topic_vectors=spark.read.parquet(f"{path}/wtv"),
+            cluster_size=int(meta["cluster_size"]),
+            embedding_size=int(meta["embedding_size"]),
+            sparsity_threshold=float(meta["sparsity_threshold"]),
+        )
+
     def infer_vector(
         self,
         docs: DataFrame,

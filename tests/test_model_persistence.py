@@ -91,3 +91,20 @@ def test_doc2vec_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: tuple(r["vector"]) for r in model.infer_vector(docs.limit(3)).collect()}
     b = {r["doc_id"]: tuple(r["vector"]) for r in loaded.infer_vector(docs.limit(3)).collect()}
     assert a == b
+
+
+def test_scdv_roundtrip(spark, sf_dir, tmp_path):
+    from redshells_spark.ml.scdv import SCDV
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.split(F.lower("text"), r"\s+").alias("tokens"))
+        .limit(100)
+    )
+    model = SCDV.fit(docs, cluster_size=4, embedding_size=8, gmm_sample_size=500)
+    model.save(str(tmp_path / "scdv"))
+    loaded = SCDV.load(spark, str(tmp_path / "scdv"))
+    assert loaded.sparsity_threshold == model.sparsity_threshold
+    a = {r["doc_id"]: tuple(np.round(r["embedding"], 9)) for r in model.infer_vector(docs.limit(5)).collect()}
+    b = {r["doc_id"]: tuple(np.round(r["embedding"], 9)) for r in loaded.infer_vector(docs.limit(5)).collect()}
+    assert a == b
