@@ -137,16 +137,8 @@ def minhash_lsh_candidates(
     return _bucket_pairs(banded, max_bucket_size)
 
 
-def minhash_lsh_candidates_wide(
-    wide: DataFrame,
-    bands: int = 4,
-    rows_per_band: int = 4,
-    max_bucket_size: int = 1000,
-) -> DataFrame:
-    """Wide-signature candidate generation: band keys are md5 column
-    expressions over the wide row — one explode of ``bands`` structs
-    per doc (vs k rows + a groupBy in the long path)."""
-    band_structs = [
+def _band_structs(bands: int, rows_per_band: int) -> list:
+    return [
         F.struct(
             F.lit(b).cast("int").alias("band"),
             F.md5(
@@ -161,9 +153,30 @@ def minhash_lsh_candidates_wide(
         )
         for b in range(bands)
     ]
-    banded = wide.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+
+
+def minhash_band_index(
+    wide: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """→ (doc_id, band, bucket): the persistable LSH index. Write it
+    partitioned by ``band`` (or bucketed by ``bucket``) once per
+    corpus build; nightly deltas then dedup against it without
+    touching corpus text (see :func:`minhash_dedup_against_index`)."""
+    return wide.select(
+        "doc_id", F.explode(F.array(*_band_structs(bands, rows_per_band))).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates_wide(
+    wide: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Wide-signature candidate generation: band keys are md5 column
+    expressions over the wide row — one explode of ``bands`` structs
+    per doc (vs k rows + a groupBy in the long path)."""
+    banded = minhash_band_index(wide, bands, rows_per_band)
     return _bucket_pairs(banded, max_bucket_size)
 
 
@@ -179,6 +192,75 @@ def _bucket_pairs(banded: DataFrame, max_bucket_size: int) -> DataFrame:
         .select("doc_id_0", "doc_id_1")
         .dropDuplicates()
     )
+
+
+def minhash_jaccard_estimate(
+    pairs: DataFrame,
+    wide_left: DataFrame,
+    wide_right: DataFrame,
+    num_hashes: int = 16,
+    left_id: str = "doc_id_0",
+    right_id: str = "doc_id_1",
+) -> DataFrame:
+    """→ pairs + ``est_jaccard``: fraction of agreeing minima between
+    the two wide signatures — the standard unbiased MinHash estimator.
+    Needs only the stored signatures, not shingle sets, which is what
+    makes delta dedup possible without re-reading corpus text."""
+    wl = wide_left.select(
+        F.col("doc_id").alias(left_id), *[F.col(f"mh{j}").alias(f"__l{j}") for j in range(num_hashes)]
+    )
+    wr = wide_right.select(
+        F.col("doc_id").alias(right_id), *[F.col(f"mh{j}").alias(f"__r{j}") for j in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"__l{j}") == F.col(f"__r{j}"), 1).otherwise(0) for j in range(num_hashes)
+    )
+    return (
+        pairs.join(wl, on=left_id)
+        .join(wr, on=right_id)
+        .withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .select(left_id, right_id, "est_jaccard")
+    )
+
+
+def minhash_dedup_against_index(
+    new_wide: DataFrame,
+    corpus_index: DataFrame,
+    corpus_wide: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    num_hashes: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Incremental near-dedup: flag new docs that near-duplicate the
+    EXISTING corpus → (new_doc_id, corpus_doc_id, est_jaccard ≥
+    threshold).
+
+    The production delta-ingestion shape (C4/RefinedWeb-style): the
+    corpus index (:func:`minhash_band_index`) and wide signatures are
+    built once and persisted; a nightly batch computes its own
+    signatures, equi-joins its band buckets against the index
+    (partition-prunable on band), and scores candidates with the
+    signature-agreement estimator — corpus text is never re-read, and
+    the join is delta × matching-buckets, not delta × corpus."""
+    new_banded = minhash_band_index(new_wide, bands, rows_per_band)
+    sized = corpus_index.withColumn(
+        "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("__bsz") <= max_bucket_size)
+    cand = (
+        new_banded.select("band", "bucket", F.col("doc_id").alias("new_doc_id"))
+        .join(
+            sized.select("band", "bucket", F.col("doc_id").alias("corpus_doc_id")),
+            on=["band", "bucket"],
+        )
+        .select("new_doc_id", "corpus_doc_id")
+        .dropDuplicates()
+    )
+    est = minhash_jaccard_estimate(
+        cand, new_wide, corpus_wide, num_hashes, left_id="new_doc_id", right_id="corpus_doc_id"
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
 
 
 def verify_jaccard(

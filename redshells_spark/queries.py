@@ -1019,6 +1019,62 @@ def _near_dup_components(spark, sf_dir):
     return connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))
 
 
+@q(
+    "incremental_near_dedup",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
+       corpus_banded AS (
+         SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j ASC)) AS bucket
+         FROM sigs WHERE doc_id < 250 AND CAST(j // 4 AS INTEGER) < 4
+         GROUP BY doc_id, CAST(j // 4 AS INTEGER)),
+       new_banded AS (
+         SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j ASC)) AS bucket
+         FROM sigs WHERE doc_id >= 250 AND CAST(j // 4 AS INTEGER) < 4
+         GROUP BY doc_id, CAST(j // 4 AS INTEGER)),
+       cand AS (
+         SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+         FROM new_banded n JOIN corpus_banded c
+           ON n.band = c.band AND n.bucket = c.bucket),
+       est AS (
+         SELECT cd.new_doc_id, cd.corpus_doc_id,
+                avg(CASE WHEN sn.minhash = sc.minhash THEN 1.0 ELSE 0.0 END) AS est_jaccard
+         FROM cand cd
+         JOIN sigs sn ON sn.doc_id = cd.new_doc_id
+         JOIN sigs sc ON sc.doc_id = cd.corpus_doc_id AND sc.j = sn.j
+         GROUP BY cd.new_doc_id, cd.corpus_doc_id)
+       SELECT new_doc_id, corpus_doc_id, round(est_jaccard, 4) AS est_jaccard
+       FROM est WHERE est_jaccard >= 0.1""",
+)
+def _incremental_near_dedup(spark, sf_dir):
+    """Delta-ingestion near-dedup (dedup/minhash.py
+    minhash_dedup_against_index): docs ≥ 250 are the nightly batch,
+    docs < 250 the indexed corpus; candidates via band-bucket
+    equi-join against the index, scored by the signature-agreement
+    Jaccard estimator — corpus text never re-read."""
+    from redshells_spark.dedup.minhash import (
+        doc_shingles,
+        minhash_band_index,
+        minhash_dedup_against_index,
+        minhash_signatures_wide,
+    )
+
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    corpus_wide = minhash_signatures_wide(
+        sh.filter(F.col("doc_id") < 250), num_hashes=16, with_size=False
+    )
+    new_wide = minhash_signatures_wide(
+        sh.filter(F.col("doc_id") >= 250), num_hashes=16, with_size=False
+    )
+    index = minhash_band_index(corpus_wide, bands=4, rows_per_band=4)
+    out = minhash_dedup_against_index(
+        new_wide, index, corpus_wide, threshold=0.1, max_bucket_size=1_000_000
+    )
+    return out.select(
+        "new_doc_id", "corpus_doc_id", _r4(F.col("est_jaccard"), "est_jaccard")
+    )
+
+
 _LANG_HITS_SQL = ", ".join(
     f"len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''), t -> t IN {lst})) AS hits_{lang}"
     for lang, lst in {

@@ -168,3 +168,57 @@ def test_tfidf_empty_doc_yields_no_rows(spark):
     out = tfidf_scores(docs, normalize=True)
     assert out.filter(F.col("doc_id") == 3).count() == 0
     assert out.filter(F.col("doc_id") != 3).count() > 0
+
+
+def test_incremental_dedup_against_corpus_index(spark, sf_dir):
+    """Delta-ingestion near-dedup: a new batch containing a near-copy
+    of a corpus doc gets flagged against the persisted index; novel
+    docs pass. Corpus text is never re-read — only the band index and
+    stored signatures."""
+    from redshells_spark.dedup.minhash import (
+        doc_shingles,
+        minhash_band_index,
+        minhash_dedup_against_index,
+        minhash_signatures_wide,
+    )
+    from redshells_spark.text.dictionary import train_dictionary
+    from redshells_spark.text.tokenize import tokenize_on_space
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    toks = tokenize_on_space(docs, "text", "tokens", lowercase=True)
+    vocab = train_dictionary(toks, "doc_id", "tokens", no_below=5, no_above=0.9, keep_n=100)
+    corpus_wide = minhash_signatures_wide(doc_shingles(toks, vocab), num_hashes=16)
+    index = minhash_band_index(corpus_wide, bands=4, rows_per_band=4)
+
+    # new batch: doc 9001 = near-copy of corpus doc (same text, one
+    # token appended); doc 9002 = unrelated junk tokens
+    base = docs.limit(1).collect()[0]
+    from pyspark.sql import functions as F2
+
+    new_docs = spark.createDataFrame(
+        [(9001, base["text"] + " extra"), (9002, "zzz qqq xxx yyy www vvv uuu ttt sss rrr")],
+        "doc_id long, text string",
+    )
+    new_toks = tokenize_on_space(new_docs, "text", "tokens", lowercase=True)
+    new_wide = minhash_signatures_wide(doc_shingles(new_toks, vocab), num_hashes=16)
+
+    flagged = minhash_dedup_against_index(
+        new_wide, index, corpus_wide, threshold=0.5
+    ).collect()
+    flagged_new = {r["new_doc_id"] for r in flagged}
+    assert 9001 in flagged_new
+    assert 9002 not in flagged_new
+    hit = [r for r in flagged if r["new_doc_id"] == 9001 and r["corpus_doc_id"] == base["doc_id"]]
+    assert hit and hit[0]["est_jaccard"] >= 0.5
+
+
+def test_signature_jaccard_estimator_identical_docs(spark):
+    from redshells_spark.dedup.minhash import minhash_jaccard_estimate, minhash_signatures_wide
+
+    sh = spark.createDataFrame(
+        [(d, s) for d in (1, 2) for s in (10, 20, 30, 40)], "doc_id long, shingle long"
+    )
+    wide = minhash_signatures_wide(sh, num_hashes=16)
+    pairs = spark.createDataFrame([(1, 2)], "doc_id_0 long, doc_id_1 long")
+    out = minhash_jaccard_estimate(pairs, wide, wide, num_hashes=16).collect()
+    assert out[0]["est_jaccard"] == 1.0  # identical shingle sets
