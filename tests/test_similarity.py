@@ -87,3 +87,36 @@ def test_ivf_index_roundtrip_and_pruning(spark, emb, queries_df, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "centroid" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_embedding_delta_dedup_against_ivf_index(spark, emb, tmp_path):
+    """Incremental embedding near-dup: a new batch probes the
+    persisted IVF index; near-copies of indexed vectors are flagged
+    with cosine ~1 while novel directions pass. Pure composition of
+    ivf index persistence + probing + threshold."""
+    import numpy as np
+
+    from redshells_spark.similarity.ann import ivf_build_index, ivf_topk, load_ivf_index, save_ivf_index
+
+    corpus = emb.filter(F.col("vec_id") < 400)
+    indexed, centroids = ivf_build_index(corpus, num_centroids=8)
+    path = str(tmp_path / "ivf_corpus")
+    save_ivf_index(indexed, centroids, path)
+
+    base = corpus.limit(1).collect()[0]
+    near_copy = [float(v) * 1.001 for v in base["embedding"]]
+    rng = np.random.default_rng(0)
+    novel = [float(x) for x in rng.normal(size=len(near_copy))]
+    new_batch = spark.createDataFrame(
+        [(9001, near_copy), (9002, novel)], "query_id long, embedding array<double>"
+    )
+
+    loaded, cents = load_ivf_index(spark, path)
+    hits = (
+        ivf_topk(new_batch, loaded, cents, k=1, nprobe=4)
+        .filter(F.col("score") >= 0.99)
+        .collect()
+    )
+    flagged = {r["query_id"]: r["vec_id"] for r in hits}
+    assert flagged.get(9001) == base["vec_id"]
+    assert 9002 not in flagged
