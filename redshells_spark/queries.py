@@ -713,6 +713,27 @@ def _exact_dedup(spark, sf_dir):
 
 
 @q(
+    "clean_text",
+    """SELECT doc_id,
+              lower(trim(regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                '\\s+', ' ', 'g'))) AS clean_text
+       FROM documents""",
+)
+def _clean_text(spark, sf_dir):
+    """Corpus-cleaning normalization (text/analysis.py:clean_text):
+    HTML strip, control-char drop, whitespace collapse, lowercase —
+    the pre-tokenize stage, pure codegen."""
+    from redshells_spark.text.analysis import clean_text
+
+    return clean_text(
+        _t(spark, sf_dir, "documents"), lowercase=True
+    ).select("doc_id", "clean_text")
+
+
+@q(
     "binary_metadata",
     """SELECT doc_id,
               CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

@@ -114,3 +114,33 @@ def fingerprint(df: DataFrame, text_column: str = "text") -> DataFrame:
         )
     )
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def clean_text(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "clean_text",
+    strip_html: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Standard corpus-cleaning normalization pass — the stage that
+    runs before tokenize/dedup in a training-data pipeline: strip HTML
+    tags, drop control characters, collapse whitespace runs, trim,
+    optionally lowercase.
+
+    Pure ``regexp_replace`` chain — codegen over the scan, no Python,
+    and every rule is expressible in ANSI SQL so the stage is
+    oracle-checkable."""
+    require_columns(df, [text_column])
+    c = F.col(text_column)
+    if strip_html:
+        c = F.regexp_replace(c, r"<[^>]+>", " ")
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(output_column, c)

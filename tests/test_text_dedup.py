@@ -222,3 +222,17 @@ def test_signature_jaccard_estimator_identical_docs(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_id_0 long, doc_id_1 long")
     out = minhash_jaccard_estimate(pairs, wide, wide, num_hashes=16).collect()
     assert out[0]["est_jaccard"] == 1.0  # identical shingle sets
+
+
+def test_clean_text_rules(spark):
+    from redshells_spark.text.analysis import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>Hello&nbsp;  <b>World</b></p>\x07\n\n  spaced\tout ")],
+        "doc_id long, text string",
+    )
+    out = clean_text(df, lowercase=True).head()["clean_text"]
+    assert out == "hello&nbsp; world spaced out"
+    # opting out of html stripping keeps tags
+    kept = clean_text(df, strip_html=False).head()["clean_text"]
+    assert "<p>" in kept
