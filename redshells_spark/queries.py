@@ -734,6 +734,65 @@ def _clean_text(spark, sf_dir):
 
 
 @q(
+    "repetition_signals",
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         FROM documents),
+       flat AS (
+         SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+         FROM tok),
+       grams AS (
+         SELECT doc_id,
+                token || '␟' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS gram
+         FROM flat QUALIFY gram IS NOT NULL),
+       gstats AS (
+         SELECT doc_id, max(n) * 1.0 / sum(n) AS top_bigram_frac
+         FROM (SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY doc_id, gram)
+         GROUP BY doc_id),
+       tstats AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) > 0
+                     THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                     ELSE 0.0 END AS repeated_token_frac
+         FROM tok)
+       SELECT t.doc_id,
+              round(coalesce(g.top_bigram_frac, 0.0), 4) AS top_bigram_frac,
+              round(t.repeated_token_frac, 4) AS repeated_token_frac
+       FROM tstats t LEFT JOIN gstats g ON g.doc_id = t.doc_id""",
+)
+def _repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (text/analysis.py:
+    repetition_signals): top-bigram fraction + repeated-token
+    fraction, the boilerplate/spam removal signals."""
+    from redshells_spark.text.analysis import repetition_signals
+
+    out = repetition_signals(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        _r4(F.col("top_bigram_frac"), "top_bigram_frac"),
+        _r4(F.col("repeated_token_frac"), "repeated_token_frac"),
+    )
+
+
+@q(
+    "redact_pii",
+    """SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS redacted_text
+       FROM documents""",
+)
+def _redact_pii(spark, sf_dir):
+    """PII scrubbing pass (text/analysis.py:redact_pii): URL, email,
+    IPv4 redaction — RE2-compatible regexes, pure codegen."""
+    from redshells_spark.text.analysis import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents")).select("doc_id", "redacted_text")
+
+
+@q(
     "binary_metadata",
     """SELECT doc_id,
               CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

@@ -144,3 +144,74 @@ def clean_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(output_column, c)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "redacted_text",
+    redact_emails: bool = True,
+    redact_urls: bool = True,
+    redact_ipv4: bool = True,
+) -> DataFrame:
+    """Regex PII scrubbing — emails → ``<EMAIL>``, http(s) URLs →
+    ``<URL>``, dotted-quad IPs → ``<IP>``. The standard pre-training
+    redaction pass; patterns are RE2-compatible so the stage is
+    oracle-checkable, and the chain is pure codegen. Swap in an NER
+    model via pandas_udf when recall matters more than throughput."""
+    require_columns(df, [text_column])
+    c = F.col(text_column)
+    if redact_urls:
+        c = F.regexp_replace(c, r"https?://[^\s]+", "<URL>")
+    if redact_emails:
+        c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    if redact_ipv4:
+        c = F.regexp_replace(c, r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>")
+    return df.withColumn(output_column, c)
+
+
+def repetition_signals(
+    df: DataFrame, text_column: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    fraction of all bigram occurrences taken by the single most
+    frequent bigram, and the repeated-token fraction
+    (1 − distinct/total). High values mark boilerplate/spam for
+    removal before training.
+
+    One explode + two aggregations, all partial map-side; no UDFs."""
+    require_columns(df, [text_column])
+    toks = _tokens(F.col(text_column))
+    base = df.select("doc_id", toks.alias("__t"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws("␟", a, b),
+            )
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("n") / F.sum("n")).alias("top_bigram_frac"),
+        )
+    )
+    tok_stats = base.select(
+        "doc_id",
+        F.when(
+            F.size("__t") > 0,
+            1.0 - F.size(F.array_distinct("__t")) / F.size("__t"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repeated_token_frac"),
+    )
+    return tok_stats.join(gram_stats, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        "repeated_token_frac",
+    )

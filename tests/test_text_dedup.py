@@ -236,3 +236,34 @@ def test_clean_text_rules(spark):
     # opting out of html stripping keeps tags
     kept = clean_text(df, strip_html=False).head()["clean_text"]
     assert "<p>" in kept
+
+
+def test_redact_pii(spark):
+    from redshells_spark.text.analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@example.co.uk or visit https://x.io/p?q=1 from 10.0.0.1 ok")],
+        "doc_id long, text string",
+    )
+    out = redact_pii(df).head()["redacted_text"]
+    assert out == "mail <EMAIL> or visit <URL> from <IP> ok"
+
+
+def test_repetition_signals(spark):
+    from redshells_spark.text.analysis import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # one bigram repeated 3x
+            (2, "all words fully distinct here"),
+            (3, ""),                            # empty → zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["top_bigram_frac"] == pytest.approx(1.0)   # 3/3 same bigram
+    assert out[1]["repeated_token_frac"] == pytest.approx(0.75)
+    assert out[2]["top_bigram_frac"] == pytest.approx(0.25)  # 1/4 each
+    assert out[2]["repeated_token_frac"] == pytest.approx(0.0)
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["repeated_token_frac"] == 0.0
