@@ -1,0 +1,103 @@
+"""Corpus composition: stratified sampling and domain-mix weights.
+
+Training-data pipelines rarely take a corpus as-is — they re-balance it
+(per-language / per-source quotas, domain mixing à la The Pile /
+DoReMi-style static weights). These are the deterministic, relational
+versions of those steps.
+
+Extends the reference's ``SampleData`` (``data/data_frame_utils.py:186-201``,
+shuffle + head) from global exact-size sampling to per-group exact-size
+sampling, with the same portable md5 ordering the repo's ``sample_data``
+uses so a SQL oracle reproduces the selection bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redshells_spark.schema import require_columns
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_column: str,
+    n_per_group: int,
+    id_column: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``min(n_per_group, |group|)`` rows per group, selected by
+    a portable pseudo-random order: md5(seed ‖ id) with the id as the
+    tie-break. One window shuffle on ``group_column``; rows beyond the
+    quota are pruned map-side by WindowGroupLimit before the exchange,
+    so the shuffle moves ≈ n_per_group · n_groups rows, not the corpus."""
+    require_columns(df, [group_column, id_column])
+    order = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_column).cast("string")))
+    w = Window.partitionBy(group_column).orderBy(order, F.col(id_column))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    group_column: str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """→ (group, n_rows, sample_prob): per-group downsampling
+    probability that reshapes the corpus toward ``target_shares``
+    (default: uniform across observed groups) without upsampling.
+
+    sample_prob = (target_share / actual_share) scaled so the largest
+    ratio is 1.0 — the group furthest below its target keeps all rows,
+    every other group is thinned proportionally. One groupBy + one tiny
+    cross-join against the 1-row global aggregate; the weights frame is
+    n_groups rows and feeds a broadcast join + Bernoulli filter."""
+    require_columns(df, [group_column])
+    counts = df.groupBy(group_column).agg(F.count(F.lit(1)).alias("n_rows"))
+    if target_shares is None:
+        target = F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy())
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        target = mapping[F.col(group_column)]
+    total = Window.partitionBy()
+    ratio = target / (F.col("n_rows") / F.sum("n_rows").over(total))
+    return counts.select(
+        group_column,
+        "n_rows",
+        F.round(ratio / F.max(ratio).over(total), 4).alias("sample_prob"),
+    )
+
+
+def apply_mix_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    group_column: str,
+    id_column: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Thin ``df`` by the per-group ``sample_prob`` weights using a
+    portable hash-Bernoulli: keep when md5-derived u(id) < prob.
+    Deterministic (same id → same decision), broadcast join only."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_column).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(0xFFFFFFFF)
+    )
+    w = F.broadcast(weights.select(group_column, "sample_prob"))
+    return (
+        df.join(w, on=group_column)
+        .filter(u < F.col("sample_prob"))
+        .drop("sample_prob")
+    )

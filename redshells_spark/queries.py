@@ -1155,6 +1155,147 @@ def _incremental_near_dedup(spark, sf_dir):
     )
 
 
+@q(
+    "decontaminate",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL},
+       ids AS (
+         SELECT tok.doc_id, tok.pos, v.token_id
+         FROM tok JOIN vocab v ON tok.token = v.token),
+       shingles AS (
+         SELECT DISTINCT doc_id,
+                ((token_id * 1000003 + lead(token_id, 1) OVER (PARTITION BY doc_id ORDER BY pos ASC)) % 2147483647
+                  * 1000003 + lead(token_id, 2) OVER (PARTITION BY doc_id ORDER BY pos ASC)) % 2147483647 AS shingle
+         FROM ids
+         QUALIFY shingle IS NOT NULL),
+       bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 50 = 0),
+       contaminated AS (
+         SELECT DISTINCT s.doc_id FROM shingles s JOIN bench b ON s.shingle = b.shingle
+         WHERE s.doc_id % 50 <> 0)
+       SELECT d.doc_id, d.lang, d.source FROM documents d
+       WHERE d.doc_id % 50 <> 0
+         AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+)
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx C / Dolma-style): docs with
+    doc_id % 50 == 0 play the eval benchmark; corpus docs sharing any
+    token-id 3-gram shingle with it are dropped (dedup/decontaminate.py,
+    broadcast semi-join — the corpus never shuffles)."""
+    from redshells_spark.dedup.decontaminate import decontaminate
+    from redshells_spark.dedup.minhash import doc_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir), shingle_len=3)
+    is_bench = F.col("doc_id") % 50 == 0
+    corpus = docs.filter(~is_bench)
+    kept = decontaminate(
+        corpus, sh.filter(~is_bench), sh.filter(is_bench)
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+@q(
+    "duplicate_spans",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL},
+       ids AS (
+         SELECT tok.doc_id, tok.pos, v.token_id
+         FROM tok JOIN vocab v ON tok.token = v.token),
+       shingles AS (
+         SELECT DISTINCT doc_id,
+                (token_id * 1000003 + lead(token_id) OVER (PARTITION BY doc_id ORDER BY pos ASC)) % 2147483647 AS shingle
+         FROM ids
+         QUALIFY shingle IS NOT NULL),
+       freq AS (SELECT shingle, count(*) AS n_docs FROM shingles GROUP BY shingle)
+       SELECT s.doc_id,
+              round(avg(CASE WHEN f.n_docs > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_fraction
+       FROM shingles s JOIN freq f ON s.shingle = f.shingle
+       GROUP BY s.doc_id""",
+)
+def _duplicate_spans(spark, sf_dir):
+    """Per-doc duplicated-span fraction (Lee et al. 2021): share of a
+    doc's distinct shingles that occur in >1 document
+    (dedup/decontaminate.py:duplicate_span_fraction)."""
+    from redshells_spark.dedup.decontaminate import duplicate_span_fraction
+    from redshells_spark.dedup.minhash import doc_shingles
+
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    return duplicate_span_fraction(sh)
+
+
+@q(
+    "stratified_sample",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                ) AS rn
+         FROM documents)
+       WHERE rn <= 40""",
+)
+def _stratified_sample(spark, sf_dir):
+    """Exact per-language quota sampling with the portable md5 order
+    (data/sampling.py:stratified_sample_exact — per-group counterpart
+    of the reference's shuffle+head SampleData)."""
+    from redshells_spark.data.sampling import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample_exact(docs, "lang", 40, "doc_id", seed=7)
+    return out.select("doc_id", "lang")
+
+
+@q(
+    "domain_mix_weights",
+    """WITH counts AS (
+         SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+       tot AS (SELECT sum(n_rows) AS total, count(*) AS n_groups FROM counts),
+       ratios AS (
+         SELECT source, n_rows,
+                (1.0 / n_groups) / (n_rows * 1.0 / total) AS ratio
+         FROM counts, tot)
+       SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+              round(ratio / (SELECT max(ratio) FROM ratios), 4) AS sample_prob
+       FROM ratios""",
+)
+def _domain_mix_weights(spark, sf_dir):
+    """Per-source downsampling probabilities toward a uniform domain
+    mix (data/sampling.py:domain_mix_weights) — Pile/DoReMi-style
+    static corpus reweighting, no upsampling."""
+    from redshells_spark.data.sampling import domain_mix_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_mix_weights(docs, "source")
+    return out.select("source", F.col("n_rows").cast("long").alias("n_rows"), "sample_prob")
+
+
+@q(
+    "pack_sequences",
+    """WITH tc AS (
+         SELECT doc_id, source,
+                CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         FROM documents)
+       SELECT doc_id, source, n_tokens,
+              CAST(floor((SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens) / 2000.0) AS BIGINT) AS chunk_id
+       FROM tc""",
+)
+def _pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing per source shard
+    (text/packing.py:pack_sequences): chunk = floor(tokens_before /
+    budget) via one window cumsum — the streaming first-fit packers
+    use, sharded so no global order exists."""
+    from redshells_spark.text.packing import pack_sequences
+
+    toks = _tokens(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    tc = toks.select("doc_id", F.size("tokens").cast("long").alias("n_tokens")).join(
+        docs, on="doc_id"
+    )
+    out = pack_sequences(tc, budget=2000, partition_column="source")
+    return out.select("doc_id", "source", "n_tokens", "chunk_id")
+
+
 _LANG_HITS_SQL = ", ".join(
     f"len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''), t -> t IN {lst})) AS hits_{lang}"
     for lang, lst in {
