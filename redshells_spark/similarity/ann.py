@@ -158,6 +158,8 @@ def lsh_topk(
     seed: int = 42,
     dim: int | None = None,
     multiprobe: int = 0,
+    broadcast_queries: bool = True,
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 of ``num_blocks``
     signature blocks (banding), then exact cosine rerank. Recall rises
@@ -170,19 +172,34 @@ def lsh_topk(
     al. VLDB 2007): near-misses where one hyperplane voted the other
     way land in a neighboring bucket, so flipping single bits recovers
     them. Candidate volume grows ~(1+width)× on the QUERY side only —
-    the corpus is never re-bucketed."""
+    the corpus is never re-bucketed.
+
+    Plan shape (the part that matters at 10¹⁰ corpus vectors): the
+    corpus is scanned ONCE and never shuffled. With
+    ``broadcast_queries`` (default, guarded by ``max_broadcast_rows``
+    like :func:`redshells_spark.similarity.allpairs.matmul_topk`), the
+    query signatures and bucket table are built driver-side and the
+    whole candidate-match + exact-cosine happens in ONE Arrow pass over
+    the corpus; only candidate (query_id, vec_id, score) triples reach
+    the final top-k exchange. ``broadcast_queries=False`` keeps both
+    sides distributed (signature mapInPandas each side + broadcast-hash
+    join on exploded blocks) for query sets too big for the driver."""
     if dim is None:
         dim = len(queries.select(embedding_column).first()[0])
-    qsig = lsh_hyperplane_signatures(
-        queries.withColumnRenamed(query_id, "vec_id"), num_planes, "vec_id",
-        embedding_column, dim=dim, seed=seed,
-    ).withColumnRenamed("vec_id", "query_id")
-    csig = lsh_hyperplane_signatures(
-        corpus, num_planes, corpus_id, embedding_column, dim=dim, seed=seed
+    if broadcast_queries:
+        return _lsh_topk_broadcast(
+            queries, corpus, k, num_planes, num_blocks, query_id, corpus_id,
+            embedding_column, seed, dim, multiprobe, max_broadcast_rows,
+        )
+    qsig = _signatures_with_payload(
+        queries, query_id, embedding_column, num_planes, dim, seed, "query_id", "__qe"
+    )
+    csig = _signatures_with_payload(
+        corpus, corpus_id, embedding_column, num_planes, dim, seed, "vec_id", "__ce"
     )
     width = num_planes // num_blocks
 
-    def blocks(sig_df: DataFrame, idcol: str, probe_bits: int = 0) -> DataFrame:
+    def blocks(sig_df: DataFrame, idcol: str, payload: str, probe_bits: int = 0) -> DataFrame:
         entries = []
         for i in range(num_blocks):
             base = F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
@@ -196,33 +213,190 @@ def lsh_topk(
                     for b in range(width)
                 ]
         blk = F.explode(F.array(*entries)).alias("blk")
-        return sig_df.select(idcol, blk).select(idcol, "blk.block_idx", "blk.block_val")
+        return sig_df.select(idcol, payload, blk).select(
+            idcol, payload, "blk.block_idx", "blk.block_val"
+        )
 
-    cand = (
-        blocks(qsig, "query_id", probe_bits=multiprobe)
-        .join(blocks(csig, "vec_id"), on=["block_idx", "block_val"])
-        .select("query_id", "vec_id")
-        .dropDuplicates()
+    paired = blocks(csig, "vec_id", "__ce").join(
+        F.broadcast(blocks(qsig, "query_id", "__qe", probe_bits=multiprobe)),
+        on=["block_idx", "block_val"],
     )
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(embedding_column).alias("__qe"))
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(embedding_column).alias("__ce"))
-    paired = cand.join(F.broadcast(q), on="query_id").join(c, on="vec_id")
-    scored = _cosine_rerank(paired, "query_id", "vec_id", "__qe", "__ce")
+    # exact cosine per candidate, batch-local (q, v) pre-dedup in the
+    # same Arrow pass; exact dedup afterwards on the narrow scored
+    # triples (a pair can match in several blocks)
+    scored = _cosine_rerank(
+        paired, "query_id", "vec_id", "__qe", "__ce", batch_dedup=True
+    ).dropDuplicates(["query_id", "vec_id"])
     return per_group_topk(scored, "query_id", "score", k, tie_break=["vec_id"], rank_column="rank")
 
 
+def _lsh_topk_broadcast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    num_planes: int,
+    num_blocks: int,
+    query_id: str,
+    corpus_id: str,
+    embedding_column: str,
+    seed: int,
+    dim: int,
+    multiprobe: int,
+    max_broadcast_rows: int,
+) -> DataFrame:
+    """Single-corpus-scan LSH top-k: query buckets driver-side,
+    candidate match + exact cosine fused into one Arrow pass.
+
+    Signatures are bit-identical to the distributed path (same
+    xxhash64-derived plane matrix, same sign-bit packing), so recall
+    pins hold for either path. A (query, vec) candidate arises only
+    from that corpus row's own blocks — all in one batch — so in-batch
+    pair dedup is exact and no shuffle-side dedup is needed."""
+    from redshells_spark.similarity.allpairs import _collect_bounded
+
+    spark = corpus.sparkSession
+    planes = _hyperplane_matrix(spark, num_planes, dim, seed)
+    rows = _collect_bounded(
+        queries.select(query_id, embedding_column), max_broadcast_rows,
+        "lsh_topk (pass broadcast_queries=False for unbounded query sets)",
+    )
+    qids = np.array([r[0] for r in rows])
+    qmat = np.array([r[1] for r in rows], dtype=np.float64)
+    shifts = np.arange(num_planes, dtype=np.int64)
+    qsig = ((qmat @ planes.T > 0).astype(np.int64) << shifts).sum(axis=1)
+    width = num_planes // num_blocks
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for qi, s in enumerate(qsig):
+        for i in range(num_blocks):
+            vals = {int((s >> (i * width)) & mask)}
+            if multiprobe:
+                vals |= {v ^ (1 << b) for v in set(vals) for b in range(width)}
+            for v in vals:
+                buckets.setdefault((i, v), []).append(qi)
+    bucket_arr = {key: np.array(v, dtype=np.int64) for key, v in buckets.items()}
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    bc = spark.sparkContext.broadcast((qids, qmat / qnorm[:, None], bucket_arr))
+
+    qtype = queries.schema[query_id].dataType.simpleString()
+    ctype = corpus.schema[corpus_id].dataType.simpleString()
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, bkt = bc.value
+        mat_planes = planes
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[corpus_id].to_numpy()
+            cmat = np.array(list(pdf[embedding_column]), dtype=np.float64)
+            sig = ((cmat @ mat_planes.T > 0).astype(np.int64) << shifts).sum(axis=1)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0] = 1.0
+            cmat_n = cmat / cnorm[:, None]
+            # score per bucket as one (rows × queries) BLAS matmul —
+            # pairwise gathers of the pair list would move |pairs|·dim
+            # floats; per-bucket matmuls touch each side once
+            row_parts, q_parts, s_parts = [], [], []
+            for i in range(num_blocks):
+                vals = (sig >> (i * width)) & mask
+                order = np.argsort(vals, kind="stable")
+                sv = vals[order]
+                starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+                ends = np.r_[starts[1:], len(sv)]
+                for s_, e_ in zip(starts, ends):
+                    qidx = bkt.get((i, int(sv[s_])))
+                    if qidx is None:
+                        continue
+                    rows_i = order[s_:e_]
+                    sc = cmat_n[rows_i] @ mat_q[qidx].T  # (m, b)
+                    row_parts.append(np.repeat(rows_i, len(qidx)))
+                    q_parts.append(np.tile(qidx, len(rows_i)))
+                    s_parts.append(sc.ravel())
+            if not row_parts:
+                continue
+            ri = np.concatenate(row_parts)
+            qi = np.concatenate(q_parts)
+            sc_all = np.concatenate(s_parts)
+            # exact in-batch pair dedup (a pair matching in >1 block has
+            # identical scores — keep the first occurrence per key)
+            key = qi * np.int64(len(cids)) + ri
+            _, first = np.unique(key, return_index=True)
+            ri, qi, scores = ri[first], qi[first], sc_all[first]
+            # partial per-query top-k with the SAME ordering as the final
+            # window (score desc, vec_id asc) → the shuffle carries at
+            # most nq·k rows per batch instead of every candidate
+            order = np.lexsort((cids[ri], -scores, qi))
+            qs = qi[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            rank = np.arange(len(qs)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(qs)])
+            )
+            keep = order[rank < k]
+            yield pd.DataFrame(
+                {"query_id": ids_q[qi[keep]], "vec_id": cids[ri[keep]], "score": scores[keep]}
+            )
+
+    partial = corpus.select(corpus_id, embedding_column).mapInPandas(
+        compute, schema=f"query_id {qtype}, vec_id {ctype}, score double"
+    )
+    return per_group_topk(
+        partial, "query_id", "score", k, tie_break=["vec_id"], rank_column="rank"
+    )
+
+
+def _signatures_with_payload(
+    df: DataFrame,
+    id_column: str,
+    embedding_column: str,
+    num_planes: int,
+    dim: int,
+    seed: int,
+    out_id: str,
+    out_payload: str,
+) -> DataFrame:
+    """(id, sig, payload=embedding) in one Arrow pass — the embedding
+    rides along so downstream scoring never joins back to the source."""
+    spark = df.sparkSession
+    planes = _hyperplane_matrix(spark, num_planes, dim, seed)
+    bc = spark.sparkContext.broadcast(planes)
+    idtype = df.schema[id_column].dataType.simpleString()
+    etype = df.schema[embedding_column].dataType.simpleString()
+    shifts = np.arange(num_planes, dtype=np.int64)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat_planes = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emb = np.array(list(pdf[embedding_column]), dtype=np.float64)
+            proj = emb @ mat_planes.T
+            sig = ((proj > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame(
+                {out_id: pdf[id_column], "sig": sig, out_payload: pdf[embedding_column]}
+            )
+
+    return df.select(id_column, embedding_column).mapInPandas(
+        compute, schema=f"{out_id} {idtype}, sig long, {out_payload} {etype}"
+    )
+
+
 def _cosine_rerank(
-    paired: DataFrame, qid: str, cid: str, qe: str, ce: str
+    paired: DataFrame, qid: str, cid: str, qe: str, ce: str, batch_dedup: bool = False
 ) -> DataFrame:
     """Exact cosine over candidate pairs, one vectorized numpy batch
     per Arrow chunk — the Catalyst higher-order-function cosine costs
     ~3·dim interpreted lambda steps per pair, which dominates rerank
-    time once candidates reach ~10⁵."""
+    time once candidates reach ~10⁵. ``batch_dedup`` drops duplicate
+    (qid, cid) pairs within each Arrow batch before scoring (a cheap
+    pre-reduction when the caller dedups exactly afterwards)."""
     qt = paired.schema[qid].dataType.simpleString()
     ct = paired.schema[cid].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if batch_dedup and not pdf.empty:
+                pdf = pdf.drop_duplicates(subset=[qid, cid])
             if pdf.empty:
                 continue
             a = np.array(list(pdf[qe]), dtype=np.float64)
