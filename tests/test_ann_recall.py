@@ -71,6 +71,22 @@ def test_lsh_multiprobe_recall_dominates(queries_df, emb, truth):
     assert r_probe > 0.9, f"multiprobe recall@{K} = {r_probe}"
 
 
+def test_lsh_broadcast_and_distributed_paths_identical(queries_df, emb):
+    # the single-scan broadcast-query path and the two-sided distributed
+    # path share signature math and tie-breaks → bit-identical top-k
+    kw = dict(k=K, num_planes=16, num_blocks=8, multiprobe=1)
+    bcast = lsh_topk(queries_df, emb, **kw, broadcast_queries=True)
+    dist = lsh_topk(queries_df, emb, **kw, broadcast_queries=False)
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in bcast.collect()}
+    b = {(r["query_id"], r["vec_id"], r["rank"]) for r in dist.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_lsh_broadcast_guard_fails_loudly(queries_df, emb):
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        lsh_topk(queries_df, emb, k=K, dim=64, max_broadcast_rows=3).collect()
+
+
 def test_ivf_recall(queries_df, emb, truth):
     indexed, centroids = ivf_build_index(emb, num_centroids=16)
     approx = ivf_topk(queries_df, indexed, centroids, k=K, nprobe=8)

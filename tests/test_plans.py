@@ -84,6 +84,34 @@ def test_binary_metadata_stays_jvm_side(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["decontaminate"](spark, sf_dir))
+    # the benchmark shingle set and the contaminated-id set are both
+    # broadcast; the corpus is never shuffled for the containment checks
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftAnti") >= 1
+
+
+def test_stratified_sample_prunes_before_exchange(spark, sf_dir):
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["stratified_sample"](spark, sf_dir))
+    # per-group quota rows are pruned map-side before the window shuffle
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["pack_sequences"](spark, sf_dir))
+    # the packing cumsum shuffles once on the shard column, never globally
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_stream_dedup_single_exchange_on_fingerprint(spark, sf_dir):
     from redshells_spark.queries import QUERIES
 
