@@ -2445,6 +2445,26 @@ def _feature_aggregation_similarity(spark, sf_dir):
     )
 
 
+@q("quality_classifier_scores")  # MLlib LR fit → rows-only
+def _quality_classifier_scores(spark, sf_dir):
+    """Trainable quality model (text/quality_model.py, CCNet-style):
+    weak labels from language id (en vs rest — a learnable bag-of-words
+    signal), HashingTF→IDF→LR fit, distributed scoring of every doc."""
+    from redshells_spark.text.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = tokenize_on_space(docs, "text", "tokens", lowercase=True).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    model = train_quality_classifier(labeled, num_features=1 << 14)
+    return score_quality(model, labeled).select(
+        "doc_id", F.round("quality_prob", 4).alias("quality_prob")
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
