@@ -2465,6 +2465,149 @@ def _quality_classifier_scores(spark, sf_dir):
     )
 
 
+# ------------------------------------------- temporal / analytic windows
+
+
+@q(
+    "asof_join_orders",
+    """WITH r AS (
+         SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS rt_us,
+                max(o_orderkey) AS matched_order,
+                round(arg_max(o_totalprice, o_orderkey), 4) AS matched_totalprice
+         FROM orders GROUP BY 1, 2)
+       SELECT e.event_id, e.user_id, r.matched_order, r.matched_totalprice
+       FROM events e ASOF JOIN r
+         ON e.user_id = r.user_id AND epoch_us(e.ts) >= r.rt_us""",
+)
+def _asof_join_orders(spark, sf_dir):
+    """As-of join (operators/asof.py): each event picks the customer's
+    most recent order at-or-before the event time. Spark plan = tagged
+    union + ONE shuffle on the key + ordered-window carry-forward (no
+    join explosion); oracle = DuckDB's native ASOF JOIN — two
+    independent machineries, same rows. Right side pre-aggregated to
+    one row per (key, time) so the match is deterministic."""
+    from redshells_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("cast(ts as bigint) div 1000").alias("ts_us")
+    )
+    r = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("user_id", F.col("o_custkey"))
+        .withColumn(
+            # TIMESTAMP_NTZ has no direct long cast; date_trunc('second')
+            # is an identity here (date-valued column) and returns a
+            # castable TIMESTAMP, matching DuckDB epoch_us semantics
+            "rt_us",
+            F.date_trunc("second", F.col("o_orderdate")).cast("long") * F.lit(1000000),
+        )
+        .groupBy("user_id", "rt_us")
+        .agg(
+            F.max("o_orderkey").alias("matched_order"),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), 4).alias("matched_totalprice"),
+        )
+    )
+    out = asof_join(ev, r, on="user_id", left_time="ts_us", right_time="rt_us")
+    return out.select("event_id", "user_id", "matched_order", "matched_totalprice")
+
+
+_PRICE_BANDS = [
+    (0, 0.0, 2000.0),
+    (1, 2000.0, 5000.0),
+    (2, 5000.0, 10000.0),
+    (3, 10000.0, 20000.0),
+    (4, 20000.0, 40000.0),
+    (5, 40000.0, 70000.0),
+    (6, 70000.0, 110000.0),
+]
+
+
+@q(
+    "range_join_price_bands",
+    """WITH b(band_id, lo, hi) AS (VALUES """
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), {lo}, {hi})" for i, lo, hi in _PRICE_BANDS
+    )
+    + """)
+       SELECT b.band_id, count(*) AS n_items,
+              round(sum(l.l_extendedprice), 4) AS sum_price
+       FROM lineitem l JOIN b
+         ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+       GROUP BY 1""",
+)
+def _range_join_price_bands(spark, sf_dir):
+    """Bucketed range join (operators/asof.py:range_join): intervals
+    explode into coarse buckets, points equi-join on the bucket id with
+    an exact residual filter — a shuffled hash join, never a
+    BroadcastNestedLoopJoin (plan-asserted in tests/test_asof_range.py).
+    Oracle = DuckDB inequality join."""
+    from redshells_spark.operators.asof import range_join
+
+    bands = spark.createDataFrame(_PRICE_BANDS, "band_id bigint, lo double, hi double")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    joined = range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=10000.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _r4(F.sum("l_extendedprice"), "sum_price"),
+    )
+
+
+@q(
+    "orders_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), (o_orderpriority), ())""",
+)
+def _orders_grouping_sets(spark, sf_dir):
+    """GROUPING SETS — free in Catalyst (one Expand + one aggregate,
+    partial aggregation preserved), identical SQL runs on DuckDB."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                  coalesce(o_orderpriority, 'ALL') AS priority,
+                  count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+           FROM __gs_orders
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+@q(
+    "cumulative_revenue",
+    """SELECT o_orderkey, o_custkey,
+              CAST(row_number() OVER w AS BIGINT) AS order_seq,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue,
+              round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+)
+def _cumulative_revenue(spark, sf_dir):
+    """Running totals + moving average over an ordered frame: the
+    accumulation order is pinned by the frame, so doubles fold in the
+    same sequence on both engines — bit-identical before rounding."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        _r4(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            "cum_revenue",
+        ),
+        _r4(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), "moving_avg_3"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
