@@ -119,9 +119,14 @@ class SCDV:
         )
         # threshold from a sampled batch of raw doc vectors:
         # p% · avg(|min| + |max|)/2 (reference model/scdv.py:100-121)
-        sample = model._raw_doc_vectors(
-            docs.limit(threshold_sample_size), tokens_column, doc_id_column
+        # deterministic sample (same rationale as the GMM sample above):
+        # hash-order doc ids before limit so the fitted threshold is
+        # stable across runs and partition layouts
+        sample_docs = (
+            docs.orderBy(F.xxhash64(F.col(doc_id_column), F.lit(seed)))
+            .limit(threshold_sample_size)
         )
+        sample = model._raw_doc_vectors(sample_docs, tokens_column, doc_id_column)
         mm = sample.select(
             F.aggregate("embedding", F.lit(float("inf")), lambda a, x: F.least(a, x)).alias("mn"),
             F.aggregate("embedding", F.lit(float("-inf")), lambda a, x: F.greatest(a, x)).alias("mx"),

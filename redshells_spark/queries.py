@@ -793,6 +793,52 @@ def _redact_pii(spark, sf_dir):
 
 
 @q(
+    "ngram_lm_perplexity",
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         FROM documents),
+       flat AS (
+         SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+         FROM tok),
+       pairs AS (
+         SELECT doc_id,
+                coalesce(lag(token) OVER (PARTITION BY doc_id ORDER BY pos ASC), '␟<s>') AS prev,
+                token AS word
+         FROM flat),
+       bc AS (SELECT prev, word, count(*) AS n FROM pairs GROUP BY prev, word),
+       cc AS (SELECT prev, count(*) AS n_prev FROM pairs GROUP BY prev),
+       v AS (SELECT count(DISTINCT word) AS vs FROM pairs),
+       scored AS (
+         SELECT p.doc_id,
+                log2((coalesce(bc.n, 0) + 0.1)
+                     / (coalesce(cc.n_prev, 0) + 0.1 * (SELECT vs FROM v))) AS lp
+         FROM pairs p
+         LEFT JOIN bc ON bc.prev = p.prev AND bc.word = p.word
+         LEFT JOIN cc ON cc.prev = p.prev)
+       SELECT doc_id,
+              round(-avg(lp), 4) AS cross_entropy,
+              round(pow(2.0, -avg(lp)), 4) AS perplexity
+       FROM scored GROUP BY doc_id""",
+)
+def _ngram_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter (text/ngram_lm.py): add-alpha
+    bigram LM trained on the corpus, per-doc cross-entropy/perplexity
+    scored via a shuffle join on the gram key. Self-scoring here (train
+    corpus == target corpus) so the whole stage is one oracle-checkable
+    dataflow; production trains once on clean text and broadcasts."""
+    from redshells_spark.text.ngram_lm import score_perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs)
+    out = score_perplexity(docs, lm, broadcast_lm=True)
+    return out.select(
+        "doc_id",
+        _r4(F.col("cross_entropy"), "cross_entropy"),
+        _r4(F.col("perplexity"), "perplexity"),
+    )
+
+
+@q(
     "binary_metadata",
     """SELECT doc_id,
               CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

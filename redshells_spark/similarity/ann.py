@@ -429,6 +429,7 @@ def lsh_pairs_above_threshold(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int = 100_000,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate all-pairs ≥ threshold via LSH banding → (id0, id1,
     similarity), id0 < id1.
@@ -442,35 +443,48 @@ def lsh_pairs_above_threshold(
     degenerate bucket means the block carries no discriminating
     information; recall loss is logged by callers that care). This is
     the 100 TB path where :func:`redshells_spark.similarity.allpairs.
-    all_pairs_above_threshold` would need an unbounded broadcast."""
+    all_pairs_above_threshold` would need an unbounded broadcast.
+
+    ``multiprobe=1`` additionally probes every Hamming-distance-1
+    neighbor of each block value on ONE side of the self-join (Lv et
+    al. VLDB 2007, same expansion :func:`lsh_topk` uses): near-dup
+    pairs where exactly one hyperplane in a block voted differently
+    still become candidates. One-sided expansion is sufficient —
+    bucket(a) XOR one bit == bucket(b) is symmetric — and keeps the
+    candidate growth at ~(1+width)× on one side instead of both."""
     sig = lsh_hyperplane_signatures(
         embeddings, num_planes, id_column, embedding_column, dim=dim, seed=seed
     )
     width = num_planes // num_blocks
-    blk = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("block_idx"),
-                    F.shiftright(F.col("sig"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("block_val"),
-                )
-                for i in range(num_blocks)
-            ]
-        )
-    ).alias("blk")
-    blocked = (
-        sig.select("vec_id", blk).select("vec_id", "blk.block_idx", "blk.block_val")
-    )
+
+    def _blocks(probe_bits: int) -> DataFrame:
+        entries = []
+        for i in range(num_blocks):
+            base = F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            entries.append(F.struct(F.lit(i).alias("block_idx"), base.alias("block_val")))
+            if probe_bits:
+                entries += [
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        base.bitwiseXOR(F.lit(1 << b)).alias("block_val"),
+                    )
+                    for b in range(width)
+                ]
+        blk = F.explode(F.array(*entries)).alias("blk")
+        return sig.select("vec_id", blk).select("vec_id", "blk.block_idx", "blk.block_val")
+
+    blocked = _blocks(0)
     bucket_sizes = blocked.groupBy("block_idx", "block_val").agg(
         F.count("*").alias("__bucket_n")
     )
-    blocked = blocked.join(
-        F.broadcast(bucket_sizes.filter(F.col("__bucket_n") <= max_bucket_size)),
-        on=["block_idx", "block_val"],
-    ).drop("__bucket_n")
-    a = blocked.select("block_idx", "block_val", F.col("vec_id").alias("id0"))
+    ok_buckets = F.broadcast(bucket_sizes.filter(F.col("__bucket_n") <= max_bucket_size))
+    blocked = blocked.join(ok_buckets, on=["block_idx", "block_val"]).drop("__bucket_n")
+    a_side = _blocks(multiprobe) if multiprobe else blocked
+    if multiprobe:
+        # probe entries only ever join into surviving exact buckets, so
+        # the same skew guard bounds them
+        a_side = a_side.join(ok_buckets, on=["block_idx", "block_val"]).drop("__bucket_n")
+    a = a_side.select("block_idx", "block_val", F.col("vec_id").alias("id0"))
     b = blocked.select("block_idx", "block_val", F.col("vec_id").alias("id1"))
     cand = (
         a.join(b, on=["block_idx", "block_val"])
