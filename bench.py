@@ -53,26 +53,35 @@ def main() -> None:
     # median of 3 runs per query: single-run local[32] numbers have a
     # ±50% noise floor (GC, page cache), which would swamp real
     # round-over-round deltas
+    # per-query error isolation: one failing query must never cost the
+    # round its bench artifact — failures record as "ERR", the JSON
+    # line always prints, and the exit code stays 0
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
+    timings: dict[str, float | str] = {}
     for name in HEADLINE:
         fn = queries[name]
         runs = []
         n = 0
-        for _ in range(repeats):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
-        print(f"# {name}: {n} rows, median {timings[name]}s of {[round(r, 3) for r in runs]}", file=sys.stderr)
+        try:
+            for _ in range(repeats):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                runs.append(time.time() - t0)
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            print(f"# {name}: {n} rows, median {timings[name]}s of {[round(r, 3) for r in runs]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = "ERR"
+            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    timed = [v for v in timings.values() if isinstance(v, float)]
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timed), 3),
         "unit": "sec",
         "queries": timings,
+        "n_err": len(timings) - len(timed),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

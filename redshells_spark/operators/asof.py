@@ -113,6 +113,7 @@ def range_join(
     hi_column: str,
     bucket_width: float | None = None,
     closed: str = "left",
+    max_broadcast_intervals: int = 100_000,
 ) -> DataFrame:
     """Join each point row to every interval row with
     lo ≤ point < hi (``closed="left"``; ``"both"`` makes hi inclusive).
@@ -126,8 +127,11 @@ def range_join(
     interval length; an interval spanning b buckets costs b candidate
     rows). Without it, the intervals side is broadcast and Catalyst
     runs a BroadcastNestedLoopJoin — acceptable ONLY for a small
-    intervals side (dimension tables); the operator refuses to run the
-    nested loop when the intervals side is not obviously bounded.
+    intervals side (dimension tables); the operator *probes* the
+    intervals side (``limit(cap+1).count()`` — one cheap partial scan,
+    never a full count) and refuses the nested loop above
+    ``max_broadcast_intervals`` rather than silently launching an
+    O(n·m) scan at cluster scale.
     """
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be left|both, got {closed!r}")
@@ -139,6 +143,15 @@ def range_join(
         (p < F.col(hi_column)) if closed == "left" else (p <= F.col(hi_column))
     )
     if bucket_width is None:
+        cap = int(max_broadcast_intervals)
+        if intervals.limit(cap + 1).count() > cap:
+            raise ValueError(
+                f"range_join without bucket_width broadcasts the intervals side "
+                f"into a BroadcastNestedLoopJoin, but it exceeds "
+                f"max_broadcast_intervals={cap} rows. Pass bucket_width to get "
+                f"the bucketed shuffled equi-join instead (scales O(overlaps), "
+                f"not O(points × intervals))."
+            )
         return points.join(F.broadcast(intervals), on=residual)
     w = float(bucket_width)
     ib = intervals.withColumn(

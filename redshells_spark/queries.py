@@ -67,6 +67,7 @@ from redshells_spark.text.analysis import (
 from redshells_spark.text.dictionary import train_dictionary
 from redshells_spark.text.tfidf import tfidf_scores, tfidf_top_tokens
 from redshells_spark.text.tokenize import tokenize_on_space
+from redshells_spark.timeutil import event_ts, event_us
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -79,12 +80,19 @@ KEYWORDS = ("spark", "join", "window", "stream", "hash")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet uses TIMESTAMP(NANOS); a plain session (e.g. the
-    # driver's) fails the scan without this runtime-settable legacy conf
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 — conf may be locked; reads may still work
-        pass
+    # Testdata physical types have changed across generations
+    # (TIMESTAMP(NANOS)-as-long vs timestamp[us]-as-NTZ); both confs are
+    # harmless when the current files don't need them. UTC pins the
+    # NTZ→TIMESTAMP reinterpretation so epoch math matches DuckDB's
+    # naive-as-UTC semantics even on a driver session with another tz.
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — conf may be locked; reads may still work
+            pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1744,10 +1752,10 @@ def _sessionize(spark, sf_dir):
        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
 )
 def _event_time_gaps(spark, sf_dir):
-    # window-function showcase: per-user inter-event gap stats via lag
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "__us", F.expr("cast(ts as bigint) div 1000")
-    )
+    # window-function showcase: per-user inter-event gap stats via lag;
+    # event_us dispatches on the actual ts dtype (long-nanos vs NTZ)
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("__us", event_us(ev, "ts"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gaps = ev.withColumn("gap_us", F.col("__us") - F.lag("__us").over(w)).filter(
         F.col("gap_us").isNotNull()
@@ -1771,7 +1779,10 @@ def _monthly_order_rollup(spark, sf_dir):
     # by Spark builtins for the driver's timestamped tables)
     o = _t(spark, sf_dir, "orders")
     return (
-        o.withColumn("month_start", F.date_trunc("month", "o_orderdate").cast("long"))
+        o.withColumn(
+            "month_start",
+            F.date_trunc("month", event_ts(o, "o_orderdate")).cast("long"),
+        )
         .groupBy("month_start", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -2534,19 +2545,12 @@ def _asof_join_orders(spark, sf_dir):
     one row per (key, time) so the match is deterministic."""
     from redshells_spark.operators.asof import asof_join
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("cast(ts as bigint) div 1000").alias("ts_us")
-    )
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", event_us(ev, "ts").alias("ts_us"))
+    o = _t(spark, sf_dir, "orders")
     r = (
-        _t(spark, sf_dir, "orders")
-        .withColumn("user_id", F.col("o_custkey"))
-        .withColumn(
-            # TIMESTAMP_NTZ has no direct long cast; date_trunc('second')
-            # is an identity here (date-valued column) and returns a
-            # castable TIMESTAMP, matching DuckDB epoch_us semantics
-            "rt_us",
-            F.date_trunc("second", F.col("o_orderdate")).cast("long") * F.lit(1000000),
-        )
+        o.withColumn("user_id", F.col("o_custkey"))
+        .withColumn("rt_us", event_us(o, "o_orderdate"))
         .groupBy("user_id", "rt_us")
         .agg(
             F.max("o_orderkey").alias("matched_order"),

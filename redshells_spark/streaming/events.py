@@ -9,8 +9,10 @@ a streaming variant of the click-counting stage of
 Batch/stream parity: every function takes either a static or a
 streaming DataFrame (the transformations are identical — Structured
 Streaming's contract), so the batch oracle checks the same plan the
-stream runs. The events table's nanosecond timestamps arrive as longs
-(see session notes); ``_event_time`` converts to a proper timestamp.
+stream runs. Event timestamps have shipped as both long-nanos and
+timestamp[us] across testdata generations; ``timeutil.event_ts``
+dispatches on the column's actual dtype (a SQL-level CASE guard cannot
+— Spark type-checks both branches at analysis).
 """
 
 from __future__ import annotations
@@ -18,16 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _event_time(col: str = "ts") -> F.Column:
-    # events.ts is TIMESTAMP(NANOS) read as long nanos (legacy conf);
-    # handle both long-nanos and native timestamp inputs. Integer `div`
-    # keeps full precision — float division on ~1e18 ns longs is lossy.
-    c = F.col(col)
-    return F.when(
-        c.cast("string").rlike("^[0-9]+$"),
-        F.timestamp_micros(F.expr(f"cast({col} as bigint) div 1000")),
-    ).otherwise(c.cast("timestamp"))
+from redshells_spark.timeutil import event_ts
 
 
 def read_event_stream(
@@ -37,12 +30,15 @@ def read_event_stream(
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-source stream over a directory of parquet event files —
-    the local stand-in for Kafka; swap ``format('kafka')`` in prod."""
+    the local stand-in for Kafka; swap ``format('kafka')`` in prod.
+
+    Streaming sources need an explicit schema; by default we take it
+    from a batch read of the files already present, so the stream
+    matches whatever physical types the producer wrote (long-nanos vs
+    timestamp[us] — both have shipped) instead of hard-coding one.
+    """
     if schema is None:
-        schema = (
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
+        schema = spark.read.parquet(path).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -60,7 +56,7 @@ def windowed_event_counts(
     """Tumbling/sliding window counts + value sums per event_type.
     Watermark bounds state for late data; on a static frame the
     watermark is a no-op and the result is the batch oracle."""
-    with_time = events.withColumn("__t", _event_time(ts_column))
+    with_time = events.withColumn("__t", event_ts(events, ts_column))
     if with_time.isStreaming:
         with_time = with_time.withWatermark("__t", watermark)
     window = (
@@ -94,7 +90,7 @@ def sessionize(
     """Session windows per user (gap-based). Streaming uses
     ``F.session_window`` state; the same expression evaluates on a
     static frame for the batch oracle."""
-    with_time = events.withColumn("__t", _event_time(ts_column))
+    with_time = events.withColumn("__t", event_ts(events, ts_column))
     if with_time.isStreaming:
         with_time = with_time.withWatermark("__t", watermark)
     return (

@@ -100,6 +100,28 @@ def test_range_join_closed_both(spark):
     assert range_join(points, intervals, closed="both", **kw).count() == 1
 
 
+def test_range_join_refuses_unbounded_broadcast(spark):
+    # the no-bucket path probes the intervals side and refuses to
+    # launch a BroadcastNestedLoopJoin over a large one (scale guard)
+    points = spark.createDataFrame([(1, 10.0)], "pid long, x double")
+    intervals = spark.range(0, 50).select(
+        F.col("id").alias("iid"),
+        F.col("id").cast("double").alias("lo"),
+        (F.col("id") + 1).cast("double").alias("hi"),
+    )
+    with pytest.raises(ValueError, match="max_broadcast_intervals"):
+        range_join(
+            points, intervals, "x", "lo", "hi",
+            bucket_width=None, max_broadcast_intervals=10,
+        )
+    # under the cap the broadcast path still works
+    ok = range_join(
+        points, intervals, "x", "lo", "hi",
+        bucket_width=None, max_broadcast_intervals=100,
+    )
+    assert ok.count() == 1
+
+
 def test_range_join_bucketed_no_nested_loop(spark):
     points = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
     intervals = spark.createDataFrame(
