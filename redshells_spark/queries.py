@@ -1516,10 +1516,54 @@ def _ngram_jaccard(spark, sf_dir):
     return out.select("doc_id_0", "doc_id_1", _r4(F.col("jaccard"), "jaccard"))
 
 
-@q("simhash_near_dup")  # xxhash64-based → rows-only check
+# SimHash oracle: DuckDB recomputes the 60-bit portable signatures
+# digit-by-digit from md5 hex (engine-independent), then mirrors the
+# block-permutation candidate join and Hamming filter. All generated
+# SQL below is pure int64 arithmetic — no engine hash involved.
+_SIMHASH_HEX2INT = " + ".join(
+    f"(instr('0123456789abcdef', substr(h16, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+_SIMHASH_BITSUMS = ",\n                ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS b{b}"
+    for b in range(60)
+)
+_SIMHASH_PACK = " | ".join(
+    f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+    for b in range(60)
+)
+
+
+@q(
+    "simhash_near_dup",
+    f"""WITH {_TOK_SQL},
+       tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM tok GROUP BY doc_id, token),
+       h AS (SELECT doc_id, tf, ({_SIMHASH_HEX2INT}) AS h
+             FROM (SELECT doc_id, tf, md5(token) AS h16 FROM tf)),
+       bs AS (SELECT doc_id, {_SIMHASH_BITSUMS}
+              FROM h GROUP BY doc_id),
+       sig AS (SELECT doc_id, ({_SIMHASH_PACK}) AS simhash FROM bs),
+       blk AS (SELECT doc_id, simhash, i AS block_idx,
+                      (simhash >> (i * 6)) & 63 AS block_val
+               FROM sig, (SELECT unnest(range(9)) AS i)),
+       cand AS (SELECT DISTINCT l.doc_id AS doc_id_0, r.doc_id AS doc_id_1,
+                       l.simhash AS sh0, r.simhash AS sh1
+                FROM blk l JOIN blk r
+                  ON l.block_idx = r.block_idx AND l.block_val = r.block_val
+                 AND l.doc_id < r.doc_id)
+       SELECT doc_id_0, doc_id_1, bit_count(xor(sh0, sh1))::BIGINT AS hamming
+       FROM cand WHERE bit_count(xor(sh0, sh1)) <= 8""",
+)
 def _simhash_near_dup(spark, sf_dir):
-    sig = simhash_signatures(_tokens(spark, sf_dir))
-    return simhash_near_dup_pairs(sig, max_hamming=8)
+    """Portable-hash simhash (md5-hex-derived 60-bit) so the full
+    signature→candidates→Hamming pipeline is oracle-checkable; the
+    xxhash64 default stays the engine hot path (same plan shape)."""
+    sig = simhash_signatures(_tokens(spark, sf_dir), portable=True)
+    out = simhash_near_dup_pairs(sig, max_hamming=8, bits=60)
+    return out.select(
+        "doc_id_0", "doc_id_1", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # ------------------------------------------------- embeddings / similarity
@@ -1577,8 +1621,60 @@ def _brute_force_topk(spark, sf_dir):
     )
 
 
-@q("lsh_topk")  # xxhash64 hyperplanes → rows-only check
+def _planes_sql(num_planes: int = 16, dim: int = 64, seed: int = 42) -> str:
+    """The exact hyperplane matrix the Spark LSH tier uses, rendered as
+    a DuckDB VALUES literal — pure-numpy derivation (ann.py
+    ``hyperplane_matrix``), so the oracle recomputes bit-identical
+    signatures with no engine hash involved."""
+    from redshells_spark.similarity.ann import hyperplane_matrix
+
+    mat = hyperplane_matrix(num_planes, dim, seed)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(float(v)) for v in mat[p]))
+        for p in range(num_planes)
+    )
+    return f"planes(p, v) AS (VALUES {rows})"
+
+
+# shared signature CTE: sign-bit pack against the literal planes
+_LSH_SIG_SQL = """
+       sig AS (SELECT e.vec_id,
+                      sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.v) > 0
+                               THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END)::BIGINT AS sig
+               FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+       blk AS (SELECT unnest(range(4)) AS block_idx)
+"""
+
+
+@q(
+    "lsh_topk",
+    f"""WITH {_planes_sql()},{_LSH_SIG_SQL},
+       qsig AS (SELECT vec_id AS query_id, sig FROM sig WHERE vec_id < 200),
+       qb AS (SELECT query_id, block_idx, (sig >> (block_idx * 4)) & 15 AS block_val
+              FROM qsig, blk
+              UNION
+              SELECT query_id, block_idx,
+                     xor((sig >> (block_idx * 4)) & 15, 1::BIGINT << f.b)
+              FROM qsig, blk, (SELECT unnest(range(4)) AS b) f),
+       cb AS (SELECT vec_id, block_idx, (sig >> (block_idx * 4)) & 15 AS block_val
+              FROM sig, blk),
+       cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+                FROM qb JOIN cb USING (block_idx, block_val)),
+       scored AS (SELECT c.query_id, c.vec_id, {_COS_SQL} AS score
+                  FROM cand c
+                  JOIN embeddings a ON a.vec_id = c.query_id
+                  JOIN embeddings b ON b.vec_id = c.vec_id)
+       SELECT query_id, vec_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id ASC) AS rn
+             FROM scored)
+       WHERE rn <= 10""",
+)
 def _lsh_topk(spark, sf_dir):
+    """LSH top-k with a FULL SQL oracle: the hyperplanes are exported
+    as literals (pure-numpy derivation), so DuckDB rebuilds the same
+    signatures, the same banded+multiprobe candidate set, and the same
+    cosine rerank — two engines, one result."""
     emb = _t(spark, sf_dir, "embeddings")
     # same workload as brute_force_topk so bench compares the two
     # fairly: 200 queries, k=10, full corpus
@@ -1588,16 +1684,36 @@ def _lsh_topk(spark, sf_dir):
     # dim passed explicitly: skips the driver first() probe job;
     # multiprobe=1 probes Hamming-1 neighbor buckets (near-exact recall
     # at ~2× candidate volume)
-    return lsh_topk(
+    out = lsh_topk(
         queries, emb, k=10, num_planes=16, num_blocks=4, dim=64, multiprobe=1
+    )
+    return out.select(
+        "query_id", "vec_id", _r4(F.col("score"), "score"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
-@q("embedding_near_dup_scalable")  # xxhash64 planes → rows-only check
+@q(
+    "embedding_near_dup_scalable",
+    f"""WITH {_planes_sql()},{_LSH_SIG_SQL},
+       bb AS (SELECT vec_id, block_idx, (sig >> (block_idx * 4)) & 15 AS block_val
+              FROM sig, blk),
+       cand AS (SELECT DISTINCT l.vec_id AS id0, r.vec_id AS id1
+                FROM bb l JOIN bb r
+                  ON l.block_idx = r.block_idx AND l.block_val = r.block_val
+                 AND l.vec_id < r.vec_id)
+       SELECT c.id0, c.id1, round({_COS_SQL}, 4) AS similarity
+       FROM cand c
+       JOIN embeddings a ON a.vec_id = c.id0
+       JOIN embeddings b ON b.vec_id = c.id1
+       WHERE {_COS_SQL} >= 0.3""",
+)
 def _embedding_near_dup_scalable(spark, sf_dir):
     """Sub-quadratic embedding near-dup (LSH-banded candidates + exact
     verify) — the 100 TB path where the exact all-pairs tier would
-    need an unbounded broadcast. Precision exact by construction."""
+    need an unbounded broadcast. Precision exact by construction;
+    recall is probe-bound and the candidate set is oracle-pinned (the
+    SQL mirrors the banding exactly over literal planes)."""
     from redshells_spark.dedup.embedding import embedding_near_dup_pairs_scalable
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -34,43 +34,35 @@ from redshells_spark.operators.topk import per_group_topk
 _PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
 
 
+def hyperplane_matrix(num_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes as a (planes, dim)
+    float64 matrix — pure numpy (splitmix64 bit-mix over the flat
+    index), NO Spark job and NO engine-specific hash, so the exact
+    plane values can be exported as literals into an ANSI-SQL oracle
+    (DuckDB recomputes identical signatures). Components are
+    ``(mix % 1000)/500 - 1`` — uniform in [-1, 1) at 0.002 resolution,
+    centered so planes are unbiased. A few KiB; cached per key."""
+    key = (num_planes, dim, seed)
+    if key not in _PLANE_CACHE:
+        idx = np.arange(num_planes * dim, dtype=np.uint64)
+        x = idx + np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+        with np.errstate(over="ignore"):
+            z = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z ^= z >> np.uint64(30)
+            z *= np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(27)
+            z *= np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+        vals = (z % np.uint64(1000)).astype(np.float64) / 500.0 - 1.0
+        _PLANE_CACHE[key] = vals.reshape(num_planes, dim)
+    return _PLANE_CACHE[key]
+
+
 def _hyperplane_matrix(
     spark: SparkSession, num_planes: int, dim: int, seed: int
 ) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes as a (planes, dim) numpy
-    matrix, derived from ``xxhash64`` exactly like the original Catalyst
-    expression so signatures stay deterministic across cluster layouts.
-    Components use ``pmod`` so they are centered in [-1, 1) (a signed
-    ``%`` biased every component toward -1, correlating all planes).
-    The matrix is planes·dim values (a few KiB) — computed once per
-    (planes, dim, seed) via a tiny Spark job and cached."""
-    key = (num_planes, dim, seed)
-    if key not in _PLANE_CACHE:
-        rows = (
-            spark.range(num_planes * dim)
-            .select(
-                (F.col("id") / dim).cast("int").alias("p"),
-                (F.col("id") % dim).cast("int").alias("d"),
-            )
-            .select(
-                "p",
-                "d",
-                (
-                    F.pmod(
-                        F.xxhash64((F.col("p") * 1000003 + seed).cast("int"), F.col("d")),
-                        F.lit(1000),
-                    ).cast("double")
-                    / 500.0
-                    - 1.0
-                ).alias("c"),
-            )
-            .collect()
-        )
-        mat = np.zeros((num_planes, dim), dtype=np.float64)
-        for r in rows:
-            mat[r["p"], r["d"]] = r["c"]
-        _PLANE_CACHE[key] = mat
-    return _PLANE_CACHE[key]
+    # Spark arg kept for call-site compatibility; derivation is pure.
+    return hyperplane_matrix(num_planes, dim, seed)
 
 
 def brute_force_topk(
