@@ -268,6 +268,48 @@ class GCMCModel:
         )
         return y
 
+    def item_embeddings_df(
+        self,
+        feats_df: DataFrame,
+        id_column: str = "item_id",
+        features_column: str = "features",
+    ) -> DataFrame:
+        """DISTRIBUTED cold-start embedding: the cross-feature layer
+        runs as an Arrow batch map over broadcast weights, so scoring
+        new items scales with the cluster even though training is
+        driver-capped (reference parity boundary). → (id, embedding).
+
+        Same math as :meth:`item_embeddings_for_features`
+        (numpy-parity-tested); the weights are a few KiB so the
+        broadcast is trivially safe."""
+        if self.item_feature_weights is None:
+            raise ValueError("model was trained without item features")
+        spark = feats_df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.item_feature_weights, self.item_cross_weight)
+        )
+        idtype = feats_df.schema[id_column].dataType.simpleString()
+
+        def compute(batches):
+            import pandas as pd
+
+            Wf, Wc = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                feats = np.array(list(pdf[features_column]), dtype=np.float64)
+                y, _, _ = _cross_feature_forward([feats], Wf, Wc)
+                yield pd.DataFrame(
+                    {
+                        id_column: pdf[id_column],
+                        "embedding": [list(map(float, row)) for row in y],
+                    }
+                )
+
+        return feats_df.select(id_column, features_column).mapInPandas(
+            compute, schema=f"{id_column} {idtype}, embedding array<double>"
+        )
+
     def predict_local(self, user_idx: np.ndarray, item_idx: np.ndarray) -> np.ndarray:
         u = self.user_factors[user_idx]
         v = self.item_factors[item_idx]

@@ -2577,13 +2577,37 @@ def _gcmc_feature_cold_start(spark, sf_dir):
         edges, user_map.count(), item_map.count(),
         encoder_hidden=16, encoder_size=8, epochs=15, item_features=fmat,
     )
-    new_feats = np.array([[1.0, 2.0], [1.0, 2.0], [3.0, 1.0]])
-    emb = model.item_embeddings_for_features([new_feats])
-    rows = [
-        (i, round(float(np.abs(v).sum()), 4), float(np.linalg.norm(emb[0] - emb[1])))
-        for i, v in enumerate(emb)
-    ]
-    return spark.createDataFrame(rows, "new_item int, l1_norm double, clone_gap double")
+    # DISTRIBUTED cold-start scoring: embeddings for new items computed
+    # by an Arrow batch map over broadcast cross-feature weights — the
+    # inference path scales with the cluster even though training is
+    # driver-capped (reference parity boundary)
+    new_items = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0]), (2, [3.0, 1.0])],
+        "new_item int, features array<double>",
+    )
+    emb_df = model.item_embeddings_df(new_items, "new_item", "features")
+    first = F.first(F.col("embedding")).over(
+        Window.orderBy("new_item").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        emb_df.withColumn(
+            "l1_norm",
+            F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + F.abs(x)), 4),
+        )
+        .withColumn(
+            "clone_gap",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("embedding", first, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+        .select("new_item", "l1_norm", "clone_gap")
+    )
 
 
 @q("feature_aggregation_similarity")  # driver-trained → rows-only

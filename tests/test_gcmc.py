@@ -165,6 +165,50 @@ def test_side_features_cold_start_parity(spark, synthetic_ratings):
     assert not np.allclose(emb[0], emb[2])
 
 
+def test_distributed_cold_start_matches_local(spark, synthetic_ratings):
+    """item_embeddings_df (Arrow batch map over broadcast weights) must
+    reproduce item_embeddings_for_features (driver numpy) exactly, and
+    its plan must actually be a mapInPandas stage — the distributed
+    inference boundary the driver-capped trainer doesn't share."""
+    from redshells_spark.ml.gcmc import features_matrix
+
+    edges, user_map, item_map = build_gcmc_dataset(
+        synthetic_ratings, test_size=0.1, seed=11
+    )
+    feats = item_map.select(
+        "item_id",
+        F.when(F.col("item_id") % 2 == 0, F.array(F.lit(1.0), F.lit(0.0)))
+        .otherwise(F.array(F.lit(0.0), F.lit(1.0)))
+        .alias("features"),
+    )
+    fmat = features_matrix(item_map, feats, "item_id")
+    model = train_gcmc(
+        edges, user_map.count(), item_map.count(), encoder_hidden=32,
+        encoder_size=8, epochs=5, learning_rate=0.02, seed=11, item_features=fmat,
+    )
+    new_feats = np.array([[1.0, 0.0], [0.5, 0.5], [0.0, 1.0]])
+    local = model.item_embeddings_for_features([new_feats])
+    fdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(new_feats)],
+        "item_id int, features array<double>",
+    )
+    dist_df = model.item_embeddings_df(fdf, "item_id", "features")
+    plan = dist_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    dist = {r["item_id"]: r["embedding"] for r in dist_df.collect()}
+    for i in range(3):
+        np.testing.assert_allclose(dist[i], local[i], atol=1e-12)
+
+
+def test_distributed_predict_is_map_in_pandas(spark, trained):
+    edges, model = trained
+    plan = (
+        model.predict(edges.filter(~F.col("is_train")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+
+
 def test_side_features_improve_or_hold_rmse(spark, synthetic_ratings):
     """With parity features encoding the exact rating rule, the
     featured model must stay within the reference RMSE gate."""
