@@ -39,15 +39,118 @@ def _require_codec(op: str) -> None:
 
 
 def attach_binary_metadata(
-    df: DataFrame, binary_column: str = "payload", modality: str = "image"
+    df: DataFrame,
+    binary_column: str = "payload",
+    modality: str = "image",
+    parse_headers: bool = False,
 ) -> DataFrame:
     """Typed metadata columns derived JVM-side (no Python): byte size,
-    md5 content id, modality tag. Real pipelines add width/height/
-    duration at ingest; filters on these prune before any decode."""
-    return (
+    md5 content id, modality tag. With ``parse_headers=True`` also
+    format/width/height via :func:`parse_image_headers` — REAL header
+    reads needing no codec library. Filters on these prune before any
+    decode."""
+    out = (
         df.withColumn("byte_size", F.length(F.col(binary_column)).cast("long"))
         .withColumn("content_id", F.md5(F.col(binary_column)))
         .withColumn("modality", F.lit(modality))
+    )
+    if parse_headers:
+        out = parse_image_headers(out, binary_column)
+    return out
+
+
+# magic prefixes, hex-uppercase as Spark's F.hex renders them
+_PNG_MAGIC = "89504E470D0A1A0A"
+_GIF_MAGICS = ("474946383761", "474946383961")  # GIF87a / GIF89a
+
+
+def _jpeg_dims(raw: bytes) -> tuple[int, int] | None:
+    """Scan JPEG markers for the first SOFn frame header (the only
+    image-dimension record in the stream). Pure Python, no codec."""
+    n = len(raw)
+    if n < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
+        return None
+    i = 2
+    while i + 9 <= n:
+        if raw[i] != 0xFF:
+            i += 1
+            continue
+        marker = raw[i + 1]
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
+            i += 2  # padding / standalone markers carry no length
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            # SOFn: [len:2][precision:1][height:2][width:2]
+            h = int.from_bytes(raw[i + 5 : i + 7], "big")
+            w = int.from_bytes(raw[i + 7 : i + 9], "big")
+            return (w, h)
+        seg = int.from_bytes(raw[i + 2 : i + 4], "big")
+        if seg < 2:
+            return None  # corrupt length — stop rather than loop
+        i += 2 + seg
+    return None
+
+
+def _jpeg_dims_udf():
+    # built lazily: pandas_udf resolves its DDL return type against the
+    # active session, which need not exist at module import
+    @F.pandas_udf("width long, height long")
+    def udf(payloads: pd.Series) -> pd.DataFrame:
+        ws, hs = [], []
+        for p in payloads:
+            d = _jpeg_dims(bytes(p)) if p is not None else None
+            ws.append(d[0] if d else None)
+            hs.append(d[1] if d else None)
+        return pd.DataFrame({"width": ws, "height": hs})
+
+    return udf
+
+
+def parse_image_headers(df: DataFrame, binary_column: str = "payload") -> DataFrame:
+    """→ + (format, width, height) from REAL header bytes, no codec:
+
+    - format: magic-byte dispatch, JVM-side;
+    - PNG: IHDR big-endian u32 pair at fixed offset 17/21 —
+      ``conv(hex(substring(...)))`` stays entirely in codegen;
+    - GIF: logical-screen little-endian u16 pair at offset 7/9, same
+      JVM arithmetic with byte-swapped hex concat;
+    - JPEG: dimensions live in a variable-position SOFn marker, which
+      a relational expression can't scan — Arrow-batched pandas UDF
+      (the one Python stage, and only its two longs come back).
+
+    Unknown/truncated payloads yield format='unknown' and null dims."""
+    b = F.col(binary_column)
+
+    def _be32(pos: int) -> F.Column:
+        return F.conv(F.hex(F.substring(b, pos, 4)), 16, 10).cast("long")
+
+    def _le16(pos: int) -> F.Column:
+        swapped = F.concat(F.hex(F.substring(b, pos + 1, 1)), F.hex(F.substring(b, pos, 1)))
+        return F.conv(swapped, 16, 10).cast("long")
+
+    fmt = (
+        F.when(F.hex(F.substring(b, 1, 8)) == _PNG_MAGIC, F.lit("png"))
+        .when(F.hex(F.substring(b, 1, 2)) == "FFD8", F.lit("jpeg"))
+        .when(F.hex(F.substring(b, 1, 6)).isin(*_GIF_MAGICS), F.lit("gif"))
+        .otherwise(F.lit("unknown"))
+    )
+    jp = F.when(fmt == "jpeg", _jpeg_dims_udf()(b))
+    return (
+        df.withColumn("format", fmt)
+        .withColumn("__jp", jp)
+        .withColumn(
+            "width",
+            F.when(F.col("format") == "png", _be32(17))
+            .when(F.col("format") == "gif", _le16(7))
+            .when(F.col("format") == "jpeg", F.col("__jp.width")),
+        )
+        .withColumn(
+            "height",
+            F.when(F.col("format") == "png", _be32(21))
+            .when(F.col("format") == "gif", _le16(9))
+            .when(F.col("format") == "jpeg", F.col("__jp.height")),
+        )
+        .drop("__jp")
     )
 
 

@@ -871,6 +871,63 @@ def _binary_metadata(spark, sf_dir):
 
 
 @q(
+    "image_header_dims",
+    """SELECT doc_id, f.format,
+              CAST((doc_id % 500) + 1 AS BIGINT) AS width,
+              CAST(((doc_id * 7) % 400) + 1 AS BIGINT) AS height
+       FROM documents, (VALUES ('png'), ('jpeg'), ('gif')) f(format)""",
+)
+def _image_header_dims(spark, sf_dir):
+    """REAL image-header parsing, end-to-end verified: spec-conformant
+    PNG/JPEG/GIF headers are constructed JVM-side from doc_id (unhex of
+    generated hex — big-endian IHDR, SOF0 marker segment, little-endian
+    GIF screen descriptor), then parse_image_headers must invert the
+    construction exactly. The oracle recomputes the dims arithmetically
+    — a MATCH proves the parser reads the right bytes in the right
+    endianness for every format. PNG/GIF parse fully in codegen; JPEG's
+    variable-position SOF scan is the one Arrow-batched Python stage."""
+    from redshells_spark.multimodal.binary_ops import parse_image_headers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 500 + 1).cast("long")
+    h = ((F.col("doc_id") * 7) % 400 + 1).cast("long")
+    w_be = F.lpad(F.hex(w), 8, "0")
+    h_be = F.lpad(F.hex(h), 8, "0")
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"), w_be, h_be, F.lit("0806000000")
+        )
+    )
+    jpeg = F.unhex(
+        F.concat(
+            F.lit("FFD8FFE00010" + "00" * 14 + "FFC0001108"),
+            F.lpad(F.hex(h), 4, "0"),
+            F.lpad(F.hex(w), 4, "0"),
+            F.lit("03"),
+        )
+    )
+    gif = F.unhex(
+        F.concat(
+            F.lit("474946383961"),
+            F.lpad(F.hex(w % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(w / 256)), 2, "0"),
+            F.lpad(F.hex(h % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(h / 256)), 2, "0"),
+            F.lit("F70000"),
+        )
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.explode(F.array(png.alias("p"), jpeg.alias("p"), gif.alias("p"))).alias(
+            "payload"
+        ),
+    )
+    return parse_image_headers(payloads, "payload").select(
+        "doc_id", "format", "width", "height"
+    )
+
+
+@q(
     "stream_dedup_fingerprints",
     """SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
               min(doc_id) AS first_doc, CAST(count(*) AS BIGINT) AS n

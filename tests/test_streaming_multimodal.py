@@ -112,6 +112,66 @@ def test_attach_binary_metadata(binary_df):
     assert out.select("content_id").distinct().count() == 20
 
 
+def _png(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _jpeg(w, h):
+    import struct
+
+    # SOI + APP0 + COM (variable-length segments before SOF) + SOF0
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 9
+        + b"\xff\xfe\x00\x07hello"
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x03"
+    )
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF87a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def test_parse_image_headers_real_formats(spark):
+    from redshells_spark.multimodal.binary_ops import parse_image_headers
+
+    rows = [
+        (1, _png(640, 480)),
+        (2, _jpeg(1920, 1080)),
+        (3, _gif(320, 200)),
+        (4, b"not an image at all"),
+        (5, b"\x89PN"),  # truncated magic
+        (6, _png(70000, 3)),  # PNG dims exceed 16 bits — u32 read
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {r["item_id"]: r for r in parse_image_headers(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 1920, 1080)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("gif", 320, 200)
+    assert got[4]["format"] == "unknown" and got[4]["width"] is None
+    assert got[5]["format"] == "unknown"
+    assert (got[6]["width"], got[6]["height"]) == (70000, 3)
+
+
+def test_attach_binary_metadata_with_headers(spark):
+    from redshells_spark.multimodal.binary_ops import attach_binary_metadata
+
+    df = spark.createDataFrame([(1, _png(8, 9))], "item_id long, payload binary")
+    row = attach_binary_metadata(df, parse_headers=True).head()
+    assert row["byte_size"] == len(_png(8, 9))
+    assert (row["format"], row["width"], row["height"]) == ("png", 8, 9)
+
+
 def test_decode_images_deterministic(binary_df):
     out1 = decode_images(binary_df, height=8, width=8)
     out2 = decode_images(binary_df, height=8, width=8)
