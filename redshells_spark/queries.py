@@ -1778,6 +1778,72 @@ def _embedding_near_dup_scalable(spark, sf_dir):
     return out.select("id0", "id1", _r4(F.col("similarity"), "similarity"))
 
 
+@q(
+    "ivf_topk_fixed_centroids",
+    f"""WITH cent AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                embedding
+         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 800),
+       d2 AS (
+         SELECT e.vec_id AS eid, c.cid AS cid,
+                list_reduce(list_transform(range(1, 65),
+                    i -> (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                       * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)),
+                    (acc, x) -> acc + x) AS d2
+         FROM embeddings e CROSS JOIN cent c),
+       assign AS (
+         SELECT eid AS vec_id, cid FROM (
+           SELECT eid, cid,
+                  row_number() OVER (PARTITION BY eid ORDER BY d2 ASC, cid ASC) AS rn
+           FROM d2)
+         WHERE rn = 1),
+       qprobe AS (
+         SELECT eid AS query_id, cid FROM (
+           SELECT eid, cid,
+                  row_number() OVER (PARTITION BY eid ORDER BY d2 ASC, cid ASC) AS rn
+           FROM d2 WHERE eid < 50)
+         WHERE rn <= 4),
+       cand AS (SELECT q.query_id, s.vec_id
+                FROM qprobe q JOIN assign s ON s.cid = q.cid),
+       scored AS (SELECT c.query_id, c.vec_id, {_COS_SQL} AS score
+                  FROM cand c
+                  JOIN embeddings a ON a.vec_id = c.query_id
+                  JOIN embeddings b ON b.vec_id = c.vec_id)
+       SELECT query_id, vec_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id ASC) AS rn
+             FROM scored)
+       WHERE rn <= 10""",
+)
+def _ivf_topk_fixed_centroids(spark, sf_dir):
+    """IVF with DETERMINISTIC centroids (strided corpus vectors) so the
+    whole pipeline — assignment argmin, nprobe probing, cosine rerank —
+    is oracle-checkable: Spark's left-fold zip_with/aggregate squared-L2
+    and DuckDB's list_reduce evaluate float64 additions in the same
+    index order, so assignments agree bit-for-bit. The KMeans variant
+    (``ivf_topk``) keeps quantizer quality; this one pins the engine
+    mechanics cross-engine."""
+    from redshells_spark.similarity.ann import assign_to_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 800))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()  # 16 rows — bounded driver probe, mirrors index build
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    assigned = assign_to_centroids(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(queries, assigned, centroids, k=10, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", _r4(F.col("score"), "score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @q("ivf_topk")  # KMeans fit RNG → rows-only check
 def _ivf_topk(spark, sf_dir):
     """IVF approximate top-k: KMeans coarse quantizer + nprobe

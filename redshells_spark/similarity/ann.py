@@ -540,6 +540,42 @@ def ivf_build_index(
     return assigned, centroids
 
 
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    embedding_column: str = "embedding",
+) -> DataFrame:
+    """→ corpus + ``centroid`` (nearest centroid by squared L2,
+    ties broken by centroid index). Pure Catalyst expression — the
+    SAME left-fold ``zip_with``/``aggregate`` arithmetic the query
+    probe uses, so an ANSI-SQL oracle evaluating index-ordered sums
+    reproduces assignments bit-for-bit (float64 addition in identical
+    order). Use instead of :func:`ivf_build_index` when centroids are
+    fixed/deterministic (e.g. strided corpus vectors) and cross-engine
+    verifiability matters more than quantizer quality."""
+    cent = F.array(
+        *[F.array(*[F.lit(x) for x in c]).cast("array<double>") for c in centroids]
+    )
+    dists = F.transform(
+        cent,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.transform(F.col(embedding_column), lambda x: x.cast("double")),
+                    c,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("centroid"),
+        ),
+    )
+    return corpus.withColumn(
+        "centroid", F.array_sort(dists)[0]["centroid"]
+    )
+
+
 def save_ivf_index(
     indexed_corpus: DataFrame,
     centroids: list[list[float]],

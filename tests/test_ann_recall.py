@@ -92,3 +92,41 @@ def test_ivf_recall(queries_df, emb, truth):
     approx = ivf_topk(queries_df, indexed, centroids, k=K, nprobe=8)
     r = _recall(approx, truth)
     assert r > 0.5, f"IVF recall@{K} (nprobe=8/16) = {r}"
+
+
+def test_assign_to_centroids_matches_numpy(emb):
+    """Relational argmin assignment == numpy argmin (with index
+    tie-break), and every corpus row gets exactly one centroid."""
+    import numpy as np
+
+    from redshells_spark.similarity.ann import assign_to_centroids
+
+    sample = emb.filter(F.col("vec_id") < 300)
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 500))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    out = assign_to_centroids(sample, centroids)
+    got = {r["vec_id"]: r["centroid"] for r in out.collect()}
+    assert len(got) == sample.count()
+
+    C = np.array(centroids, dtype=np.float64)
+    for r in sample.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        d = ((C - v) ** 2).sum(axis=1)
+        assert got[r["vec_id"]] == int(np.argmin(d)), r["vec_id"]
+
+
+def test_ivf_deterministic_recall(queries_df, emb, truth):
+    from redshells_spark.similarity.ann import assign_to_centroids
+
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 800))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    assigned = assign_to_centroids(emb, centroids)
+    approx = ivf_topk(queries_df, assigned, centroids, k=K, nprobe=8)
+    r = _recall(approx, truth)
+    assert r > 0.5, f"deterministic-IVF recall@{K} = {r}"
