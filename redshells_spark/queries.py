@@ -947,6 +947,109 @@ def _stream_dedup_fingerprints(spark, sf_dir):
     )
 
 
+# Bloom runtime-filter oracle: DuckDB reconstructs the *identical*
+# 8192-bit bitmap from portable arithmetic (md5-hex folded to 60 bits,
+# Kirsch-Mitzenmacher double hashing with the minhash constant family)
+# and therefore the identical false-positive set — an approximate
+# operator made exactly checkable. See operators/bloom.py.
+_BLOOM_P = 2147483647
+_BLOOM_WORDS = 256
+_BLOOM_M = _BLOOM_WORDS * 32
+_BLOOM_K = 3
+
+
+def _duck_h60(key_sql: str) -> str:
+    """DuckDB: first 15 hex digits of md5 as int64 (same fold as
+    dedup/simhash.py's portable signatures)."""
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substr(md5(CAST({key_sql} AS VARCHAR)), {i + 1}, 1)) - 1)"
+            f" * {16 ** (14 - i)}"
+            for i in range(15)
+        )
+        + ")"
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    from redshells_spark.operators.bloom import _hash_consts
+
+    consts = _hash_consts(_BLOOM_K)
+    pos_terms = " UNION ALL ".join(
+        f"SELECT ((hp * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M} AS p FROM kh" for a, b in consts
+    )
+    probe_terms = " AND ".join(
+        f"(a[((((hp * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M}) // 32)::INTEGER + 1]"
+        f" & (1::BIGINT << (((((hp * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M}) % 32)::INTEGER))) <> 0"
+        for a, b in consts
+    )
+    return f"""WITH keys AS (SELECT DISTINCT o_orderkey AS key FROM orders
+                    WHERE o_totalprice > 400000),
+       kh AS (SELECT {_duck_h60("key")} % {_BLOOM_P} AS hp FROM keys),
+       pos AS ({pos_terms}),
+       words AS (SELECT p // 32 AS word,
+                        bit_or(1::BIGINT << (p % 32)::INTEGER) AS bits
+                 FROM pos GROUP BY 1),
+       dense AS (SELECT g AS word, COALESCE(w.bits, 0::BIGINT) AS bits
+                 FROM generate_series(0, {_BLOOM_WORDS - 1}) AS gs(g)
+                 LEFT JOIN words w ON w.word = g),
+       arr AS (SELECT list(bits ORDER BY word) AS a FROM dense),
+       probe AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                        {_duck_h60("l_orderkey")} % {_BLOOM_P} AS hp
+                 FROM lineitem)
+       SELECT l_orderkey, l_linenumber, l_quantity
+       FROM probe, arr WHERE {probe_terms}"""
+
+
+@q("bloom_filter_probe", _bloom_oracle_sql())
+def _bloom_filter_probe(spark, sf_dir):
+    """Raw runtime-filter output: lineitem rows whose key passes the
+    bloom built from high-value orders — a deterministic superset of
+    the true semi-join (the oracle reconstructs the same bitmap, so
+    even the false positives MATCH). The fact side is filtered inside
+    the scan stage: no shuffle, no join."""
+    from redshells_spark.operators.bloom import bloom_contains, build_bloom
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    bloom = build_bloom(
+        orders.select(F.col("o_orderkey").alias("key")).dropDuplicates(),
+        "key",
+        num_words=_BLOOM_WORDS,
+        num_hashes=_BLOOM_K,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(bloom_contains(bloom, "l_orderkey")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@q(
+    "bloom_semi_join",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                            WHERE o_totalprice > 400000)""",
+)
+def _bloom_semi_join(spark, sf_dir):
+    """Bloom pre-filter + broadcast semi-join cleanup: exact semi-join
+    semantics (the plain-SQL oracle), but the fact scan emits only
+    bloom survivors, so the join input is ~FP-rate above the true
+    match set instead of the whole table."""
+    from redshells_spark.operators.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = _t(spark, sf_dir, "lineitem")
+    return bloom_semi_join(
+        li,
+        orders.select("o_orderkey"),
+        big_key="l_orderkey",
+        small_key="o_orderkey",
+        num_words=_BLOOM_WORDS,
+        num_hashes=_BLOOM_K,
+        exact=True,
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 @q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
