@@ -1051,6 +1051,111 @@ def _bloom_semi_join(spark, sf_dir):
 
 
 @q(
+    "time_bucket_gapfill",
+    """WITH obs AS (
+         SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+                round(avg(value), 10) AS v
+         FROM events GROUP BY 1, 2),
+       span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY 1),
+       grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+       gfull AS (SELECT g.user_id, g.bucket, o.v
+                 FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket),
+       w AS (SELECT user_id, bucket, v,
+               last_value(v IGNORE NULLS) OVER fw AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER fw AS prev_b,
+               first_value(v IGNORE NULLS) OVER bw AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER bw AS next_b
+             FROM gfull
+             WINDOW fw AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+                    bw AS (PARTITION BY user_id ORDER BY bucket
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT user_id, (bucket * 3600)::BIGINT AS bucket_start,
+              (v IS NULL)::INTEGER AS is_gap,
+              CAST(round(prev_v * 10000) AS BIGINT) AS v_locf_e4,
+              CAST(round((CASE WHEN v IS NOT NULL THEN v
+                    ELSE prev_v + (next_v - prev_v) * (bucket - prev_b) / (next_b - prev_b)
+                    END) * 10000) AS BIGINT) AS v_interp_e4
+       FROM w""",
+)
+def _time_bucket_gapfill(spark, sf_dir):
+    """Hypertable-style gap-fill (operators/gapfill.py): hourly per-user
+    buckets, missing buckets materialized inside each user's observed
+    span, LOCF + linear interpolation. Fills are exported as 1e-4-scaled
+    integers: ``round(x*10000)`` rounds the *same* IEEE product on both
+    engines, where ``round(x, 4)`` diverges (Spark's exact-BigDecimal
+    HALF_UP vs DuckDB's multiply-then-round double-rounding) whenever an
+    interpolated value lands exactly on a 5e-5 boundary."""
+    from redshells_spark.operators.gapfill import time_bucket_gapfill
+
+    out = time_bucket_gapfill(
+        _t(spark, sf_dir, "events"),
+        key_column="user_id",
+        value_column="value",
+        ts_column="ts",
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        "bucket_start",
+        "is_gap",
+        F.round(F.col("v_locf") * 10000, 0).cast("long").alias("v_locf_e4"),
+        F.round(F.col("v_interp") * 10000, 0).cast("long").alias("v_interp_e4"),
+    )
+
+
+# PageRank oracle: the power iteration unrolled as CTEs. Every iterate
+# is rounded to 10 decimals on BOTH engines, which erases the ~1e-17
+# order-of-summation noise of double aggregation and makes the whole
+# fixpoint bit-reproducible. Damping constants go through explicit
+# DOUBLE casts — DuckDB parses 0.85 as DECIMAL, whose arithmetic would
+# diverge from Spark's IEEE doubles.
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    base = "((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))"
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""rk{i} AS (SELECT e.dst AS node,
+                     round({base} + CAST(0.85 AS DOUBLE) * sum(p.r / d.deg), 10) AS r
+              FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst)"""
+        )
+        prev = f"rk{i}"
+    joined = ",\n       ".join(steps)
+    return f"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+       deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+       nn AS (SELECT count(DISTINCT src)::DOUBLE AS n FROM edges),
+       r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+              FROM (SELECT DISTINCT src FROM edges)),
+       {joined}
+       SELECT node, r AS rank FROM {prev}"""
+
+
+@q("pagerank_copurchase", _pagerank_oracle_sql(3))
+def _pagerank_copurchase(spark, sf_dir):
+    """Distributed PageRank (operators/graph.py) over the symmetrized
+    customer–supplier purchase graph: 3 synchronous power steps,
+    d=0.85, iterates rounded to 10 decimals for cross-engine
+    determinism. Each step is one co-partitioned join + one sum — the
+    relational Pregel shape, checkpointed on longer runs."""
+    from redshells_spark.operators.graph import pagerank, symmetrize_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return pagerank(symmetrize_edges(e0), iterations=3, damping=0.85, round_digits=10)
+
+
+@q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
 )

@@ -1,0 +1,40 @@
+"""pagerank: hand-checked tiny graph, mass conservation, dangling guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from redshells_spark.operators.graph import pagerank, symmetrize_edges
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_two_node_cycle_is_uniform(spark):
+    # a <-> b: uniform start is the exact fixpoint
+    pr = pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iterations=4)
+    ranks = {r["node"]: r["rank"] for r in pr.collect()}
+    assert ranks == {"a": 0.5, "b": 0.5}
+
+
+def test_star_center_dominates_and_mass_conserved(spark):
+    e = symmetrize_edges(_edges(spark, [("hub", x) for x in ("a", "b", "c", "d")]))
+    pr = pagerank(e, iterations=10, checkpoint_every=3)
+    ranks = {r["node"]: r["rank"] for r in pr.collect()}
+    assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub")
+    # no dangling nodes -> total rank mass stays 1
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+    # spokes are symmetric
+    spoke = [v for k, v in ranks.items() if k != "hub"]
+    assert max(spoke) == pytest.approx(min(spoke), abs=1e-12)
+
+
+def test_dangling_nodes_refused(spark):
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(_edges(spark, [("a", "b")]))
+
+
+def test_symmetrize(spark):
+    e = symmetrize_edges(_edges(spark, [("a", "b"), ("a", "b"), ("b", "a")]))
+    assert sorted((r["src"], r["dst"]) for r in e.collect()) == [("a", "b"), ("b", "a")]
