@@ -1156,6 +1156,65 @@ def _pagerank_copurchase(spark, sf_dir):
 
 
 @q(
+    "pq_topk",
+    """WITH cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                     embedding
+              FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 800),
+       ms AS (SELECT unnest(range(8)) AS m),
+       sub AS (SELECT m, cid,
+                      list_transform(range(1, 9), i -> embedding[m * 8 + i]::DOUBLE) AS cw
+               FROM cent, ms),
+       vsub AS (SELECT vec_id, m,
+                       list_transform(range(1, 9), i -> embedding[m * 8 + i]::DOUBLE) AS v
+                FROM embeddings, ms),
+       d2 AS (SELECT v.vec_id, v.m, s.cid,
+                     list_reduce(list_transform(range(1, 9),
+                         i -> (v.v[i] - s.cw[i]) * (v.v[i] - s.cw[i])),
+                         (a, b) -> a + b) AS d2
+              FROM vsub v JOIN sub s ON s.m = v.m),
+       codes AS (SELECT vec_id, m, cid AS code FROM (
+                   SELECT vec_id, m, cid,
+                          row_number() OVER (PARTITION BY vec_id, m
+                                             ORDER BY d2 ASC, cid ASC) AS rn
+                   FROM d2) WHERE rn = 1),
+       dt AS (SELECT vec_id AS query_id, m, cid,
+                     CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d_e6
+              FROM d2 WHERE vec_id < 50),
+       adc AS (SELECT t.query_id, c.vec_id, sum(t.d_e6)::BIGINT AS approx_d2_e6
+               FROM codes c JOIN dt t ON t.m = c.m AND t.cid = c.code
+               GROUP BY 1, 2)
+       SELECT query_id, vec_id, approx_d2_e6, CAST(rn AS BIGINT) AS rank
+       FROM (SELECT query_id, vec_id, approx_d2_e6,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY approx_d2_e6 ASC, vec_id ASC) AS rn
+             FROM adc)
+       WHERE rn <= 10""",
+)
+def _pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity/pq.py): M=8 subspaces,
+    16 strided-corpus codewords each, integer-scaled distance tables.
+    Every stage — left-fold subspace distances, argmin codes, ADC
+    integer sums, boundary-tie cuts — is pinned bit-for-bit against the
+    DuckDB oracle; the approximation error vs exact search is a *fixed
+    deterministic function* of the codebooks, not engine noise."""
+    from redshells_spark.similarity.pq import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 800))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()  # ≤16 rows — bounded codebook probe, mirrors index build
+    )
+    cbs = pq_codebooks([[float(x) for x in r["embedding"]] for r in cent_rows], num_subspaces=8)
+    codes = pq_encode(emb, cbs)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(queries, codes, cbs, k=10)
+
+
+@q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
 )
