@@ -1215,6 +1215,28 @@ def _pq_topk(spark, sf_dir):
 
 
 @q(
+    "heavy_hitter_tokens",
+    f"""WITH {_TOK_SQL}
+       SELECT token, cnt FROM (
+         SELECT token, count(*)::BIGINT AS cnt,
+                row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+         FROM tok GROUP BY token)
+       WHERE rn <= 50""",
+)
+def _heavy_hitter_tokens(spark, sf_dir):
+    """Exact top-50 tokens via Misra-Gries candidates + recount
+    (operators/heavy_hitters.py): per-partition bounded summaries (no
+    shuffle) feed a candidates-only recount, with a per-run exactness
+    certificate — so the oracle is the plain top-k SQL even though the
+    full token vocabulary never shuffles."""
+    from redshells_spark.operators.heavy_hitters import top_k_frequent
+
+    toks = _tokens(spark, sf_dir).select(F.explode("tokens").alias("token"))
+    out = top_k_frequent(toks, "token", k=50, capacity=4096)
+    return out.select("token", F.col("cnt").cast("long").alias("cnt"))
+
+
+@q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
 )
