@@ -35,6 +35,12 @@ HEADLINE = [
     "salted_aggregate",
     "orders_rollup",
     "semi_join_isin",
+    # round-3 scale tier
+    "bloom_filter_probe",
+    "time_bucket_gapfill",
+    "pagerank_copurchase",
+    "pq_topk",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -60,16 +60,31 @@ def _h60_sql(key_sql: str) -> str:
     return f"cast(conv(substring(md5(cast({key_sql} as string)), 1, 15), 16, 10) as bigint)"
 
 
-def _bitpos_sql(key_sql: str, a: int, b: int, num_bits: int) -> str:
-    # h%P first: h is < 2^60 and A < 2^31, so the product must be
-    # reduced before multiplying to stay inside int64
-    return f"((({_h60_sql(key_sql)} % {P}) * {a} + {b}) % {P}) % {num_bits}"
+def _base_h_sql(key_sql: str, numeric: bool) -> str:
+    """Base hash reduced mod P. Numeric keys skip md5 entirely: the
+    Kirsch-Mitzenmacher multipliers (A_j ~ Knuth's 2654435761) do the
+    mixing, and the whole probe stays integer codegen — md5-per-row was
+    the entire probe cost (~6 digest evaluations per row, one per
+    word/bit index of each of k probes). String keys keep the md5 fold.
+    Both variants are reproduced verbatim by the DuckDB oracle."""
+    if numeric:
+        return f"(cast({key_sql} as bigint) % {P})"
+    return f"({_h60_sql(key_sql)} % {P})"
+
+
+def _bitpos_sql(key_sql: str, a: int, b: int, num_bits: int, numeric: bool) -> str:
+    # base hash < P and A < P, so the product stays inside int64
+    return f"(({_base_h_sql(key_sql, numeric)} * {a} + {b}) % {P}) % {num_bits}"
+
+
+_INT_DTYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
 
 
 @dataclass(frozen=True)
 class BloomFilter:
     words: tuple[int, ...]  # dense bitmap, words[i] holds bits [32i, 32i+32)
     num_hashes: int
+    numeric_key: bool  # build-side key kind; probe keys must match it
 
     @property
     def num_bits(self) -> int:
@@ -92,8 +107,9 @@ def build_bloom(
     input partition regardless of key count.
     """
     num_bits = num_words * WORD_BITS
+    numeric = dict(keys.dtypes)[key_column] in _INT_DTYPES
     pos_cols = [
-        F.expr(_bitpos_sql(f"`{key_column}`", a, b, num_bits))
+        F.expr(_bitpos_sql(f"`{key_column}`", a, b, num_bits, numeric))
         for a, b in _hash_consts(num_hashes)
     ]
     # pyspark's F.shiftleft only takes a literal shift amount, so the
@@ -111,16 +127,20 @@ def build_bloom(
     dense = [0] * num_words
     for row in sparse:
         dense[row["word"]] = row["bits"]
-    return BloomFilter(words=tuple(dense), num_hashes=num_hashes)
+    return BloomFilter(words=tuple(dense), num_hashes=num_hashes, numeric_key=numeric)
 
 
 def bloom_contains(bloom: BloomFilter, key_column: str) -> Column:
     """Membership test as a pure-codegen conjunction of k bit probes
-    against the literal word array. No shuffle, no join, no Python."""
+    against the literal word array. No shuffle, no join, no Python.
+
+    The probe key's dtype kind must match the build side's
+    (``bloom.numeric_key``) — a numeric build probed with strings would
+    silently hash differently."""
     arr_sql = "array(" + ", ".join(f"cast({w} as bigint)" for w in bloom.words) + ")"
     conds = None
     for a, b in _hash_consts(bloom.num_hashes):
-        pos = _bitpos_sql(f"`{key_column}`", a, b, bloom.num_bits)
+        pos = _bitpos_sql(f"`{key_column}`", a, b, bloom.num_bits, bloom.numeric_key)
         term = F.expr(
             f"(element_at({arr_sql}, cast(({pos}) div {WORD_BITS} as int) + 1)"
             f" & shiftleft(cast(1 as bigint), cast(({pos}) % {WORD_BITS} as int))) != 0"
@@ -148,6 +168,12 @@ def bloom_semi_join(
     the exact join only sees the survivors.
     """
     bloom = build_bloom(small_keys.select(small_key).dropDuplicates(), small_key, num_words, num_hashes)
+    if (dict(big.dtypes)[big_key] in _INT_DTYPES) != bloom.numeric_key:
+        raise ValueError(
+            f"bloom_semi_join: key dtype kind mismatch — build side "
+            f"numeric={bloom.numeric_key}, probe column {big_key!r} is "
+            f"{dict(big.dtypes)[big_key]}; hashes would disagree silently"
+        )
     passed = big.filter(bloom_contains(bloom, big_key))
     if not exact:
         return passed

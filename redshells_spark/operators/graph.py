@@ -51,35 +51,40 @@ def pagerank(
     damping: float = 0.85,
     round_digits: int | None = 10,
     checkpoint_every: int = 5,
+    assume_no_dangling: bool = False,
 ) -> DataFrame:
     """→ (node, rank) after ``iterations`` synchronous power steps from
     the uniform vector. ``edges`` must be (src, dst) with every node
-    having out-degree ≥ 1 (see :func:`symmetrize_edges`)."""
+    having out-degree ≥ 1 (see :func:`symmetrize_edges`; callers that
+    just symmetrized can pass ``assume_no_dangling=True`` to skip the
+    verification pass)."""
+    # materialize the (edge ⋈ degree) relation once — every iteration
+    # reuses it, and without the checkpoint Spark would re-run the
+    # caller's whole upstream plan (joins, dedups) per iteration
     edges = edges.select("src", "dst")
-
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).dropDuplicates()
-    # dangling check: every dst must also appear as a src
-    dangling = (
-        edges.select(F.col("dst").alias("node"))
-        .dropDuplicates()
-        .join(nodes, on="node", how="left_anti")
-        .limit(1)
-        .count()
-    )
-    if dangling:
-        raise ValueError(
-            "pagerank: edge list has dangling nodes (dst never appears as src); "
-            "symmetrize_edges() or add self-loops first"
+    wedges = edges.join(deg, on="src").localCheckpoint(eager=True)
+
+    nodes = wedges.select(F.col("src").alias("node")).dropDuplicates()
+    if not assume_no_dangling:
+        # every dst must also appear as a src
+        dangling = (
+            wedges.select(F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(nodes, on="node", how="left_anti")
+            .limit(1)
+            .count()
         )
+        if dangling:
+            raise ValueError(
+                "pagerank: edge list has dangling nodes (dst never appears as src); "
+                "symmetrize_edges() or add self-loops first"
+            )
 
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
-
-    # weighted edges: contribution factor r(src)/deg(src); deg joined once
-    wedges = edges.join(deg, on="src")
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iterations):

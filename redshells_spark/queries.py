@@ -953,7 +953,9 @@ def _stream_dedup_fingerprints(spark, sf_dir):
 # and therefore the identical false-positive set — an approximate
 # operator made exactly checkable. See operators/bloom.py.
 _BLOOM_P = 2147483647
-_BLOOM_WORDS = 256
+# 4096 words = 128 Kbit = 16 KB: ~8 bits/key at sf0.1's ~15k hot keys
+# (k=3 → ~3% FP); 256 words saturated there and passed everything
+_BLOOM_WORDS = 4096
 _BLOOM_M = _BLOOM_WORDS * 32
 _BLOOM_K = 3
 
@@ -984,9 +986,11 @@ def _bloom_oracle_sql() -> str:
         f" & (1::BIGINT << (((((hp * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M}) % 32)::INTEGER))) <> 0"
         for a, b in consts
     )
+    # numeric keys: base hash is key % P directly (no md5) — matches
+    # operators/bloom.py's integer fast path
     return f"""WITH keys AS (SELECT DISTINCT o_orderkey AS key FROM orders
                     WHERE o_totalprice > 400000),
-       kh AS (SELECT {_duck_h60("key")} % {_BLOOM_P} AS hp FROM keys),
+       kh AS (SELECT (key::BIGINT % {_BLOOM_P}) AS hp FROM keys),
        pos AS ({pos_terms}),
        words AS (SELECT p // 32 AS word,
                         bit_or(1::BIGINT << (p % 32)::INTEGER) AS bits
@@ -996,7 +1000,7 @@ def _bloom_oracle_sql() -> str:
                  LEFT JOIN words w ON w.word = g),
        arr AS (SELECT list(bits ORDER BY word) AS a FROM dense),
        probe AS (SELECT l_orderkey, l_linenumber, l_quantity,
-                        {_duck_h60("l_orderkey")} % {_BLOOM_P} AS hp
+                        (l_orderkey::BIGINT % {_BLOOM_P}) AS hp
                  FROM lineitem)
        SELECT l_orderkey, l_linenumber, l_quantity
        FROM probe, arr WHERE {probe_terms}"""
@@ -1152,7 +1156,13 @@ def _pagerank_copurchase(spark, sf_dir):
         )
         .dropDuplicates()
     )
-    return pagerank(symmetrize_edges(e0), iterations=3, damping=0.85, round_digits=10)
+    return pagerank(
+        symmetrize_edges(e0),
+        iterations=3,
+        damping=0.85,
+        round_digits=10,
+        assume_no_dangling=True,  # symmetrize guarantees out-degree ≥ 1
+    )
 
 
 @q(
@@ -1234,6 +1244,84 @@ def _heavy_hitter_tokens(spark, sf_dir):
     toks = _tokens(spark, sf_dir).select(F.explode("tokens").alias("token"))
     out = top_k_frequent(toks, "token", k=50, capacity=4096)
     return out.select("token", F.col("cnt").cast("long").alias("cnt"))
+
+
+@q(
+    "kmv_distinct_users",
+    f"""WITH h AS (SELECT DISTINCT event_type, {_duck_h60("user_id")} AS h FROM events),
+       r AS (SELECT event_type, h,
+                    row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+             FROM h),
+       a AS (SELECT event_type, count(*)::BIGINT AS n_hashes, max(h) AS hk
+             FROM r WHERE rn <= 64 GROUP BY 1),
+       x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+             FROM events GROUP BY 1)
+       SELECT a.event_type, a.n_hashes, x.n_exact,
+              round(CASE WHEN a.n_hashes < 64 THEN a.n_hashes::DOUBLE
+                    ELSE 63.0 * 1152921504606846976.0 / hk::DOUBLE END, 4) AS kmv_estimate
+       FROM a JOIN x ON x.event_type = a.event_type""",
+)
+def _kmv_distinct_users(spark, sf_dir):
+    """K-Minimum-Values distinct-user sketch (operators/sketches.py):
+    the portable counterpart to `approx_distinct_users`'s HLL — an
+    approximate aggregate whose estimate the DuckDB oracle reproduces
+    bit-for-bit (portable md5 hashing + IEEE estimate arithmetic).
+    n_exact rides along so the sketch error is visible in the result."""
+    from redshells_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_distinct(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return sk.join(exact, on="event_type").select(
+        "event_type",
+        "n_hashes",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        _r4(F.col("kmv_estimate"), "kmv_estimate"),
+    )
+
+
+@q(
+    "rolling_event_stats",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events)
+       SELECT event_id, user_id,
+              (count(*) OVER w)::BIGINT AS n_1h,
+              (sum(vc) OVER w)::BIGINT AS sum_c_1h,
+              round((sum(vc) OVER w)::DOUBLE / (100.0 * (count(*) OVER w)), 4) AS avg_1h
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def _rolling_event_stats(spark, sf_dir):
+    """Sliding event-time aggregate: per event, count/sum/avg of the
+    user's trailing 1-hour window via a RANGE frame over microseconds —
+    the per-row counterpart to the tumbling `windowed_event_counts`.
+    Values ride as integer cents (`round(value*100)` — 2-decimal source
+    data), so the sliding sums are order-free integer arithmetic and
+    the avg divides identical ints: bit-stable on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        event_us(ev, "ts").alias("__us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum("vc").over(w).cast("long").alias("sum_c_1h"),
+        _r4(
+            F.sum("vc").over(w).cast("double") / (F.lit(100.0) * F.count(F.lit(1)).over(w)),
+            "avg_1h",
+        ),
+    )
 
 
 @q(
