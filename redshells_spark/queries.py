@@ -1324,6 +1324,40 @@ def _rolling_event_stats(spark, sf_dir):
     )
 
 
+def _zorder_oracle_sql() -> str:
+    from redshells_spark.operators.layout import interleave_sql
+
+    inter = interleave_sql(["su", "st"], bits=16)
+    return f"""WITH rng AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+                      min(epoch_us(ts) // 1000000) AS mnt,
+                      max(epoch_us(ts) // 1000000) AS mxt
+               FROM events),
+       e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+       s AS (SELECT event_id,
+                    ((user_id - mnu) * 65535) // (mxu - mnu) AS su,
+                    ((sec - mnt) * 65535) // (mxt - mnt) AS st
+             FROM e, rng)
+       SELECT event_id, {inter} AS zkey FROM s"""
+
+
+@q("zorder_events", _zorder_oracle_sql())
+def _zorder_events(spark, sf_dir):
+    """Morton/Z-order layout key over (user_id, event-second)
+    (operators/layout.py): the sort key `write_zordered` clusters files
+    by, making parquet min/max stats selective on both dimensions. Pure
+    int64 scale+interleave arithmetic — the oracle evaluates the same
+    generated expression, so physical-layout decisions are part of the
+    correctness contract."""
+    from redshells_spark.operators.layout import with_zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", event_us(ev, "ts").alias("__us")).withColumn(
+        "sec", F.expr("__us div 1000000")
+    )
+    keyed = with_zorder_key(e, ["user_id", "sec"], bits=16)
+    return keyed.select("event_id", F.col("zkey").cast("long").alias("zkey"))
+
+
 @q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
