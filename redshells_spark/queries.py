@@ -1358,6 +1358,55 @@ def _zorder_events(spark, sf_dir):
     return keyed.select("event_id", F.col("zkey").cast("long").alias("zkey"))
 
 
+def _profile_oracle_sql() -> str:
+    def num(c):
+        return f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+              count(DISTINCT {c})::BIGINT AS n_distinct,
+              min({c})::DOUBLE AS min_num, max({c})::DOUBLE AS max_num,
+              round(avg({c}::DOUBLE), 4) AS avg_num,
+              NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+       FROM orders"""
+
+    def st(c):
+        return f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+              count(DISTINCT {c})::BIGINT AS n_distinct,
+              NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, NULL::DOUBLE AS avg_num,
+              min({c}) AS min_str, max({c}) AS max_str
+       FROM orders"""
+
+    return " UNION ALL ".join(
+        [num("o_custkey"), num("o_totalprice"), st("o_orderstatus"), st("o_orderpriority")]
+    )
+
+
+@q("profile_orders", _profile_oracle_sql())
+def _profile_orders(spark, sf_dir):
+    """One-pass column profiling (data/profile.py): null counts, exact
+    distinct cardinalities, numeric ranges/means and string extremes in
+    a single scan — the trust-a-new-drop primitive, oracle-checked per
+    statistic. (dtype stays out of the contract: physical int32/int64
+    encodings legitimately vary across testdata generations.)"""
+    from redshells_spark.data.profile import profile_columns
+
+    prof = profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+    return prof.select(
+        F.col("column").alias("col_name"),
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        _r4(F.col("avg_num"), "avg_num"),
+        "min_str",
+        "max_str",
+    )
+
+
 @q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
