@@ -41,6 +41,8 @@ HEADLINE = [
     "pagerank_copurchase",
     "pq_topk",
     "heavy_hitter_tokens",
+    "rolling_event_stats",
+    "zorder_events",
 ]
 
 

@@ -101,3 +101,46 @@ def apply_mix_weights(
         .filter(u < F.col("sample_prob"))
         .drop("sample_prob")
     )
+
+
+def weighted_sample_priority(
+    df: DataFrame,
+    group_column: str | None,
+    id_column: str,
+    weight_column: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): k rows per group with
+    inclusion probability ≈ proportional to integer ``weight_column``,
+    WITHOUT replacement, fully deterministic and engine-portable.
+
+    Each row gets priority u/w where u is the portable 60-bit md5 hash
+    of (seed ‖ id) — a fixed uniform draw — and the k smallest
+    priorities win. The only float op is one int64→double divide, which
+    IEEE defines identically everywhere, so a DuckDB oracle reproduces
+    the exact sample. Non-positive weights are refused at runtime (a
+    zero weight would mean division by zero masquerading as +inf
+    priority).
+
+    Same WindowGroupLimit shape as :func:`stratified_sample_exact`:
+    the shuffle carries ≈ k·n_groups rows.
+    """
+    require_columns(df, [id_column, weight_column] + ([group_column] if group_column else []))
+    u = F.expr(
+        "cast(conv(substring(md5(concat_ws('|', "
+        f"'{seed}', cast(`{id_column}` as string))), 1, 15), 16, 10) as bigint)"
+    )
+    w_ok = F.when(
+        F.col(weight_column) <= 0,
+        F.raise_error(F.lit(f"weighted_sample_priority: non-positive weight in {weight_column}")),
+    ).otherwise(F.col(weight_column).cast("long"))
+    prio = u / w_ok  # int64 / int64 → double, IEEE-identical cross-engine
+    win = (
+        Window.partitionBy(group_column) if group_column else Window.partitionBy()
+    ).orderBy(prio.asc(), F.col(id_column).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1408,6 +1408,66 @@ def _profile_orders(spark, sf_dir):
 
 
 @q(
+    "weighted_sample_orders",
+    f"""WITH p AS (SELECT o_orderpriority, o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+                  {_duck_h60("'0|' || o_orderkey")} AS u
+           FROM orders),
+       r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY u / w_cents ASC, o_orderkey ASC) AS rn
+             FROM p)
+       SELECT o_orderpriority, o_orderkey, w_cents FROM r WHERE rn <= 20""",
+)
+def _weighted_sample_orders(spark, sf_dir):
+    """Priority sampling (data/sampling.py:weighted_sample_priority):
+    20 orders per priority class, inclusion ≈ proportional to price,
+    without replacement. The priority u/w is one int64→double divide —
+    IEEE-identical in DuckDB — so even the *random* sample is
+    oracle-exact."""
+    from redshells_spark.data.sampling import weighted_sample_priority
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "w_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    out = weighted_sample_priority(
+        o, "o_orderpriority", "o_orderkey", "w_cents", k=20, seed=0
+    )
+    return out.select("o_orderpriority", "o_orderkey", "w_cents")
+
+
+@q(
+    "grouped_median_price",
+    """WITH r AS (SELECT o_orderpriority, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+       SELECT o_orderpriority, n::BIGINT AS n,
+              round(o_totalprice, 4) AS median_price
+       FROM r WHERE rn = (n + 1) // 2""",
+)
+def _grouped_median_price(spark, sf_dir):
+    """Exact per-group lower median via window selection (no
+    percentile-function semantics to reconcile across engines: the
+    median is literally the row at rank (n+1)/2 under a total order)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n"),
+            _r4(F.col("o_totalprice"), "median_price"),
+        )
+    )
+
+
+@q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
 )

@@ -146,3 +146,25 @@ def test_word_item_similarity_pluggable_candidates(spark, sf_dir):
     # NB: exact uses dot, lsh uses cosine — ranking may differ; on this
     # corpus overlap must still be substantial
     assert len(e & a) / len(e) > 0.5
+
+
+def test_weighted_sample_priority_bias_and_determinism(spark):
+    # 500 light rows (w=1) + 50 heavy rows (w=1000): heavy rows should
+    # dominate a k=25 priority sample; sample is exactly reproducible
+    from pyspark.sql import functions as F
+
+    from redshells_spark.data.sampling import weighted_sample_priority
+
+    rows = [(i, "g", 1) for i in range(500)] + [(1000 + i, "g", 1000) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    a = weighted_sample_priority(df, "g", "id", "w", k=25, seed=0).collect()
+    b = weighted_sample_priority(df, "g", "id", "w", k=25, seed=0).collect()
+    assert sorted(r["id"] for r in a) == sorted(r["id"] for r in b)
+    heavy = sum(1 for r in a if r["id"] >= 1000)
+    assert heavy >= 18  # heavy rows carry ~99% of total weight
+    # non-positive weight refused
+    bad = spark.createDataFrame([(1, "g", 0)], "id long, g string, w long")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="non-positive"):
+        weighted_sample_priority(bad, "g", "id", "w", k=1).collect()
