@@ -84,3 +84,36 @@ def key_skew_profile(df: DataFrame, key_column: str, top_n: int = 10) -> DataFra
         .orderBy(F.col("rows").desc(), F.col(key_column).asc())
         .limit(top_n)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small
+    side ×``num_salts``, join on (keys + salt), drop the salt.
+
+    A hot key's rows land on ``num_salts`` different reducers instead
+    of one; each big row still matches exactly one replica of each
+    matching small row, so the result is row-identical to the plain
+    join. The salt is a deterministic hash of the whole big row
+    (xxhash64 of all columns) — reruns produce the same partition
+    assignment, which keeps shuffles reusable across stages.
+
+    Use for sort-merge joins where one side is too big to broadcast
+    AND AQE's skew splitting can't kick in (e.g. the skew is in the
+    build of a shuffled hash join); for broadcastable small sides just
+    broadcast — salting buys nothing there. Cost: small side ×num_salts
+    (keep num_salts modest; the small side shuffle grows linearly).
+    """
+    keys = list(on)
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(num_salts)).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return salted_big.join(replicated, on=keys + ["__salt"], how=how).drop("__salt")

@@ -1468,6 +1468,112 @@ def _grouped_median_price(spark, sf_dir):
 
 
 @q(
+    "market_share_asia",
+    """WITH rev AS (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                n2.n_name AS supp_nation,
+                l_extendedprice * (1 - l_discount) AS volume
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         JOIN part     ON l_partkey = p_partkey AND p_size <= 10)
+       SELECT o_year, supp_nation,
+              round(sum(volume), 2) AS nation_volume,
+              count(*) AS n_lines
+       FROM rev GROUP BY o_year, supp_nation""",
+)
+def _market_share_asia(spark, sf_dir):
+    """TPC-H Q8-shaped market share: 7-table star join (fact +
+    customer-side nation/region, supplier-side nation, part filter).
+    Spark-first: every dimension is explicitly broadcast, so the plan
+    is a chain of BroadcastHashJoins over ONE fact scan — zero fact
+    shuffles until the final aggregate; Catalyst reorders/prunes the
+    rest. The oracle is the plain SQL join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return rev.groupBy("o_year", "supp_nation").agg(
+        F.round(F.sum("volume"), 2).alias("nation_volume"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
+    "latest_by_key",
+    """SELECT user_id, event_id, round(value, 4) AS value FROM (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def _latest_by_key(spark, sf_dir):
+    """CDC compaction primitive: latest row per key by version order
+    (here event time, id tie-break) — the keep-last window every
+    upsert/merge pipeline runs before publishing a snapshot.
+    WindowGroupLimit prunes non-latest rows map-side."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", _r4(F.col("value"), "value"))
+    )
+
+
+@q(
+    "salted_join_revenue",
+    """SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def _salted_join_revenue(spark, sf_dir):
+    """Skew-resistant fact join (operators/skew.py:salted_join): the
+    big side takes a deterministic salt, the small side replicates
+    ×num_salts, and the join key becomes (key, salt) — a hot orderkey
+    spreads over num_salts reducers instead of stalling one. Result is
+    identical to the plain join (each fact row matches exactly one
+    replica), which is exactly what the oracle checks."""
+    from redshells_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on=["l_orderkey"], num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
 )

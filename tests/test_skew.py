@@ -52,3 +52,30 @@ def test_key_skew_profile(skewed):
     rows = prof.collect()
     assert rows[0]["k"] == "hot"
     assert rows[0]["share"] == pytest.approx(0.9)
+
+
+def test_salted_join_row_parity_on_skewed_keys(spark):
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + tail
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, float(i)) for i in range(2000)], "k long, v double"
+    )
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(200)], "k long, d string")
+    got = salted_join(big, small, on=["k"], num_salts=8)
+    want = big.join(small, on="k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the hot key's rows really spread across salts (not all on one)
+    from redshells_spark.operators.skew import F as _F  # noqa: F401
+
+    salts = (
+        big.filter(F.col("k") == 1)
+        .withColumn("__salt", F.pmod(F.xxhash64("k", "v"), F.lit(8)).cast("int"))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts >= 4
