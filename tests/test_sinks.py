@@ -63,3 +63,31 @@ def test_compact_reduces_files(spark, tmp_path):
     out_files = glob.glob(f"{src}_compacted/*.parquet")
     assert len(out_files) == 1
     assert spark.read.parquet(f"{src}_compacted").count() == 10000
+
+
+def test_merge_upsert_first_write_and_updates(spark, tmp_path):
+    from redshells_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "k long, v long, payload string"
+    )
+    merge_upsert(spark, path, base, ["k"], "v")
+    assert spark.read.parquet(path).count() == 3
+
+    # update k=2, insert k=4; stale update (v lower) for k=3 must lose
+    upd = spark.createDataFrame(
+        [(2, 5, "b2"), (4, 1, "d"), (3, 0, "stale")], "k long, v long, payload string"
+    )
+    merge_upsert(spark, path, upd, ["k"], "v")
+    got = {r["k"]: (r["v"], r["payload"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (1, "a"), 2: (5, "b2"), 3: (1, "c"), 4: (1, "d")}
+
+
+def test_merge_upsert_tie_prefers_update(spark, tmp_path):
+    from redshells_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "tbl2")
+    merge_upsert(spark, path, spark.createDataFrame([(1, 7, "old")], "k long, v long, p string"), ["k"], "v")
+    merge_upsert(spark, path, spark.createDataFrame([(1, 7, "new")], "k long, v long, p string"), ["k"], "v")
+    assert spark.read.parquet(path).collect()[0]["p"] == "new"
