@@ -52,6 +52,7 @@ def pagerank(
     round_digits: int | None = 10,
     checkpoint_every: int = 5,
     assume_no_dangling: bool = False,
+    max_broadcast_nodes: int = 1_000_000,
 ) -> DataFrame:
     """→ (node, rank) after ``iterations`` synchronous power steps from
     the uniform vector. ``edges`` must be (src, dst) with every node
@@ -86,10 +87,19 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
 
+    # the rank vector is |V| rows — tiny next to |E|. Broadcasting it
+    # keeps the edge relation UN-shuffled across all iterations (the
+    # only shuffle left is the per-dst partial-sum aggregate); above
+    # the cap fall back to a shuffle join, the Pregel-at-scale shape
+    broadcast_ranks = n <= max_broadcast_nodes
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iterations):
+        rank_src = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rank_src = F.broadcast(rank_src)
         contrib = (
-            wedges.join(ranks.withColumnRenamed("node", "src"), on="src")
+            wedges.join(rank_src, on="src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
@@ -102,3 +112,31 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def count_triangles_per_node(edges: DataFrame) -> DataFrame:
+    """→ (node, n_triangles) from an undirected edge list given as
+    ordered distinct pairs (src < dst).
+
+    Enumeration is the two-join id-ordered wedge closure: (a,b)⋈(b,c)
+    gives wedges with a<b<c, closed against (a,c) — each triangle
+    appears exactly once. Both joins are plain equi-joins Catalyst can
+    shuffle-plan; wedge volume is Σ_b deg⁺(b)² under the id order. The
+    standard at-scale refinement — orienting edges from low to high
+    DEGREE instead of id, which provably minimizes Σ deg⁺² — changes
+    node *ids'* roles only, not the triangle set; it's a drop-in caller
+    rewrite of the edge orientation and intentionally not the default
+    here because id-ordering keeps the operator bit-reproducible
+    against a plain-SQL oracle."""
+    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    wedge = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), on="b"
+    )  # a < b < c by construction
+    tri = wedge.join(
+        e.select(F.col("a").alias("a"), F.col("b").alias("c")), on=["a", "c"]
+    ).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

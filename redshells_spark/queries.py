@@ -1574,6 +1574,49 @@ def _salted_join_revenue(spark, sf_dir):
 
 
 @q(
+    "triangle_counts",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+       e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             FROM li a JOIN li b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       tri AS (SELECT e1.a AS a, e1.b AS b, e2.c AS c
+               FROM e e1
+               JOIN (SELECT a AS b, b AS c FROM e) e2 ON e2.b = e1.b
+               JOIN (SELECT a, b AS c FROM e) e3 ON e3.a = e1.a AND e3.c = e2.c)
+       SELECT node, count(*) AS n_triangles FROM (
+         SELECT a AS node FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri)
+       GROUP BY node""",
+)
+def _triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py) over the bulk
+    co-purchase part graph (parts bought with quantity ≥ 45 in the same
+    order). Id-ordered wedge closure: two equi-joins, each triangle
+    enumerated once — the third classic graph kernel next to PageRank
+    and connected components, oracle-checked as plain SQL."""
+    from redshells_spark.operators.graph import count_triangles_per_node
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .dropDuplicates()
+    )
+    out = count_triangles_per_node(edges)
+    return out.select("node", F.col("n_triangles").cast("long").alias("n_triangles"))
+
+
+@q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
 )

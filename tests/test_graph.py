@@ -38,3 +38,21 @@ def test_dangling_nodes_refused(spark):
 def test_symmetrize(spark):
     e = symmetrize_edges(_edges(spark, [("a", "b"), ("a", "b"), ("b", "a")]))
     assert sorted((r["src"], r["dst"]) for r in e.collect()) == [("a", "b"), ("b", "a")]
+
+
+def test_triangle_counts_hand_checked(spark):
+    from redshells_spark.operators.graph import count_triangles_per_node
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant edge 4-5
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in count_triangles_per_node(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 is in no triangle
+
+
+def test_triangle_free_graph_empty(spark):
+    from redshells_spark.operators.graph import count_triangles_per_node
+
+    # a path graph has no triangles
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert count_triangles_per_node(e).count() == 0
