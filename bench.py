@@ -43,6 +43,8 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "rolling_event_stats",
     "zorder_events",
+    "triangle_counts",
+    "market_share_asia",
 ]
 
 
