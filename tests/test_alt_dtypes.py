@@ -27,6 +27,13 @@ DTYPE_SENSITIVE = [
     "vector_functions",
     "brute_force_topk",
     "dot_product_pairs",
+    # round-3 event-time / embedding consumers
+    "time_bucket_gapfill",
+    "rolling_event_stats",
+    "kmv_distinct_users",
+    "zorder_events",
+    "latest_by_key",
+    "pq_topk",
 ]
 
 
