@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1614,6 +1615,116 @@ def _triangle_counts(spark, sf_dir):
     )
     out = count_triangles_per_node(edges)
     return out.select("node", F.col("n_triangles").cast("long").alias("n_triangles"))
+
+
+@q(
+    "ivfpq_topk",
+    """WITH cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                     embedding
+              FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 800),
+       cd2 AS (SELECT e.vec_id, c.cid,
+                      list_reduce(list_transform(range(1, 65),
+                          i -> (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                             * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)),
+                          (a, b) -> a + b) AS d2
+               FROM embeddings e CROSS JOIN cent c),
+       assign AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                                           ORDER BY d2 ASC, cid ASC) AS rn
+                    FROM cd2) WHERE rn = 1),
+       resid AS (SELECT a.vec_id, a.cid,
+                        list_transform(range(1, 65),
+                            i -> e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+                 FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+                               JOIN cent c ON c.cid = a.cid),
+       ptrain AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, r
+                  FROM resid WHERE vec_id % 37 = 1 AND vec_id < 593),
+       ms AS (SELECT unnest(range(8)) AS m),
+       cw AS (SELECT m, j, list_transform(range(1, 9), i -> r[m * 8 + i]) AS cw
+              FROM ptrain, ms),
+       vsub AS (SELECT vec_id, cid, m, list_transform(range(1, 9), i -> r[m * 8 + i]) AS v
+                FROM resid, ms),
+       pd2 AS (SELECT v.vec_id, v.cid, v.m, s.j,
+                      list_reduce(list_transform(range(1, 9),
+                          i -> (v.v[i] - s.cw[i]) * (v.v[i] - s.cw[i])),
+                          (a, b) -> a + b) AS d2
+               FROM vsub v JOIN cw s ON s.m = v.m),
+       codes AS (SELECT vec_id, cid, m, j AS code FROM (
+                   SELECT vec_id, cid, m, j,
+                          row_number() OVER (PARTITION BY vec_id, m
+                                             ORDER BY d2 ASC, j ASC) AS rn
+                   FROM pd2) WHERE rn = 1),
+       qprobe AS (SELECT vec_id AS query_id, cid FROM (
+                    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                                           ORDER BY d2 ASC, cid ASC) AS rn
+                    FROM cd2 WHERE vec_id < 30) WHERE rn <= 4),
+       qres AS (SELECT q.query_id, q.cid,
+                       list_transform(range(1, 65),
+                           i -> e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+                FROM qprobe q JOIN embeddings e ON e.vec_id = q.query_id
+                              JOIN cent c ON c.cid = q.cid),
+       qsub AS (SELECT query_id, cid, m, list_transform(range(1, 9), i -> r[m * 8 + i]) AS v
+                FROM qres, ms),
+       dt AS (SELECT q.query_id, q.cid, q.m, s.j,
+                     CAST(floor(list_reduce(list_transform(range(1, 9),
+                         i -> (q.v[i] - s.cw[i]) * (q.v[i] - s.cw[i])),
+                         (a, b) -> a + b) * 1000000 + 0.5) AS BIGINT) AS d_e6
+              FROM qsub q JOIN cw s ON s.m = q.m),
+       adc AS (SELECT t.query_id, c.vec_id, sum(t.d_e6)::BIGINT AS approx_d2_e6
+               FROM codes c JOIN dt t ON t.cid = c.cid AND t.m = c.m AND t.j = c.code
+               GROUP BY 1, 2)
+       SELECT query_id, vec_id, approx_d2_e6, CAST(rn AS BIGINT) AS rank
+       FROM (SELECT query_id, vec_id, approx_d2_e6,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY approx_d2_e6 ASC, vec_id ASC) AS rn
+             FROM adc)
+       WHERE rn <= 10""",
+)
+def _ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (similarity/pq.py:ivfpq_encode/ivfpq_topk): coarse
+    strided centroids partition the corpus into inverted lists, PQ
+    codes compress the RESIDUALS (x − centroid), and queries ADC-scan
+    only their nprobe nearest cells — the Faiss billion-scale default,
+    with every stage (coarse argmin, residual codes, per-cell integer
+    distance tables, boundary ties) pinned bit-for-bit against the
+    DuckDB oracle."""
+    from redshells_spark.similarity.pq import (
+        _centroid_d2,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 800))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in cent_rows], dtype=np.float64
+    )
+    train_rows = (
+        emb.filter((F.col("vec_id") % 37 == 1) & (F.col("vec_id") < 593))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    train = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in train_rows], dtype=np.float64
+    )
+    # PQ codebooks from the TRAINING VECTORS' residuals in their own
+    # coarse cells (numpy left-fold assignment == the oracle's argmin)
+    tcid = np.argmin(_centroid_d2(train, centroids), axis=1)
+    tres = train - centroids[tcid]
+    cbs = pq_codebooks([list(map(float, r)) for r in tres], num_subspaces=8)
+
+    index = ivfpq_encode(emb, centroids, cbs)
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(queries, index, centroids, cbs, k=10, nprobe=4)
 
 
 @q(

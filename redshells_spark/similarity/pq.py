@@ -175,3 +175,152 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_column, id_column, "approx_d2_e6", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def _centroid_d2(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, ncent) squared L2, accumulated dim-by-dim (left-fold order —
+    matches `ann.assign_to_centroids`'s aggregate and the SQL oracle)."""
+    n, dim = x.shape
+    acc = np.zeros((n, centroids.shape[0]), dtype=np.float64)
+    for t in range(dim):
+        diff = x[:, t : t + 1] - centroids[None, :, t]
+        acc += diff * diff
+    return acc
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index build: one Arrow pass assigns each vector to its
+    nearest coarse centroid and PQ-encodes the RESIDUAL (x − centroid)
+    — the Faiss ``IVFx,PQy`` layout. → (vec_id, cid, codes array<int>),
+    8+4 bytes per vector instead of 4·dim. No shuffle."""
+    num_subspaces, _, dsub = codebooks.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _as_matrix(pdf[vector_column])
+            d2 = _centroid_d2(x, cents)
+            cid = np.argmin(d2, axis=1)  # first hit = lowest cid on ties
+            res = x - cents[cid]
+            codes = np.empty((len(pdf), num_subspaces), dtype=np.int32)
+            for m in range(num_subspaces):
+                sd = _subspace_d2(res[:, m * dsub : (m + 1) * dsub], codebooks[m])
+                codes[:, m] = np.argmin(sd, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_column: pdf[id_column],
+                    "cid": cid.astype(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return vectors.mapInPandas(
+        encode, schema=f"{id_column} long, cid long, codes array<int>"
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_column: str = "query_id",
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` nearest cells per query and
+    ADC-scan only those cells' codes, with a distance table computed on
+    the query's residual AGAINST EACH PROBED CENTROID (residual space
+    is per-cell). Integer-scaled tables → order-free exact sums, same
+    determinism contract as :func:`pq_adc_topk`.
+
+    → (query_id, vec_id, approx_d2_e6, rank). The scan filters
+    ``cid ∈ probed cells`` first, so at scale the inverted-list
+    partition pruning does its job before any Python runs.
+    """
+    num_subspaces, ksub, dsub = codebooks.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    rows = queries.select(query_id_column, vector_column).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(f"ivfpq_topk: query side exceeds max_queries={max_queries}")
+    if not rows:
+        return index.sparkSession.createDataFrame(
+            [], f"{query_id_column} long, {id_column} long, approx_d2_e6 long, rank long"
+        )
+    qids = np.array([r[query_id_column] for r in rows], dtype=np.int64)
+    qvecs = np.stack([np.asarray(r[vector_column], dtype=np.float64) for r in rows])
+
+    qd2 = _centroid_d2(qvecs, cents)
+    # probe order: (distance, cid) ascending — ties resolved like the
+    # oracle's row_number
+    probe = np.lexsort((np.tile(np.arange(cents.shape[0]), (len(qids), 1)), qd2), axis=1)[
+        :, :nprobe
+    ]
+    # per (query, probed cell): integer distance table over the query's
+    # residual in that cell's frame
+    dt: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(len(qids)):
+        for cell in probe[qi]:
+            res = qvecs[qi] - cents[cell]
+            tbl = np.empty((num_subspaces, ksub), dtype=np.int64)
+            for m in range(num_subspaces):
+                d2 = _subspace_d2(res[None, m * dsub : (m + 1) * dsub], codebooks[m])[0]
+                tbl[m] = np.floor(d2 * 1_000_000.0 + 0.5).astype(np.int64)
+            dt[(qi, int(cell))] = tbl
+    probed_cells = sorted({int(c) for qi in range(len(qids)) for c in probe[qi]})
+    marange = np.arange(num_subspaces)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cid = pdf["cid"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())
+            ids = pdf[id_column].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qids)):
+                for cell in probe[qi]:
+                    mask = cid == cell
+                    if not mask.any():
+                        continue
+                    c = codes[mask]
+                    dist = dt[(qi, int(cell))][marange[None, :], c].sum(axis=1)
+                    cut = min(k, len(dist))
+                    part = np.lexsort((ids[mask], dist))[:cut]
+                    out_q.append(np.full(cut, qids[qi]))
+                    out_v.append(ids[mask][part])
+                    out_d.append(dist[part])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    query_id_column: np.concatenate(out_q),
+                    id_column: np.concatenate(out_v),
+                    "approx_d2_e6": np.concatenate(out_d),
+                }
+            )
+
+    pruned = index.filter(F.col("cid").isin(probed_cells))
+    partials = pruned.mapInPandas(
+        scan, schema=f"{query_id_column} long, {id_column} long, approx_d2_e6 long"
+    )
+    w = Window.partitionBy(query_id_column).orderBy(
+        F.col("approx_d2_e6").asc(), F.col(id_column).asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_column, id_column, "approx_d2_e6", F.col("rank").cast("long").alias("rank"))
+    )

@@ -76,3 +76,62 @@ def test_query_cap_guard(spark, sf_dir):
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="max_queries"):
         pq_adc_topk(queries, pq_encode(emb, cbs), cbs, k=3, max_queries=10)
+
+
+def test_ivfpq_self_hit_and_determinism(spark, sf_dir):
+    from redshells_spark.similarity.pq import (
+        _centroid_d2,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 160))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.asarray([[float(x) for x in r["embedding"]] for r in cent_rows])
+    train_rows = (
+        emb.filter((F.col("vec_id") % 13 == 1) & (F.col("vec_id") < 209))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    train = np.asarray([[float(x) for x in r["embedding"]] for r in train_rows])
+    tres = train - centroids[np.argmin(_centroid_d2(train, centroids), axis=1)]
+    cbs = pq_codebooks([list(map(float, r)) for r in tres], num_subspaces=8)
+
+    index = ivfpq_encode(emb, centroids, cbs)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivfpq_topk(queries, index, centroids, cbs, k=5, nprobe=3).collect()
+    b = ivfpq_topk(queries, index, centroids, cbs, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a query's own vector lives in its nearest cell (always probed),
+    # and its residual code matches itself → should rank top-5
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    self_hits = sum(1 for q, vs in by_q.items() if q in vs)
+    assert self_hits >= len(by_q) * 0.8
+
+
+def test_ivfpq_scan_prunes_unprobed_cells(spark, sf_dir):
+    from redshells_spark.similarity.pq import _centroid_d2, ivfpq_encode, ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.filter(F.col("vec_id") % 25 == 0).orderBy("vec_id").limit(8).collect()
+    centroids = np.asarray([[float(x) for x in r["embedding"]] for r in rows])
+    train = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in emb.filter(F.col("vec_id") % 7 == 3).orderBy("vec_id").limit(8).select("embedding").collect()]
+    )
+    tres = train - centroids[np.argmin(_centroid_d2(train, centroids), axis=1)]
+    cbs = pq_codebooks([list(map(float, r)) for r in tres], num_subspaces=8)
+    index = ivfpq_encode(emb, centroids, cbs)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(queries, index, centroids, cbs, k=3, nprobe=1)
+    # with nprobe=1 every result must come from ONE cell
+    got_ids = [r["vec_id"] for r in out.collect()]
+    cells = {r["cid"] for r in index.filter(F.col("vec_id").isin(got_ids)).collect()}
+    assert len(cells) == 1
