@@ -45,6 +45,7 @@ HEADLINE = [
     "zorder_events",
     "triangle_counts",
     "market_share_asia",
+    "ivfpq_topk",
 ]
 
 

@@ -253,3 +253,53 @@ def sample_video_frames(
             )
 
     return df.select(id_column, binary_column).mapInPandas(sample, out_schema)
+
+
+def parse_audio_headers(df: DataFrame, binary_column: str = "payload") -> DataFrame:
+    """→ + (format, n_channels, sample_rate, bits_per_sample,
+    n_samples) from REAL RIFF/WAVE header bytes — entirely JVM-side
+    codegen (the canonical 44-byte PCM header has every field at a
+    fixed offset, so unlike JPEG no scan stage is needed):
+
+    - magic: ``RIFF....WAVE`` at offsets 0 and 8;
+    - fmt chunk (PCM): channels le-u16 @22, sample rate le-u32 @24,
+      bits/sample le-u16 @34; data chunk size le-u32 @40;
+    - n_samples = data_size / block_align (8·block = channels·bits).
+
+    Non-RIFF payloads yield format='unknown' and null fields. The same
+    honest boundary as the image path: HEADERS are parsed for real;
+    sample decode lives behind `_require_codec`."""
+    b = F.col(binary_column)
+
+    def _le16(pos: int) -> F.Column:
+        swapped = F.concat(F.hex(F.substring(b, pos + 1, 1)), F.hex(F.substring(b, pos, 1)))
+        return F.conv(swapped, 16, 10).cast("long")
+
+    def _le32(pos: int) -> F.Column:
+        swapped = F.concat(
+            F.hex(F.substring(b, pos + 3, 1)),
+            F.hex(F.substring(b, pos + 2, 1)),
+            F.hex(F.substring(b, pos + 1, 1)),
+            F.hex(F.substring(b, pos, 1)),
+        )
+        return F.conv(swapped, 16, 10).cast("long")
+
+    is_wav = (F.hex(F.substring(b, 1, 4)) == "52494646") & (
+        F.hex(F.substring(b, 9, 4)) == "57415645"
+    )
+    fmt = F.when(is_wav, F.lit("wav")).otherwise(F.lit("unknown"))
+    channels = F.when(is_wav, _le16(23))
+    rate = F.when(is_wav, _le32(25))
+    bits = F.when(is_wav, _le16(35))
+    data_size = F.when(is_wav, _le32(41))
+    block_align = F.when(is_wav, _le16(33))
+    return (
+        df.withColumn("format", fmt)
+        .withColumn("n_channels", channels)
+        .withColumn("sample_rate", rate)
+        .withColumn("bits_per_sample", bits)
+        .withColumn(
+            "n_samples",
+            F.when(block_align > 0, (data_size / block_align).cast("long")),
+        )
+    )

@@ -1728,6 +1728,63 @@ def _ivfpq_topk(spark, sf_dir):
 
 
 @q(
+    "audio_header_fields",
+    """SELECT doc_id, 'wav' AS format,
+              (doc_id % 2 + 1)::BIGINT AS n_channels,
+              (8000 + (doc_id % 5) * 4000)::BIGINT AS sample_rate,
+              CAST(16 AS BIGINT) AS bits_per_sample,
+              ((doc_id % 100) + 1)::BIGINT AS n_samples
+       FROM documents""",
+)
+def _audio_header_fields(spark, sf_dir):
+    """REAL RIFF/WAVE header parsing, end-to-end verified like
+    `image_header_dims`: spec-conformant 44-byte PCM headers are
+    constructed JVM-side from doc_id (little-endian fmt/data chunks),
+    then parse_audio_headers must invert the construction exactly —
+    the oracle recomputes every field arithmetically. All codegen, no
+    Python stage (WAV's fields sit at fixed offsets, unlike JPEG)."""
+    from redshells_spark.multimodal.binary_ops import parse_audio_headers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    c = (F.col("doc_id") % 2 + 1).cast("long")
+    rate = (F.lit(8000) + (F.col("doc_id") % 5) * 4000).cast("long")
+    nsamp = (F.col("doc_id") % 100 + 1).cast("long")
+    block = c * 2  # 16-bit PCM
+    dsize = nsamp * block
+
+    def le16(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"), F.lpad(F.hex(F.floor(v / 256)), 2, "0")
+        )
+
+    def le32_small(v):  # values < 65536
+        return F.concat(le16(v), F.lit("0000"))
+
+    wav = F.unhex(
+        F.concat(
+            F.lit("52494646"),      # RIFF
+            F.lit("00000000"),      # riff size (unread)
+            F.lit("57415645"),      # WAVE
+            F.lit("666D7420"),      # "fmt "
+            F.lit("10000000"),      # fmt chunk size 16
+            F.lit("0100"),          # PCM
+            le16(c),                # channels      @23
+            le32_small(rate),       # sample rate   @25
+            F.lit("00000000"),      # byte rate (unread)
+            le16(block),            # block align   @33
+            F.lit("1000"),          # bits = 16 le  @35
+            F.lit("64617461"),      # "data"
+            le32_small(dsize),      # data size     @41
+        )
+    )
+    payloads = docs.select("doc_id", wav.alias("payload"))
+    out = parse_audio_headers(payloads, "payload")
+    return out.select(
+        "doc_id", "format", "n_channels", "sample_rate", "bits_per_sample", "n_samples"
+    )
+
+
+@q(
     "train_dictionary",
     f"WITH {_VOCAB_SQL} SELECT token, doc_freq, token_id FROM vocab",
 )

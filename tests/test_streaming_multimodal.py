@@ -195,3 +195,26 @@ def test_sample_video_frames(binary_df):
     assert frames.count() == 80
     per_item = frames.groupBy("item_id").count().collect()
     assert all(r["count"] == 4 for r in per_item)
+
+
+def test_parse_audio_headers_real_wav_bytes(spark):
+    # hand-built 44-byte PCM WAV: stereo, 44100 Hz, 16-bit, 100 samples
+    import struct
+
+    from redshells_spark.multimodal.binary_ops import parse_audio_headers
+
+    data_size = 100 * 4
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+        + b"data" + struct.pack("<I", data_size)
+    )
+    df = spark.createDataFrame([(1, bytearray(header)), (2, bytearray(b"notawav"))],
+                               "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in parse_audio_headers(df).collect()}
+    r1 = got[1]
+    assert r1["format"] == "wav" and r1["n_channels"] == 2
+    assert r1["sample_rate"] == 44100 and r1["bits_per_sample"] == 16
+    assert r1["n_samples"] == 100
+    r2 = got[2]
+    assert r2["format"] == "unknown" and r2["sample_rate"] is None
