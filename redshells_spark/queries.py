@@ -3758,6 +3758,194 @@ def _cumulative_revenue(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- product analytics tier
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@q(
+    "funnel_conversion",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       s1 AS (SELECT user_id, min(us) AS t1 FROM e
+              WHERE event_type = 'signup' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+              WHERE event_type = 'view' AND us > t1 GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+              WHERE event_type = 'click' AND us > t2 GROUP BY e.user_id),
+       s4 AS (SELECT e.user_id, min(us) AS t4 FROM e JOIN s3 USING (user_id)
+              WHERE event_type = 'purchase' AND us > t3 GROUP BY e.user_id),
+       c AS (SELECT (SELECT count(*) FROM s1) AS c1, (SELECT count(*) FROM s2) AS c2,
+                    (SELECT count(*) FROM s3) AS c3, (SELECT count(*) FROM s4) AS c4)
+       SELECT 1::BIGINT AS step_no, 'signup' AS step_name, c1 AS users,
+              round(c1::DOUBLE / c1, 4) AS conv_from_first FROM c
+       UNION ALL SELECT 2, 'view', c2, round(c2::DOUBLE / c1, 4) FROM c
+       UNION ALL SELECT 3, 'click', c3, round(c3::DOUBLE / c1, 4) FROM c
+       UNION ALL SELECT 4, 'purchase', c4, round(c4::DOUBLE / c1, 4) FROM c
+       ORDER BY step_no""",
+)
+def _funnel_conversion(spark, sf_dir):
+    """Ordered event funnel (operators/funnel.py): k−1 sequential
+    filtered min-aggregations — each stage shuffles only that step's
+    events and joins the shrinking reached-set (AQE broadcasts it).
+    Greedy earliest-witness matching; no window over the full stream,
+    no collect_list. Oracle unrolls the same stages as chained CTEs."""
+    from redshells_spark.operators.funnel import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", event_us(ev, "ts").alias("__us"))
+    return funnel_conversion(e, list(_FUNNEL_STEPS))
+
+
+@q(
+    "retention_cohorts",
+    """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+                  FROM events),
+       f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+       a AS (SELECT e.user_id, f.cohort_week, e.week - f.cohort_week AS week_offset
+             FROM e JOIN f USING (user_id)),
+       c AS (SELECT cohort_week, week_offset, count(*) AS active_users
+             FROM a GROUP BY 1, 2),
+       s AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1)
+       SELECT c.cohort_week, c.week_offset, c.active_users, s.cohort_size,
+              round(c.active_users::DOUBLE / s.cohort_size, 4) AS retention
+       FROM c JOIN s USING (cohort_week)
+       ORDER BY cohort_week, week_offset""",
+)
+def _retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle (operators/funnel.py): epoch-aligned
+    integer week buckets (pure int64 `div` — cross-engine exact), two
+    16-byte-row aggregations; cohort sizes join back broadcast-small."""
+    from redshells_spark.operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", event_us(ev, "ts").alias("__us"))
+    return retention_cohorts(e)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@q(
+    "pivot_event_matrix",
+    """SELECT epoch_us(ts) // 86400000000 AS day,
+              count(*) FILTER (WHERE event_type = 'click') AS click,
+              count(*) FILTER (WHERE event_type = 'error') AS error,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              count(*) FILTER (WHERE event_type = 'signup') AS signup,
+              count(*) FILTER (WHERE event_type = 'view') AS view
+       FROM events GROUP BY day""",
+)
+def _pivot_event_matrix(spark, sf_dir):
+    """PIVOT: day × event_type count matrix. Pivot values are passed
+    explicitly — without the list Spark runs an eager collect-distinct
+    job over the full table just to name the columns, and an
+    unbounded value set would mint an unbounded schema. One shuffle,
+    partial aggregation preserved (pivot compiles to the same
+    hash-aggregate as the oracle's FILTER form)."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.select("event_type", event_us(ev, "ts").alias("__us"))
+        .withColumn("day", F.expr("`__us` div 86400000000"))
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.na.fill(0, list(_EVENT_TYPES))
+
+
+@q(
+    "unpivot_event_matrix",
+    """SELECT epoch_us(ts) // 86400000000 AS day, event_type, count(*) AS cnt
+       FROM events GROUP BY day, event_type""",
+)
+def _unpivot_event_matrix(spark, sf_dir):
+    """UNPIVOT (melt) round-trip: the pivoted matrix stacks back to
+    long form via `unpivot`; zero-filled cells (combos absent from the
+    data) are dropped so the round-trip equals the plain group-by
+    oracle. Narrow op — no extra shuffle beyond the pivot's."""
+    piv = _pivot_event_matrix(spark, sf_dir)
+    return piv.unpivot("day", list(_EVENT_TYPES), "event_type", "cnt").filter(
+        F.col("cnt") > 0
+    )
+
+
+@q(
+    "customer_spend_quartiles",
+    """WITH s AS (SELECT o_custkey,
+                         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+                  FROM orders GROUP BY o_custkey)
+       SELECT o_custkey, spend_c,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(percent_rank() OVER w, 4) AS pct_rank,
+              round(cume_dist() OVER w, 4) AS cum_dist
+       FROM s
+       WINDOW w AS (ORDER BY spend_c ASC, o_custkey ASC)""",
+)
+def _customer_spend_quartiles(spark, sf_dir):
+    """Ranking-window breadth: ntile/percent_rank/cume_dist over
+    per-customer revenue. Revenue sums as integer cents (order-free);
+    the window orders on (spend, custkey) so ties never leave rank
+    assignment to engine whim. Single global window — fine for a
+    per-customer frame (|customers| ≪ |orders|); at 100 TB a global
+    ntile would instead go through approx quantile boundaries."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_c")
+    )
+    w = Window.orderBy(F.col("spend_c").asc(), F.col("o_custkey").asc())
+    return s.select(
+        "o_custkey",
+        "spend_c",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        _r4(F.percent_rank().over(w), "pct_rank"),
+        _r4(F.cume_dist().over(w), "cum_dist"),
+    )
+
+
+@q(
+    "event_value_outliers",
+    """WITH e AS (SELECT event_id, event_type,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+       st AS (SELECT event_type, count(*) AS n,
+                     sum(CAST(vc AS DOUBLE)) AS s,
+                     sum(CAST(vc AS DOUBLE) * CAST(vc AS DOUBLE)) AS ss
+              FROM e GROUP BY event_type)
+       SELECT event_id, e.event_type,
+              round((vc - s / n) / sqrt(ss / n - (s / n) * (s / n)), 4) AS zscore
+       FROM e JOIN st ON e.event_type = st.event_type
+       WHERE abs((vc - s / n) / sqrt(ss / n - (s / n) * (s / n))) > 2.0""",
+)
+def _event_value_outliers(spark, sf_dir):
+    """Z-score anomaly detection per event_type: group stats from
+    integer-cents sums (sum/sumsq of exact ints folded as doubles in
+    deterministic partial-agg order — both engines see identical
+    inputs, and +-fold of these magnitudes is exact), stats broadcast
+    back onto the stream (5-row build side), outliers filtered at
+    |z| > 2. Identical IEEE expression on both engines.
+
+    Sums fold as DOUBLE not int64: at sf1+ `sum(vc*vc)` overflows
+    int64 (~4e18 at sf0.1) while doubles stay exact until 2^53."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vc").cast("double")).alias("s"),
+        F.sum(F.col("vc").cast("double") * F.col("vc").cast("double")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("vc") - mean) / F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select("event_id", "event_type", _r4(z, "zscore"))
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
