@@ -3946,6 +3946,56 @@ def _event_value_outliers(spark, sf_dir):
     )
 
 
+@q(
+    "edit_distance_join",
+    """WITH d AS (SELECT DISTINCT p_name FROM part)
+       SELECT a.p_name AS s1, b.p_name AS s2,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       FROM d a JOIN d b ON a.p_name < b.p_name
+       WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+)
+def _edit_distance_join(spark, sf_dir):
+    """PassJoin edit-distance self-join (similarity/stringjoin.py) over
+    the *distinct-string domain* — the scale-correct form: p_name has
+    ~3% distinct values, so joining raw rows would square the
+    duplicate groups; dedupe first, let consumers fan results back out
+    by key. Candidates come from an equi-join on (L, seg_no, segment)
+    keys (pigeonhole blocking), verified with one levenshtein per
+    candidate. Oracle brute-forces the tiny distinct domain."""
+    from redshells_spark.similarity.stringjoin import edit_distance_join
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    out = edit_distance_join(names, id_col="p_name", str_col="p_name", k=2)
+    return out.select(F.col("id1").alias("s1"), F.col("id2").alias("s2"), "dist")
+
+
+@q(
+    "token_jaccard_join",
+    f"""WITH {_TOK_SQL},
+       t AS (SELECT DISTINCT doc_id, token FROM tok),
+       sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+             FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT id1, id2, inter, na.n AS n1, nb.n AS n2,
+              round(inter::DOUBLE / (na.n + nb.n - inter), 4) AS jaccard
+       FROM i JOIN sz na ON i.id1 = na.doc_id JOIN sz nb ON i.id2 = nb.doc_id
+       WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.8""",
+)
+def _token_jaccard_join(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered exact Jaccard self-join
+    (similarity/stringjoin.py): candidates must share one of each
+    set's rarest n−ceil(τn)+1 tokens (frequency-ascending canonical
+    order), so the explode touches prefixes only; exact intersections
+    are computed FROM the candidate pairs, never a full token⋈token
+    join. Oracle brute-forces via the full token join (fine at
+    sf0.01; the Spark side is the sub-quadratic plan)."""
+    from redshells_spark.similarity.stringjoin import token_jaccard_join
+
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("tokens").alias("token"))
+    return token_jaccard_join(toks, id_col="doc_id", token_col="token", threshold=0.8)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
