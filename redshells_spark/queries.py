@@ -3996,6 +3996,123 @@ def _token_jaccard_join(spark, sf_dir):
     return token_jaccard_join(toks, id_col="doc_id", token_col="token", threshold=0.8)
 
 
+# -------------------------------------- correlated-subquery SQL shapes
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """WITH li AS (SELECT l_partkey, l_quantity,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+                   FROM lineitem),
+       thresh AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS q_thresh
+                  FROM li GROUP BY l_partkey)
+       SELECT round(CAST(sum(price_c) AS DOUBLE) / 100.0 / 7.0, 4) AS avg_yearly,
+              count(*) AS n_lines
+       FROM li JOIN part ON p_partkey = li.l_partkey
+               JOIN thresh ON thresh.l_partkey = li.l_partkey
+       WHERE p_brand = 'Brand#12' AND li.l_quantity < q_thresh""",
+)
+def _q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue of below-20%-of-average-quantity
+    lineitems for one brand — the classic *correlated scalar
+    subquery*, decorrelated into one per-part aggregate joined back
+    (exactly what Catalyst does to the subquery form; written
+    explicitly so the plan is one shuffle + one broadcastable join,
+    not a per-row subquery). Quantities are integer-valued doubles so
+    avg() folds exactly in any order; revenue sums as integer cents."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_c"),
+    )
+    thresh = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("q_thresh"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+    )
+    return joined.agg(
+        _r4(F.sum("price_c") / 100.0 / 7.0, "avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
+    "q22_idle_customers",
+    """WITH c AS (SELECT c_custkey, c_mktsegment,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                  FROM customer)
+       SELECT c_mktsegment, count(*) AS n_cust,
+              round(CAST(sum(bal_c) AS DOUBLE) / 100.0, 4) AS total_bal
+       FROM c
+       WHERE bal_c > (SELECT avg(bal_c) FROM c WHERE bal_c > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND epoch_us(o.o_orderdate) >= 946684800000000)
+       GROUP BY c_mktsegment""",
+)
+def _q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no order
+    since 2000-01-01, per segment — a *scalar subquery* (global
+    positive-balance average) plus a *NOT EXISTS anti join*, run
+    through spark.sql so Catalyst performs the decorrelation itself:
+    the scalar subquery evaluates once (ReusedSubquery); NOT EXISTS
+    compiles to a left-anti hash join (plan-asserted in
+    tests/test_subquery_shapes.py). Balances ride as integer cents —
+    avg() of exact ints divides identically on both engines. The
+    recency cutoff is pre-normalized to epoch micros in Python
+    (dtype-dispatched) so the SQL is identical under either physical
+    date encoding."""
+    o = _t(spark, sf_dir, "orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__q22_customer")
+    o.select(
+        "o_custkey", event_us(o, "o_orderdate").alias("od_us")
+    ).createOrReplaceTempView("__q22_orders")
+    return spark.sql(
+        """WITH c AS (SELECT c_custkey, c_mktsegment,
+                             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                      FROM __q22_customer)
+           SELECT c_mktsegment, count(*) AS n_cust,
+                  round(CAST(sum(bal_c) AS DOUBLE) / 100.0, 4) AS total_bal
+           FROM c
+           WHERE bal_c > (SELECT avg(bal_c) FROM c WHERE bal_c > 0)
+             AND NOT EXISTS (SELECT 1 FROM __q22_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.od_us >= 946684800000000)
+           GROUP BY c_mktsegment"""
+    )
+
+
+@q(
+    "q4_late_shipments_exists",
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND epoch_us(l.l_shipdate) >
+                           epoch_us(o.o_orderdate) + 60 * 86400000000)
+       GROUP BY o_orderpriority""",
+)
+def _q4_late_shipments_exists(spark, sf_dir):
+    """TPC-H Q4 shape: orders with any lineitem shipping >60 days
+    after the order date, counted per priority. EXISTS with a
+    non-equi residual compiles to a left-semi hash join on the order
+    key (the residual evaluates post-probe); time math is integer
+    microseconds via the dtype-dispatched helpers."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o2 = o.select("o_orderkey", "o_orderpriority", event_us(o, "o_orderdate").alias("o_us"))
+    l2 = li.select("l_orderkey", event_us(li, "l_shipdate").alias("s_us"))
+    sel = o2.join(
+        l2,
+        (o2.o_orderkey == l2.l_orderkey)
+        & (l2.s_us > o2.o_us + F.lit(60 * 86_400_000_000)),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
