@@ -140,3 +140,50 @@ def count_triangles_per_node(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def k_hop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Min-hop BFS distance from any source node, bounded at ``k`` hops.
+
+    Relational Pregel shape: per hop, join the previous frontier with
+    the edge list and min-fold into the running distance table — the
+    same synchronous-superstep pattern as :func:`pagerank`, with
+    ``localCheckpoint`` every few supersteps so the lineage (and thus
+    task re-execution on failure) stays bounded on long walks.
+
+    → (node, dist) for every node within k hops of a source
+    (sources themselves at dist 0). Unreached nodes are absent —
+    callers wanting ∞ rows should left-join against their node list.
+
+    At 100 TB: each superstep shuffles (node, dist) pairs keyed on the
+    join key; the frontier (only rows that improved) is what joins the
+    edges, so supersteps shrink as the BFS saturates.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    dist = sources.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    frontier = dist
+    for hop in range(1, k + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(hop).cast("long"))
+        )
+        # new frontier = nodes not already reached at a smaller distance
+        frontier = reached.join(dist, "node", "left_anti")
+        dist = dist.unionByName(frontier).groupBy("node").agg(F.min("dist").alias("dist"))
+        if hop % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return dist

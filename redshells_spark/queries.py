@@ -4113,6 +4113,189 @@ def _q4_late_shipments_exists(spark, sf_dir):
     return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+# ------------------------------------ sketch algebra / graph / series
+
+_KMV_SA_K = 64
+
+
+@q(
+    "kmv_set_overlap",
+    f"""WITH h AS (SELECT DISTINCT event_type, {_duck_h60("user_id")} AS h FROM events),
+       kept AS (SELECT event_type, h FROM (
+                  SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+                  FROM h) WHERE rn <= {_KMV_SA_K}),
+       pr AS (SELECT a.event_type AS g1, b.event_type AS g2
+              FROM (SELECT DISTINCT event_type FROM kept) a
+              JOIN (SELECT DISTINCT event_type FROM kept) b ON a.event_type < b.event_type),
+       m AS (SELECT g1, g2, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+               SELECT pr.g1, pr.g2, k.h, 1 AS in_a, 0 AS in_b
+               FROM pr JOIN kept k ON k.event_type = pr.g1
+               UNION ALL
+               SELECT pr.g1, pr.g2, k.h, 0, 1
+               FROM pr JOIN kept k ON k.event_type = pr.g2)
+             GROUP BY g1, g2, h),
+       top AS (SELECT * FROM (
+                 SELECT m.*, row_number() OVER (PARTITION BY g1, g2 ORDER BY h ASC) AS rn
+                 FROM m) WHERE rn <= {_KMV_SA_K}),
+       a AS (SELECT g1, g2, count(*) AS n_kept, max(h) AS hk,
+                    sum(in_a * in_b) AS inter_hashes
+             FROM top GROUP BY g1, g2)
+       SELECT g1, g2, n_kept::BIGINT AS n_kept, inter_hashes::BIGINT AS inter_hashes,
+              round(CASE WHEN n_kept < {_KMV_SA_K} THEN n_kept::DOUBLE
+                    ELSE {_KMV_SA_K - 1}.0 * 1152921504606846976.0 / hk::DOUBLE END, 4)
+                AS union_est,
+              round((inter_hashes::DOUBLE / n_kept) *
+                    (CASE WHEN n_kept < {_KMV_SA_K} THEN n_kept::DOUBLE
+                     ELSE {_KMV_SA_K - 1}.0 * 1152921504606846976.0 / hk::DOUBLE END), 4)
+                AS inter_est,
+              round(inter_hashes::DOUBLE / n_kept, 4) AS jaccard_est
+       FROM a""",
+)
+def _kmv_set_overlap(spark, sf_dir):
+    """KMV multiset algebra (operators/sketches.py:kmv_set_algebra,
+    Beyer et al. SIGMOD'07): union/intersection/Jaccard estimates
+    between every event-type pair's user sets, computed purely from
+    merged k-minimum sketches — raw values are scanned once, all pair
+    math runs on ≤ k·|groups| hashes. Portable md5 ranks + IEEE
+    estimate arithmetic → the DuckDB oracle reproduces every estimate
+    bit-for-bit (an approximate aggregate with an exact check)."""
+    from redshells_spark.operators.sketches import kmv_set_algebra
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_algebra(ev, "event_type", "user_id", k=_KMV_SA_K)
+
+
+@q(
+    "k_hop_reachability",
+    """WITH RECURSIVE e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+                             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       walk(node, dist) AS (
+         SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR), 0
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_7'
+         UNION
+         SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON w.node = e.src
+         WHERE w.dist < 3)
+       SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""",
+)
+def _k_hop_reachability(spark, sf_dir):
+    """Bounded BFS (operators/graph.py:k_hop_distances): min-hop
+    distance from NATION_7 suppliers over the symmetrized co-purchase
+    graph, 3 supersteps of frontier-join + min-fold (the relational
+    Pregel shape, localCheckpoint-bounded lineage). Oracle is a
+    recursive CTE with UNION (set) semantics so states dedupe instead
+    of enumerating all ~57M length-3 walks."""
+    from redshells_spark.operators.graph import k_hop_distances, symmetrize_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sources = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return k_hop_distances(symmetrize_edges(e0), sources, k=3)
+
+
+@q(
+    "association_rules",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                      FROM lineitem JOIN part ON p_partkey = l_partkey),
+       nb AS (SELECT count(DISTINCT b) AS n FROM items),
+       cnt AS (SELECT i, count(*) AS c FROM items GROUP BY i),
+       p AS (SELECT a.i AS item1, b.i AS item2, count(*) AS pair_count
+             FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+             GROUP BY 1, 2
+             HAVING count(*) >= 2)
+       SELECT item1, item2, pair_count, c1.c AS count1, c2.c AS count2,
+              round(pair_count::DOUBLE / nb.n, 4) AS support,
+              round(pair_count::DOUBLE / c1.c, 4) AS confidence_1_to_2,
+              round(pair_count::DOUBLE / c2.c, 4) AS confidence_2_to_1,
+              round((pair_count * nb.n::DOUBLE) / (c1.c * c2.c), 4) AS lift
+       FROM p JOIN cnt c1 ON c1.i = p.item1 JOIN cnt c2 ON c2.i = p.item2, nb""",
+)
+def _association_rules(spark, sf_dir):
+    """Pairwise association rules (operators/assoc.py): brand
+    co-occurrence within orders — support/confidence/lift from one
+    within-basket self-join (fan-out bounded by basket size, never
+    table size) + broadcast support joins. Exact-integer ratios →
+    cross-engine-stable doubles."""
+    from redshells_spark.operators.assoc import association_rules_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    return association_rules_pairs(
+        baskets, basket_col="l_orderkey", item_col="p_brand", min_pair_support=2
+    )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_W = 8
+_EWMA_COEFS = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_W)]
+
+
+def _ewma_oracle_sql() -> str:
+    num = " + ".join(
+        f"{c!r} * coalesce(lag(vc, {j}) OVER w, 0)" for j, c in enumerate(_EWMA_COEFS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(vc, {j}) OVER w IS NULL THEN 0.0 ELSE {c!r} END"
+        for j, c in enumerate(_EWMA_COEFS)
+    )
+    return f"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events)
+       SELECT event_id, user_id, round(({num}) / ({den}), 4) AS ewma_c
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)"""
+
+
+@q("ewma_user_values", _ewma_oracle_sql())
+def _ewma_user_values(spark, sf_dir):
+    """Truncated-window EWMA (window width 8, α=0.3): the classic
+    time-series smoother as a *fixed linear combination of lags* —
+    pure window codegen, no recursion, no UDF. Truncation keeps the
+    recurrence relational (the exact infinite-memory EWMA is a
+    sequential scan); with (1−α)^8 ≈ 0.06 the truncation error is
+    <6% of the steady-state weight mass, and the divisor re-normalizes
+    over the lags actually present so series starts are unbiased.
+    Coefficients are embedded as identical Python-rendered double
+    literals on both engines; values ride as integer cents → every
+    product and the final divide are reproducible IEEE arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        event_us(ev, "ts").alias("__us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("__us").asc(), F.col("event_id").asc())
+    lags = [F.col("vc") if j == 0 else F.lag("vc", j).over(w) for j in range(_EWMA_W)]
+    num = None
+    den = None
+    for j, (c, lg) in enumerate(zip(_EWMA_COEFS, lags)):
+        term = F.lit(c) * F.coalesce(lg.cast("double"), F.lit(0.0))
+        dterm = F.when(lg.isNull(), F.lit(0.0)).otherwise(F.lit(c))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return e.select("event_id", "user_id", _r4(num / den, "ewma_c"))
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,101 @@
+"""BFS / KMV set algebra / association rules semantics tests."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshells_spark.operators.assoc import association_rules_pairs
+from redshells_spark.operators.graph import k_hop_distances, symmetrize_edges
+from redshells_spark.operators.sketches import kmv_set_algebra
+
+
+def _bfs(adj, sources, k):
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if dist[u] >= k:
+            continue
+        for v in adj.get(u, ()):  # noqa: PERF102
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_k_hop_matches_python_bfs(spark):
+    import random
+
+    rng = random.Random(3)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(80)}
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sources = [0, 1]
+    expected = _bfs(adj, sources, 3)
+
+    e = symmetrize_edges(spark.createDataFrame(edges, "src bigint, dst bigint"))
+    s = spark.createDataFrame([(x,) for x in sources], "node bigint")
+    got = {r["node"]: r["dist"] for r in k_hop_distances(e, s, k=3).collect()}
+    assert got == expected
+
+
+def test_k_hop_zero(spark):
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    s = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in k_hop_distances(e, s, k=0).collect()}
+    assert got == {1: 0}
+
+
+def test_kmv_set_algebra_exact_regime(spark):
+    # below k the sketch holds every hash -> estimates are exact
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = kmv_set_algebra(df, "g", "v", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g1"], r["g2"]) == ("a", "b")
+    assert r["union_est"] == 40.0 and r["inter_est"] == 10.0
+    assert r["jaccard_est"] == 0.25
+
+
+def test_kmv_set_algebra_estimate_accuracy(spark):
+    rows = [("a", i) for i in range(3000)] + [("b", i) for i in range(1500, 4500)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    r = kmv_set_algebra(df, "g", "v", k=256).collect()[0]
+    # union 4500, intersection 1500 — k=256 gives ~6% standard error
+    assert abs(r["union_est"] - 4500) / 4500 < 0.25
+    assert abs(r["inter_est"] - 1500) / 1500 < 0.4
+
+
+def test_kmv_set_algebra_refuses_many_groups(spark):
+    rows = [(f"g{i}", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    with pytest.raises(ValueError, match="groups"):
+        kmv_set_algebra(df, "g", "v", k=16, max_groups=10)
+
+
+def test_association_rules_handcrafted(spark):
+    # 4 baskets: {x,y} {x,y} {x,z} {y}
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"), (4, "y")]
+    df = spark.createDataFrame(rows, "b bigint, i string")
+    out = {(r["item1"], r["item2"]): r for r in
+           association_rules_pairs(df, "b", "i", min_pair_support=1).collect()}
+    xy = out[("x", "y")]
+    assert xy["pair_count"] == 2 and xy["count1"] == 3 and xy["count2"] == 3
+    assert xy["support"] == 0.5
+    assert xy["confidence_1_to_2"] == round(2 / 3, 4)
+    assert xy["lift"] == round(2 * 4 / 9, 4)
+    assert out[("x", "z")]["pair_count"] == 1
+
+
+def test_association_rules_dedupes_within_basket(spark):
+    rows = [(1, "x"), (1, "x"), (1, "y")]
+    df = spark.createDataFrame(rows, "b bigint, i string")
+    out = association_rules_pairs(df, "b", "i", min_pair_support=1).collect()
+    assert len(out) == 1 and out[0]["pair_count"] == 1
