@@ -46,6 +46,19 @@ HEADLINE = [
     "triangle_counts",
     "market_share_asia",
     "ivfpq_topk",
+    # round-3 analytics tier
+    "funnel_conversion",
+    "retention_cohorts",
+    "edit_distance_join",
+    # token_jaccard_join excluded: the 31-token synthetic vocab makes its
+    # OUTPUT quadratic (~3M pairs at sf0.1) — an artifact of the corpus,
+    # not the operator; it stays in the correctness registry
+    "kmv_set_overlap",
+    "k_hop_reachability",
+    "association_rules",
+    "ewma_user_values",
+    "q17_small_quantity_revenue",
+    "dq_checks",
 ]
 
 

@@ -147,3 +147,121 @@ def kmv_set_algebra(
         F.round(rho * union_est, 4).alias("inter_est"),
         F.round(rho, 4).alias("jaccard_est"),
     )
+
+
+def log_histogram_quantiles(
+    df: DataFrame,
+    group_columns: list[str],
+    value_column: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """Mergeable log₂-histogram quantile sketch over POSITIVE integers.
+
+    The scale path for grouped quantiles: one groupBy builds per-group
+    power-of-two bin counts (a ~64-counter synopsis, mergeable by
+    plain addition — the same property that makes KMV/Misra-Gries
+    streaming-safe); quantile q is answered with the lower bound of
+    the first bin whose cumulative count reaches ceil(q·n). Relative
+    error is bounded by the bin ratio (2×); callers needing tighter
+    error scale the values first (e.g. cents → ¼-cent units gives
+    √2-ish bins via two extra bits).
+
+    Everything is integer arithmetic: binning uses the binary-string
+    length of the value (``length(bin(v))`` — exact, unlike
+    floor(ln v/ln 2) whose IEEE rounding flips at exact powers of
+    two), and the answer is the bin's integer lower bound — so the
+    estimate is bit-reproducible in any engine.
+
+    → (*group_columns, q, n, est_lower_bound)
+    """
+    require_columns(df, group_columns + [value_column])
+    if not quantiles or any(not 0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1]")
+    v = F.col(value_column)
+    binned = df.filter(v > 0).select(
+        *group_columns, F.length(F.bin(v.cast("long"))).alias("__bin")
+    )
+    counts = binned.groupBy(*group_columns, "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = (
+        Window.partitionBy(*group_columns)
+        .orderBy(F.col("__bin").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*group_columns)
+    cum = counts.select(
+        *group_columns,
+        "__bin",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    expanded = cum.select(*group_columns, "__bin", "__cum", "__n", qs)
+    hit = expanded.filter(F.col("__cum") >= F.ceil(F.col("q") * F.col("__n")))
+    wq = Window.partitionBy(*group_columns, "q").orderBy(F.col("__bin").asc())
+    first_hit = hit.withColumn("__rn", F.row_number().over(wq)).filter(F.col("__rn") == 1)
+    return first_hit.select(
+        *group_columns,
+        "q",
+        F.col("__n").cast("long").alias("n"),
+        # F.shiftleft takes a python-int bit count; the column-valued
+        # shift must go through the SQL expression form
+        F.expr("shiftleft(cast(1 as bigint), __bin - 1)").alias("est_lower_bound"),
+    )
+
+
+def kmv_rolling_distinct(
+    df: DataFrame,
+    bucket_column: str,
+    value_column: str,
+    window_buckets: int,
+    k: int = 256,
+) -> DataFrame:
+    """Rolling-window approximate distinct count: for every time
+    bucket b, the KMV estimate of distinct values over buckets
+    [b − window_buckets + 1, b] — the classic "7-day rolling unique
+    users" without re-scanning raw data per window.
+
+    Sketch mergeability does the work: per-bucket k-minimum hash sets
+    are built once (one scan), then each hash row fans out to the
+    ≤ ``window_buckets`` windows it can serve (an explode, not a range
+    join), is deduplicated per window (the same value may appear on
+    several days), re-ranked, and estimated. Shuffles carry 8-byte
+    hashes keyed by bucket — never raw values across windows.
+
+    Windows are emitted only for buckets present in the data.
+
+    → (bucket, n_kept, rolling_distinct_est)
+    """
+    require_columns(df, [bucket_column, value_column])
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    hashes = df.select(
+        F.col(bucket_column).cast("long").alias("__bk"),
+        F.expr(_h60_sql(f"`{value_column}`")).alias("__h"),
+    ).dropDuplicates(["__bk", "__h"])
+    wb = Window.partitionBy("__bk").orderBy(F.col("__h").asc())
+    kept = hashes.withColumn("__rn", F.row_number().over(wb)).filter(F.col("__rn") <= k)
+
+    offsets = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(int(window_buckets) - 1).cast("long"))
+    ).alias("__off")
+    fanned = kept.select("__bk", "__h", offsets).select(
+        (F.col("__bk") + F.col("__off")).alias("__target"), "__h"
+    )
+    present = kept.select(F.col("__bk").alias("__target")).distinct()
+    merged = fanned.join(present, "__target").dropDuplicates(["__target", "__h"])
+    wt = Window.partitionBy("__target").orderBy(F.col("__h").asc())
+    top = merged.withColumn("__rn", F.row_number().over(wt)).filter(F.col("__rn") <= k)
+    agg = top.groupBy("__target").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("__h").alias("__hk")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(TWO_POW_60) / F.col("__hk").cast("double")
+    )
+    return agg.select(
+        F.col("__target").alias("bucket"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round(est, 4).alias("rolling_distinct_est"),
+    )

@@ -4296,6 +4296,425 @@ def _ewma_user_values(spark, sf_dir):
     return e.select("event_id", "user_id", _r4(num / den, "ewma_c"))
 
 
+# ----------------------------------- windows breadth / robust stats / CDC
+
+
+@q(
+    "scd2_intervals",
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                  FROM events WHERE event_type IN ('signup', 'purchase', 'error'))
+       SELECT event_id, user_id, event_type,
+              us AS valid_from_us,
+              lead(us) OVER w AS valid_to_us,
+              CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)""",
+)
+def _scd2_intervals(spark, sf_dir):
+    """SCD Type-2 dimension build from a change stream: each change
+    row gets a validity interval [valid_from, valid_to) via one lead()
+    window — the standard CDC-to-dimension compaction (pairs with
+    `latest_by_key`, which keeps only the open row). One shuffle on
+    the business key; no self-join (the naive SCD2 build joins the
+    stream to itself on adjacent change ranks)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type").isin("signup", "purchase", "error")).select(
+        "event_id", "user_id", "event_type", event_us(ev, "ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w).alias("valid_to_us"),
+        F.when(F.lead("us").over(w).isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@q(
+    "grouped_mad",
+    """WITH e AS (SELECT event_type, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+       m AS (SELECT event_type, vc AS med FROM (
+               SELECT event_type, vc, event_id,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY vc ASC, event_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM e) WHERE rn = (n + 1) // 2),
+       d AS (SELECT e.event_type, abs(vc - med) AS dev, event_id
+             FROM e JOIN m ON e.event_type = m.event_type)
+       SELECT event_type, med, mad FROM (
+         SELECT d.event_type, m.med, dev AS mad,
+                row_number() OVER (PARTITION BY d.event_type
+                                   ORDER BY dev ASC, event_id ASC) AS rn,
+                count(*) OVER (PARTITION BY d.event_type) AS n
+         FROM d JOIN m ON d.event_type = m.event_type) WHERE rn = (n + 1) // 2""",
+)
+def _grouped_mad(spark, sf_dir):
+    """Robust dispersion: median absolute deviation per group via two
+    window rank-selections (lower median both times — everything stays
+    exact int64 cents end-to-end, no percentile-interpolation semantics
+    to reconcile). Group medians broadcast back (|groups| rows);
+    identical shape to `grouped_median_price`, iterated."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("vc")
+    )
+
+    def lower_median(df, val_col, out_col):
+        w = Window.partitionBy("event_type").orderBy(
+            F.col(val_col).asc(), F.col("event_id").asc()
+        )
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(val_col).alias(out_col))
+        )
+
+    med = lower_median(e, "vc", "med")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", F.abs(F.col("vc") - F.col("med")).alias("dev")
+    )
+    mad = lower_median(dev, "dev", "mad")
+    return med.join(mad, "event_type").select("event_type", "med", "mad")
+
+
+@q(
+    "first_last_events",
+    """SELECT DISTINCT user_id,
+              first_value(event_type) OVER w AS first_type,
+              last_value(event_type) OVER w AS last_type,
+              nth_value(event_type, 2) OVER w AS second_type,
+              count(*) OVER (PARTITION BY user_id) AS n_events
+       FROM (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events)
+       WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def _first_last_events(spark, sf_dir):
+    """first_value / last_value / nth_value over a full-partition
+    frame (the UNBOUNDED FOLLOWING frame is what makes last/nth
+    well-defined — the default frame stops at CURRENT ROW), collapsed
+    to one row per user. Tie-broken ordering keeps both engines on the
+    same witness rows."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", event_us(ev, "ts").alias("us"), "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+    ).distinct()
+
+
+@q(
+    "session_paths",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                         epoch_us(ts) // 86400000000 AS day
+                  FROM events),
+       p AS (SELECT user_id, day,
+                    string_agg(event_type, '>' ORDER BY us ASC, event_id ASC) AS path
+             FROM e GROUP BY user_id, day)
+       SELECT path, count(*) AS n_sessions
+       FROM p GROUP BY path HAVING count(*) >= 5""",
+)
+def _session_paths(spark, sf_dir):
+    """Path analysis: per user-day ordered event-type sequences,
+    aggregated to the common paths (≥5 occurrences). The ordered
+    string_agg is the canonical cross-engine rendering of a sequence
+    (array ordering + hashing differ between engines); at 100 TB the
+    per-session path build is one groupBy whose values are tiny
+    ordered strings, and the path popularity count shuffles only the
+    distinct path strings."""
+    ev = _t(spark, sf_dir, "events")
+    # day bucket from the normalized microseconds (integer div)
+    e = ev.select(
+        "user_id", "event_type", event_us(ev, "ts").alias("us"), "event_id"
+    ).withColumn("day", F.expr("us div 86400000000"))
+    # one aggregation: collect (us, event_id, type) structs, sort —
+    # struct ordering is lexicographic on fields, so this IS the
+    # (us, event_id) order — then project the types out
+    paths = e.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
+# ------------------------------------------ stats tests / data quality
+
+
+@q(
+    "ab_test_welch",
+    """WITH e AS (SELECT user_id % 2 AS grp,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events WHERE event_type = 'purchase'),
+       st AS (SELECT grp, count(*) AS n,
+                     sum(CAST(vc AS DOUBLE)) AS s,
+                     sum(CAST(vc AS DOUBLE) * CAST(vc AS DOUBLE)) AS ss
+              FROM e GROUP BY grp),
+       w AS (SELECT a.n AS n1, b.n AS n2,
+                    a.s / a.n AS m1, b.s / b.n AS m2,
+                    (a.ss - a.s * a.s / a.n) / (a.n - 1) AS v1,
+                    (b.ss - b.s * b.s / b.n) / (b.n - 1) AS v2
+             FROM st a, st b WHERE a.grp = 0 AND b.grp = 1)
+       SELECT n1, n2, round(m1 / 100.0, 4) AS mean1, round(m2 / 100.0, 4) AS mean2,
+              round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+              round(pow(v1 / n1 + v2 / n2, 2) /
+                    (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 4)
+                AS welch_df
+       FROM w""",
+)
+def _ab_test_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test between two experiment arms
+    (portable assignment: user_id parity) on purchase values — the A/B
+    analysis primitive. Group moments come from integer-cent sums
+    folded as doubles (exact for these magnitudes, so fold order is
+    irrelevant); the t statistic and Welch–Satterthwaite df are then
+    one fixed IEEE expression, identical on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    st = e.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vc").cast("double")).alias("s"),
+        F.sum(F.col("vc").cast("double") * F.col("vc").cast("double")).alias("ss"),
+    )
+    a = st.filter(F.col("grp") == 0).alias("a")
+    b = st.filter(F.col("grp") == 1).alias("b")
+    j = a.crossJoin(b)
+    m1, m2 = F.col("a.s") / F.col("a.n"), F.col("b.s") / F.col("b.n")
+    v1 = (F.col("a.ss") - F.col("a.s") * F.col("a.s") / F.col("a.n")) / (F.col("a.n") - 1)
+    v2 = (F.col("b.ss") - F.col("b.s") * F.col("b.s") / F.col("b.n")) / (F.col("b.n") - 1)
+    se2 = v1 / F.col("a.n") + v2 / F.col("b.n")
+    return j.select(
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+        _r4(m1 / 100.0, "mean1"),
+        _r4(m2 / 100.0, "mean2"),
+        _r4((m1 - m2) / F.sqrt(se2), "t_stat"),
+        _r4(
+            F.pow(se2, 2)
+            / (
+                F.pow(v1 / F.col("a.n"), 2) / (F.col("a.n") - 1)
+                + F.pow(v2 / F.col("b.n"), 2) / (F.col("b.n") - 1)
+            ),
+            "welch_df",
+        ),
+    )
+
+
+@q(
+    "chi_square_independence",
+    """WITH o AS (SELECT lang, source, count(*) AS obs
+                  FROM documents GROUP BY lang, source),
+       r AS (SELECT lang, sum(obs) AS rt FROM o GROUP BY lang),
+       c AS (SELECT source, sum(obs) AS ct FROM o GROUP BY source),
+       n AS (SELECT sum(obs) AS tot FROM o),
+       cells AS (SELECT o.lang, o.source,
+                        CAST(round(1000000.0 *
+                          CAST((tot * obs - rt * ct) AS DOUBLE) * (tot * obs - rt * ct)
+                          / (CAST(tot AS DOUBLE) * rt * ct)) AS BIGINT) AS term_u
+                 FROM o JOIN r ON o.lang = r.lang
+                        JOIN c ON o.source = c.source, n)
+       SELECT CAST(sum(term_u) AS BIGINT) AS chi2_micro,
+              round(CAST(sum(term_u) AS DOUBLE) / 1000000.0, 4) AS chi2,
+              count(*) AS n_cells
+       FROM cells""",
+)
+def _chi_square_independence(spark, sf_dir):
+    """Chi-square independence test on the lang × source contingency
+    table. Per-cell terms use the all-integer form
+    (N·o − r·c)²/(N·r·c) — exact int64 numerators — and are *rounded
+    to integer micro-units before summing*, so the final reduction is
+    order-free integer addition (a plain double sum of 20 cells folds
+    in engine-dependent order). The statistic is exact to 1e-6, which
+    is far inside any significance-test tolerance."""
+    d = _t(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("tot"))
+    num = F.col("tot") * F.col("obs") - F.col("rt") * F.col("ct")
+    term = (
+        F.lit(1000000.0)
+        * num.cast("double")
+        * num
+        / (F.col("tot").cast("double") * F.col("rt") * F.col("ct"))
+    )
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(F.round(term, 0).cast("long").alias("term_u"))
+    )
+    return cells.agg(
+        F.sum("term_u").cast("long").alias("chi2_micro"),
+        _r4(F.sum("term_u").cast("double") / 1000000.0, "chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+@q(
+    "dq_checks",
+    """SELECT 'orphan_orders' AS check_name,
+              (SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS violations
+       UNION ALL
+       SELECT 'orphan_lineitems',
+              (SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+       UNION ALL
+       SELECT 'dup_orderkeys',
+              (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                     GROUP BY o_orderkey HAVING count(*) > 1))
+       UNION ALL
+       SELECT 'null_totalprice',
+              (SELECT count(*) FROM orders WHERE o_totalprice IS NULL)
+       UNION ALL
+       SELECT 'nonpositive_price',
+              (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+       UNION ALL
+       SELECT 'bad_discount',
+              (SELECT count(*) FROM lineitem
+               WHERE l_discount < 0 OR l_discount > 1)
+       UNION ALL
+       SELECT 'negative_quantity',
+              (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)""",
+)
+def _dq_checks(spark, sf_dir):
+    """Data-quality audit suite: referential orphans (anti joins),
+    key-uniqueness violations, null/range checks — one long-format
+    (check_name, violations) frame. Each check is a single scan or
+    anti-join; at 100 TB the range/null checks fuse into one pass per
+    table and the orphan checks broadcast the dimension keys."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def one(name: str, cnt_df) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("check_name"), F.col("v").cast("long").alias("violations")
+        )
+
+    checks = [
+        one("orphan_orders",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(F.count(F.lit(1)).alias("v"))),
+        one("orphan_lineitems",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(F.count(F.lit(1)).alias("v"))),
+        one("dup_orderkeys",
+            o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1).agg(F.count(F.lit(1)).alias("v"))),
+        one("null_totalprice", o.filter(F.col("o_totalprice").isNull()).agg(F.count(F.lit(1)).alias("v"))),
+        one("nonpositive_price", o.filter(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("v"))),
+        one("bad_discount",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).agg(F.count(F.lit(1)).alias("v"))),
+        one("negative_quantity", li.filter(F.col("l_quantity") <= 0).agg(F.count(F.lit(1)).alias("v"))),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+@q(
+    "price_quantile_sketch",
+    """WITH b AS (SELECT o_orderpriority,
+                         length(format('{:b}', CAST(round(o_totalprice * 100) AS BIGINT))) AS bin
+                  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+       c AS (SELECT o_orderpriority, bin, count(*) AS c FROM b GROUP BY 1, 2),
+       cum AS (SELECT o_orderpriority, bin,
+                      sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bin ASC) AS cum,
+                      sum(c) OVER (PARTITION BY o_orderpriority) AS n
+               FROM c),
+       x AS (SELECT cum.*, q FROM cum,
+             (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)),
+       hit AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority, q
+                                            ORDER BY bin ASC) AS rn
+               FROM x WHERE cum >= ceil(q * n))
+       SELECT o_orderpriority, q, CAST(n AS BIGINT) AS n,
+              (1::BIGINT << (bin - 1)) AS est_lower_bound
+       FROM hit WHERE rn = 1""",
+)
+def _price_quantile_sketch(spark, sf_dir):
+    """Mergeable log₂-histogram quantile sketch
+    (operators/sketches.py:log_histogram_quantiles): grouped p50/p90/p99
+    from a ~64-counter power-of-two synopsis — the scale path where an
+    exact global sort is off the table. Binning via binary-string
+    length (exact where floor(ln/ln2) misrounds at powers of two);
+    answers are integer bin lower bounds — bit-reproducible, so this
+    approximate aggregate gets an exact oracle MATCH (pairs with the
+    exact `value_percentiles`)."""
+    from redshells_spark.operators.sketches import log_histogram_quantiles
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("vc")
+    )
+    return log_histogram_quantiles(o, ["o_orderpriority"], "vc", [0.5, 0.9, 0.99])
+
+
+@q(
+    "rolling_distinct_users",
+    f"""WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS bk,
+                          {_duck_h60("user_id")} AS h
+                   FROM events),
+       kept AS (SELECT bk, h FROM (
+                  SELECT bk, h, row_number() OVER (PARTITION BY bk ORDER BY h ASC) AS rn
+                  FROM e) WHERE rn <= 64),
+       f AS (SELECT bk + off AS target, h
+             FROM kept, (SELECT unnest(generate_series(0, 6)) AS off)),
+       p AS (SELECT DISTINCT bk AS target FROM kept),
+       m AS (SELECT DISTINCT target, h FROM f JOIN p USING (target)),
+       top AS (SELECT target, h FROM (
+                 SELECT target, h, row_number() OVER (PARTITION BY target ORDER BY h ASC) AS rn
+                 FROM m) WHERE rn <= 64),
+       a AS (SELECT target, count(*) AS n_kept, max(h) AS hk FROM top GROUP BY 1)
+       SELECT target AS bucket, n_kept::BIGINT AS n_kept,
+              round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                    ELSE 63.0 * 1152921504606846976.0 / hk::DOUBLE END, 4)
+                AS rolling_distinct_est
+       FROM a""",
+)
+def _rolling_distinct_users(spark, sf_dir):
+    """7-day rolling distinct users via KMV sketch merging
+    (operators/sketches.py:kmv_rolling_distinct): per-day k-minimum
+    hash sets built once, fanned to the ≤7 windows they serve (an
+    explode, not a range join), deduped, re-ranked, estimated.
+    Raw rows are scanned once; cross-window shuffles carry 8-byte
+    hashes only. A COUNT(DISTINCT) OVER a sliding window has no
+    native relational form — the mergeable sketch IS the standard
+    scale answer, and the portable hashing makes it oracle-exact."""
+    from redshells_spark.operators.sketches import kmv_rolling_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(event_us(ev, "ts").alias("__us"), "user_id").select(
+        F.expr("`__us` div 86400000000").alias("bk"), "user_id"
+    )
+    return kmv_rolling_distinct(e, "bk", "user_id", window_buckets=7, k=64)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

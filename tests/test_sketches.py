@@ -41,3 +41,55 @@ def test_groups_independent(spark, sf_dir):
     joined = {r["event_type"]: r for r in out.join(exact, on="event_type").collect()}
     for et, r in joined.items():
         assert abs(r["kmv_estimate"] - r["n"]) / max(r["n"], 1) < 0.6  # k=32 is coarse
+
+
+def test_log_histogram_quantiles_exact_bins(spark):
+    from redshells_spark.operators.sketches import log_histogram_quantiles
+
+    # values 1..100; p50 -> rank 50 -> value 50 lives in bin [32,64)
+    df = spark.createDataFrame([("g", v) for v in range(1, 101)], "g string, v bigint")
+    out = {r["q"]: r for r in log_histogram_quantiles(df, ["g"], "v", [0.5, 0.99]).collect()}
+    assert out[0.5]["est_lower_bound"] == 32
+    assert out[0.99]["est_lower_bound"] == 64  # rank 99 -> 99 in [64,128)
+    assert out[0.5]["n"] == 100
+
+
+def test_log_histogram_power_of_two_boundary(spark):
+    from redshells_spark.operators.sketches import log_histogram_quantiles
+
+    # exact powers of two must bin as [2^k, 2^(k+1)) — the IEEE
+    # floor(ln/ln2) formulation misplaces these
+    df = spark.createDataFrame([("g", 8)], "g string, v bigint")
+    r = log_histogram_quantiles(df, ["g"], "v", [1.0]).collect()[0]
+    assert r["est_lower_bound"] == 8
+
+
+def test_log_histogram_rejects_bad_quantiles(spark):
+    import pytest as _pytest
+
+    from redshells_spark.operators.sketches import log_histogram_quantiles
+
+    df = spark.createDataFrame([("g", 1)], "g string, v bigint")
+    with _pytest.raises(ValueError):
+        log_histogram_quantiles(df, ["g"], "v", [0.0])
+
+
+def test_kmv_rolling_distinct_exact_regime(spark):
+    from redshells_spark.operators.sketches import kmv_rolling_distinct
+
+    # day 0: users {1,2}; day 1: users {2,3}; day 2: {9}
+    rows = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 9)]
+    df = spark.createDataFrame(rows, "bk bigint, u bigint")
+    out = {r["bucket"]: r["rolling_distinct_est"]
+           for r in kmv_rolling_distinct(df, "bk", "u", window_buckets=2, k=64).collect()}
+    # window [b-1, b]: day0 -> {1,2}; day1 -> {1,2,3}; day2 -> {2,3,9}
+    assert out == {0: 2.0, 1: 3.0, 2: 3.0}
+
+
+def test_kmv_rolling_distinct_only_present_buckets(spark):
+    from redshells_spark.operators.sketches import kmv_rolling_distinct
+
+    df = spark.createDataFrame([(0, 1), (5, 2)], "bk bigint, u bigint")
+    buckets = {r["bucket"] for r in
+               kmv_rolling_distinct(df, "bk", "u", window_buckets=3, k=8).collect()}
+    assert buckets == {0, 5}
