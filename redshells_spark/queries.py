@@ -4715,6 +4715,191 @@ def _rolling_distinct_users(spark, sf_dir):
     return kmv_rolling_distinct(e, "bk", "user_id", window_buckets=7, k=64)
 
 
+# --------------------------- incremental maintenance / diff / retrieval
+
+_INCR_CUTOFF_DAY = 20  # day index within the 30-day event window
+
+
+@q(
+    "incremental_agg_update",
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000
+                           - (SELECT min(epoch_us(ts) // 86400000000) FROM events) AS day,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events)
+       SELECT user_id, count(*) AS n_events, sum(vc) AS total_c
+       FROM e GROUP BY user_id""",
+)
+def _incremental_agg_update(spark, sf_dir):
+    """Incremental aggregate maintenance: the base aggregate (days
+    < 20) is updated with a delta partial-aggregate (days ≥ 20) via a
+    keyed merge — base rows untouched by the delta pass through
+    unchanged; the oracle is the FULL recompute, so the hash MATCH is
+    a proof that incremental == from-scratch. This is the maintenance
+    loop every continuously-ingested 100 TB aggregate runs: only the
+    delta is scanned and shuffled at update time, and sum/count
+    merge associatively (avg/std derive from them downstream)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        event_us(ev, "ts").alias("__us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    ).withColumn("day", F.expr("`__us` div 86400000000"))
+    # scalar anchor stays lazy: broadcast the 1-row min instead of an
+    # eager collect — the plan carries it as a BroadcastExchange
+    day0 = e.agg(F.min("day").alias("__day0"))
+    e = e.crossJoin(F.broadcast(day0)).withColumn(
+        "day", F.col("day") - F.col("__day0")
+    )
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("vc").alias("total_c")
+        )
+
+    base = agg(e.filter(F.col("day") < _INCR_CUTOFF_DAY))
+    delta = agg(e.filter(F.col("day") >= _INCR_CUTOFF_DAY))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").cast("long").alias("n_events"), F.sum("total_c").alias("total_c"))
+    )
+    return merged
+
+
+@q(
+    "snapshot_diff",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                         epoch_us(ts) // 86400000000
+                           - (SELECT min(epoch_us(ts) // 86400000000) FROM events) AS day
+                  FROM events),
+       v1 AS (SELECT user_id, event_type AS state FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY us DESC, event_id DESC) AS rn
+                FROM e WHERE day < 20) WHERE rn = 1),
+       v2 AS (SELECT user_id, event_type AS state FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY us DESC, event_id DESC) AS rn
+                FROM e) WHERE rn = 1)
+       SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+              v1.state AS old_state, v2.state AS new_state,
+              CASE WHEN v1.user_id IS NULL THEN 'added'
+                   WHEN v2.user_id IS NULL THEN 'removed'
+                   WHEN v1.state <> v2.state THEN 'changed'
+                   ELSE 'unchanged' END AS diff
+       FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id""",
+)
+def _snapshot_diff(spark, sf_dir):
+    """Snapshot diff: latest-state-per-key at two versions (CDC
+    compaction twice — cf. `latest_by_key`), full-outer-joined and
+    classified added/removed/changed/unchanged. The audit primitive
+    for validating incremental pipelines against rebuilds. One
+    shuffle per snapshot + one keyed join; no row-level history
+    replay."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", event_us(ev, "ts").alias("us"), "event_id"
+    ).withColumn("day", F.expr("us div 86400000000"))
+    day0 = e.agg(F.min("day").alias("__day0"))
+    e = e.crossJoin(F.broadcast(day0)).withColumn("day", F.col("day") - F.col("__day0"))
+
+    def latest(df):
+        w = Window.partitionBy("user_id").orderBy(F.col("us").desc(), F.col("event_id").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("state"))
+        )
+
+    v1 = latest(e.filter(F.col("day") < _INCR_CUTOFF_DAY)).alias("v1")
+    v2 = latest(e).alias("v2")
+    j = v1.join(v2, F.col("v1.user_id") == F.col("v2.user_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("v1.user_id"), F.col("v2.user_id")).alias("user_id"),
+        F.col("v1.state").alias("old_state"),
+        F.col("v2.state").alias("new_state"),
+        F.when(F.col("v1.user_id").isNull(), "added")
+        .when(F.col("v2.user_id").isNull(), "removed")
+        .when(F.col("v1.state") != F.col("v2.state"), "changed")
+        .otherwise("unchanged")
+        .alias("diff"),
+    )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle_sql() -> str:
+    terms = []
+    for kw in KEYWORDS:
+        terms.append(
+            f"""coalesce((SELECT ln((nd.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (t.tf * {_BM25_K1 + 1.0}) /
+                   (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / ad.avgdl))
+               FROM tf t JOIN df ON df.token = t.token, nd, ad
+               WHERE t.doc_id = d.doc_id AND t.token = '{kw}'), 0.0)"""
+        )
+    score = "\n             + ".join(terms)
+    return f"""WITH {_TOK_SQL},
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       nd AS (SELECT count(*) AS n FROM dl),
+       ad AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+       tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
+              WHERE token IN {KEYWORDS!r} GROUP BY doc_id, token),
+       df AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+       SELECT d.doc_id, dl.dl AS doc_len,
+              round({score}, 4) AS bm25
+       FROM documents d JOIN dl ON dl.doc_id = d.doc_id
+       WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf)"""
+
+
+@q("bm25_keyword_search", _bm25_oracle_sql())
+def _bm25_keyword_search(spark, sf_dir):
+    """BM25 relevance scoring (Robertson–Spärck Jones) for a fixed
+    keyword query over the corpus — the classic retrieval scorer the
+    tfidf tier stops short of. Fully relational: tf/df/dl/avgdl from
+    two aggregations; per-keyword score terms pivot into fixed columns
+    so the final score is a FIXED-ORDER sum (a bare sum() over terms
+    would fold doubles in engine-dependent order). Only docs matching
+    ≥1 keyword are scored — the semi-join keeps the scan sparse."""
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("tokens").alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    nd_avg = dl.agg(
+        F.count(F.lit(1)).alias("n"), (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*KEYWORDS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # pivot tf and df into per-keyword columns (explicit value list)
+    tfp = tf.groupBy("doc_id").pivot("token", list(KEYWORDS)).agg(F.first("tf"))
+    scored = (
+        tfp.join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd_avg))
+        .crossJoin(
+            F.broadcast(
+                df_.groupBy().pivot("token", list(KEYWORDS)).agg(F.first("df"))
+            ).select(*[F.col(kw).alias(f"df_{kw}") for kw in KEYWORDS])
+        )
+    )
+    norm = F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    score = None
+    for kw in KEYWORDS:
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{kw}") + 0.5) / (F.col(f"df_{kw}") + 0.5) + 1.0
+        )
+        term = idf * (F.col(kw) * F.lit(_BM25_K1 + 1.0)) / (
+            F.col(kw) + F.lit(_BM25_K1) * norm
+        )
+        term = F.coalesce(term, F.lit(0.0))
+        score = term if score is None else score + term
+    return scored.select("doc_id", F.col("dl").alias("doc_len"), _r4(score, "bm25"))
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
