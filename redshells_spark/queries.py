@@ -68,7 +68,7 @@ from redshells_spark.text.analysis import (
 from redshells_spark.text.dictionary import train_dictionary
 from redshells_spark.text.tfidf import tfidf_scores, tfidf_top_tokens
 from redshells_spark.text.tokenize import tokenize_on_space
-from redshells_spark.timeutil import event_ts, event_us
+from redshells_spark.timeutil import event_range_filter, event_ts, event_us
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -4946,10 +4946,8 @@ def _q6_revenue_forecast(spark, sf_dir):
     PushedFilters and a two-column ReadSchema. At 100 TB this is the
     canonical partition-pruning query (shipdate-partitioned layout)."""
     li = _t(spark, sf_dir, "lineitem")
-    us = event_us(li, "l_shipdate")
     kept = li.filter(
-        (us >= _US_1996)
-        & (us < _US_1997)
+        event_range_filter(li, "l_shipdate", _US_1996, _US_1997)
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     )
@@ -4987,8 +4985,9 @@ def _q5_regional_revenue(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    o_us = event_us(o, "o_orderdate")
-    o2 = o.filter((o_us >= _US_1996) & (o_us < _US_1997)).select("o_orderkey", "o_custkey")
+    o2 = o.filter(event_range_filter(o, "o_orderdate", _US_1996, _US_1997)).select(
+        "o_orderkey", "o_custkey"
+    )
     nr = n.join(
         F.broadcast(r.select("r_regionkey")), n.n_regionkey == F.col("r_regionkey")
     ).select("n_nationkey", "n_name")
@@ -5039,8 +5038,7 @@ def _q7_nation_trade_flows(spark, sf_dir):
     pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
     n1 = pair.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
     n2 = pair.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
-    s_us = event_us(li, "l_shipdate")
-    li2 = li.filter((s_us >= _US_1996) & (s_us < _US_1998)).select(
+    li2 = li.filter(event_range_filter(li, "l_shipdate", _US_1996, _US_1998)).select(
         "l_orderkey",
         "l_suppkey",
         F.year(event_ts(li, "l_shipdate")).cast("long").alias("l_year"),
@@ -5132,8 +5130,9 @@ def _q10_returned_item_report(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
-    o_us = event_us(o, "o_orderdate")
-    o2 = o.filter((o_us >= _US_1996) & (o_us < _US_1996_H2)).select("o_orderkey", "o_custkey")
+    o2 = o.filter(event_range_filter(o, "o_orderdate", _US_1996, _US_1996_H2)).select(
+        "o_orderkey", "o_custkey"
+    )
     li2 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", _rev_c().alias("rev_c"))
     agg = (
         li2.join(o2, li2.l_orderkey == o2.o_orderkey)
@@ -5257,8 +5256,7 @@ def _q14_promo_revenue_share(spark, sf_dir):
     is the only inexact op and is bit-identical across engines."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    s_us = event_us(li, "l_shipdate")
-    li2 = li.filter((s_us >= _US_1996_Q2) & (s_us < _US_1996_H2)).select(
+    li2 = li.filter(event_range_filter(li, "l_shipdate", _US_1996_Q2, _US_1996_H2)).select(
         "l_partkey", _rev_c().alias("rev_c")
     )
     j = li2.join(F.broadcast(p.select("p_partkey", "p_type")), li2.l_partkey == F.col("p_partkey"))
@@ -5289,8 +5287,7 @@ def _q15_top_supplier(spark, sf_dir):
     subquery against the SAME aggregate (ReusedExchange); exact integer
     revenue makes the equality safe (float max-equality is not)."""
     li = _t(spark, sf_dir, "lineitem")
-    s_us = event_us(li, "l_shipdate")
-    li.filter((s_us >= _US_1996) & (s_us < _US_1996_Q2)).select(
+    li.filter(event_range_filter(li, "l_shipdate", _US_1996, _US_1996_Q2)).select(
         "l_suppkey", _rev_c().alias("rev_c")
     ).createOrReplaceTempView("__q15_li")
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q15_supplier")

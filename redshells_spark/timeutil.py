@@ -53,6 +53,53 @@ def event_ts(df: DataFrame, col: str = "ts") -> Column:
     return F.col(col).cast("timestamp")
 
 
+def event_range_filter(
+    df: DataFrame,
+    col: str,
+    lo_us: int | None = None,
+    hi_us: int | None = None,
+) -> Column:
+    """Half-open range predicate ``lo_us <= col < hi_us`` expressed on
+    the RAW column so it pushes down to the parquet scan.
+
+    ``event_us(df, col) >= lo`` wraps the column in ``unix_micros`` —
+    a predicate on an expression, which the scan cannot evaluate; the
+    filter then runs post-scan and reads every row group. This helper
+    instead compares the untouched column against a literal of the
+    column's OWN type (int nanos / TIMESTAMP / TIMESTAMP_NTZ / DATE),
+    so explain shows ``PushedFilters: [GreaterThanOrEqual(col, ...)]``
+    and row-group statistics prune — at 100 TB on a date-partitioned
+    layout this is the difference between scanning a month and
+    scanning the decade. Bounds must be whole seconds (date cutoffs)."""
+    import datetime as _d
+
+    dt = _dtype(df, col)
+    conds: list[Column] = []
+    if dt in _INT_TYPES:
+        if lo_us is not None:
+            conds.append(F.col(col) >= lo_us * 1000)
+        if hi_us is not None:
+            conds.append(F.col(col) < hi_us * 1000)
+    else:
+        kw = {"timestamp_ntz": "TIMESTAMP_NTZ", "date": "DATE"}.get(dt, "TIMESTAMP")
+
+        def _lit(us: int) -> Column:
+            t = _d.datetime.fromtimestamp(us / 1_000_000, tz=_d.timezone.utc)
+            s = t.strftime("%Y-%m-%d" if kw == "DATE" else "%Y-%m-%d %H:%M:%S")
+            return F.expr(f"{kw} '{s}'")
+
+        if lo_us is not None:
+            conds.append(F.col(col) >= _lit(lo_us))
+        if hi_us is not None:
+            conds.append(F.col(col) < _lit(hi_us))
+    if not conds:
+        raise ValueError("event_range_filter needs at least one bound")
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def event_us(df: DataFrame, col: str = "ts") -> Column:
     """Event time as **microseconds since epoch** (long), dtype-dispatched.
 

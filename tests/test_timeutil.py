@@ -90,3 +90,24 @@ def test_sessionize_semantics(spark):
     }
     # user 1: events 1+2 together (60s apart), event 3 alone; user 2: both alone
     assert rows == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_event_range_filter_identical_across_dtypes(spark):
+    """event_range_filter keeps the same rows under every physical ts
+    dtype, and agrees with the event_us() comparison it replaces."""
+    from redshells_spark.timeutil import event_range_filter
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    lo, hi = 1_700_000_000_000_000, 1_700_003_600_000_000
+    expect = sorted(e for e, us, *_ in _BASE if lo <= us < hi)
+    for name, df in _variants(spark).items():
+        got = sorted(
+            r["event_id"]
+            for r in df.filter(event_range_filter(df, "ts", lo, hi)).collect()
+        )
+        assert got == expect, f"dtype variant {name}: {got} != {expect}"
+    # one-sided bounds
+    df = _variants(spark)["timestamp_ntz"]
+    assert df.filter(event_range_filter(df, "ts", lo_us=hi)).count() == sum(
+        1 for _, us, *_ in _BASE if us >= hi
+    )
