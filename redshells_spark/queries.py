@@ -5543,6 +5543,49 @@ def _q2_min_balance_supplier(spark, sf_dir):
     )
 
 
+@q(
+    "click_attribution",
+    """WITH c AS (SELECT user_id, event_id AS click_event_id, epoch_us(ts) AS click_us
+                  FROM events WHERE event_type = 'click'),
+       v AS (SELECT user_id AS vu, event_id AS conv_event_id, epoch_us(ts) AS conv_us
+             FROM events WHERE event_type = 'purchase'),
+       p AS (SELECT vu AS user_id, conv_event_id, conv_us, click_event_id, click_us
+             FROM v JOIN c ON c.user_id = vu
+              AND click_us <= conv_us AND click_us > conv_us - 3600000000),
+       r AS (SELECT *,
+                    row_number() OVER (PARTITION BY conv_event_id
+                                       ORDER BY click_us DESC, click_event_id DESC) AS rn,
+                    count(*) OVER (PARTITION BY conv_event_id) AS n_clicks
+             FROM p)
+       SELECT user_id, conv_event_id, conv_us, click_event_id, click_us, n_clicks
+       FROM r WHERE rn = 1""",
+)
+def _click_attribution(spark, sf_dir):
+    """Last-touch conversion attribution
+    (streaming/joins.py:last_touch_attribution): each purchase joined
+    to the latest same-user click within the preceding hour. The pair
+    join is the stream-stream shape (watermarked, state bounded by the
+    range condition when run on streams); this batch run IS the same
+    expression tree, which is what makes it oracle-checkable. Times
+    surface as epoch micros for cross-engine hashing."""
+    from redshells_spark.streaming.joins import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    att = last_touch_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        attribution_window="1 hour",
+    )
+    return att.select(
+        "user_id",
+        "conv_event_id",
+        F.unix_micros("conv_time").alias("conv_us"),
+        "click_event_id",
+        F.unix_micros("click_time").alias("click_us"),
+        "n_clicks",
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
