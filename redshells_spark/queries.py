@@ -5586,6 +5586,149 @@ def _click_attribution(spark, sf_dir):
     )
 
 
+# ------------------------------------------------ trend / forecast
+
+_HOUR_US = 3_600_000_000
+_EV_EPOCH_HOURS = 473_352  # 2024-01-01 00:00 UTC in whole hours
+_US_2024_01_22 = 1_705_881_600 * 1_000_000
+_US_2024_01_29 = 1_706_486_400 * 1_000_000
+
+
+@q(
+    "grouped_ols_trend",
+    f"""WITH pts AS (SELECT event_type,
+                           epoch_us(ts) // {_HOUR_US} - {_EV_EPOCH_HOURS} AS x,
+                           CAST(round(value * 100) AS BIGINT) AS y
+                    FROM events),
+       m AS (SELECT event_type, count(*) AS n,
+                    sum(x) AS sx, sum(y) AS sy,
+                    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+             FROM pts GROUP BY event_type)
+       SELECT event_type, n,
+              round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6) AS slope,
+              round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS intercept,
+              round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+       FROM m""",
+)
+def _grouped_ols_trend(spark, sf_dir):
+    """Per-group simple linear regression (value ~ hours-since-epoch)
+    in closed form from FIVE exact integer moments — one aggregate
+    pass, no iteration, no MLlib. x rides as whole hours (offset to
+    keep magnitudes small), y as integer cents, so every sum is
+    order-independent; the slope/intercept/R² arithmetic happens once
+    per GROUP on already-exact moments, with the same literal
+    expression tree on both engines (IEEE doubles are deterministic
+    given identical inputs and op order). At 100 TB this is one
+    map-side-combined shuffle of 7 longs per group."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (event_us(ev, "ts") / F.lit(_HOUR_US)).cast("long").alias("x_raw"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    ).select(
+        "event_type", (F.col("x_raw") - _EV_EPOCH_HOURS).alias("x"), "y"
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, sxy, syy = (F.col(c).cast("double") for c in ("sxx", "sxy", "syy"))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope / 100.0, 6).alias("slope"),
+        F.round((sy / n - slope * (sx / n)) / 100.0, 6).alias("intercept"),
+        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+@q(
+    "seasonal_baseline_forecast",
+    f"""WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+                          (epoch_us(ts) // {_HOUR_US}) % 24 AS hod,
+                          CAST(round(value * 100) AS BIGINT) AS v_c
+                   FROM events),
+       train AS (SELECT event_type, hod, sum(v_c) AS s, count(*) AS c
+                 FROM ev WHERE us < {_US_2024_01_22} GROUP BY event_type, hod),
+       test AS (SELECT event_type, hod, v_c FROM ev
+                WHERE us >= {_US_2024_01_22} AND us < {_US_2024_01_29}),
+       terms AS (SELECT t.event_type,
+                        CAST(round(abs(CAST(t.v_c AS DOUBLE) * CAST(tr.c AS DOUBLE)
+                                       - CAST(tr.s AS DOUBLE))
+                                   * 1000000.0 / CAST(tr.c AS DOUBLE)) AS BIGINT) AS err_u
+                 FROM test t JOIN train tr
+                   ON t.event_type = tr.event_type AND t.hod = tr.hod)
+       SELECT event_type, count(*) AS n_test,
+              round(CAST(sum(err_u) AS DOUBLE) / 1000000.0 / count(*) / 100.0, 4) AS mae
+       FROM terms GROUP BY event_type""",
+)
+def _seasonal_baseline_forecast(spark, sf_dir):
+    """Seasonal-naive backtest: the forecast for (event_type,
+    hour-of-day) is the training-window mean; score one held-out week
+    by MAE. The per-row error is converted to an exact integer
+    micro-unit (|v·c − s|/c rounded to 1e-6) BEFORE summing, so the
+    aggregate is order-free and cross-engine identical — the same
+    fixed-point discipline as the chi-square and A/B queries. The
+    hour-of-day profile is a tiny broadcast join onto the test scan;
+    train is one map-combined aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        event_us(ev, "ts").alias("us"),
+        ((event_us(ev, "ts") / F.lit(_HOUR_US)).cast("long") % 24).alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    train = (
+        base.filter(F.col("us") < _US_2024_01_22)
+        .groupBy("event_type", "hod")
+        .agg(F.sum("v_c").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    test = base.filter(
+        (F.col("us") >= _US_2024_01_22) & (F.col("us") < _US_2024_01_29)
+    ).select("event_type", "hod", "v_c")
+    err_u = F.round(
+        F.abs(
+            F.col("v_c").cast("double") * F.col("c").cast("double")
+            - F.col("s").cast("double")
+        )
+        * 1_000_000.0
+        / F.col("c").cast("double"),
+        0,
+    ).cast("long")
+    terms = test.join(F.broadcast(train), ["event_type", "hod"]).select(
+        "event_type", err_u.alias("err_u")
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            F.sum("err_u").cast("double") / 1_000_000.0 / F.count(F.lit(1)) / 100.0, 4
+        ).alias("mae"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
