@@ -30,7 +30,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     # reads nanos as long with this legacy flag
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode runs every task in the driver JVM, so the driver heap IS
+    # the executor heap: 8g thrashed GC once a bench session accumulated
+    # ~30 queries of cached relations (pagerank 12.4s -> 4.3s at 24g).
+    # On a real cluster spark-submit overrides this per deployment.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 
