@@ -23,7 +23,7 @@ layout decisions included in the correctness contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from redshells_spark.schema import require_columns
@@ -121,3 +121,44 @@ def write_zordered(
     else:
         keyed = keyed.repartitionByRange("zkey")
     keyed.sortWithinPartitions("zkey").drop("zkey").write.mode("overwrite").parquet(path)
+
+
+def plan_compaction(
+    files: DataFrame,
+    target_bytes: int,
+    path_col: str = "path",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction plan: assign files (in path order) to
+    output bins of ~``target_bytes`` each.
+
+    Bin id = exclusive-prefix-sum(bytes) div target — the streaming
+    first-fit assignment: a bin closes once the files before the next
+    one already cover its target. Deterministic, one window pass, and
+    expressible as identical integer arithmetic in any engine.
+
+    → (bin, n_files, total_bytes, first_path, last_path), one row per
+    planned output file.
+
+    Scale note: this plans over the FILE MANIFEST (per-file metadata —
+    even 100 TB of 128 MB files is under a million rows), not the
+    data, so the single global-order window is a metadata operation.
+    The rewrite itself then processes each bin independently. Callers
+    compacting multiple table partitions should add the partition
+    columns to ``files`` and plan per partition (partitionBy window)
+    so bins never span partition boundaries.
+    """
+    if target_bytes < 1:
+        raise ValueError("plan_compaction: target_bytes must be >= 1")
+    w = Window.orderBy(path_col).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    # integer div, not float-divide-and-cast: exact at any corpus size
+    planned = files.withColumn("__prefix", prefix).withColumn(
+        "bin", F.expr(f"__prefix div {int(target_bytes)}")
+    )
+    return planned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(size_col).cast("long").alias("total_bytes"),
+        F.min(path_col).alias("first_path"),
+        F.max(path_col).alias("last_path"),
+    )

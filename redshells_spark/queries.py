@@ -5729,6 +5729,237 @@ def _seasonal_baseline_forecast(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- BPE / chunking tier
+
+
+def _bpe_cte(k: int, min_count: int = 2) -> str:
+    """CTE chain that replays distributed BPE training in DuckDB: the
+    same bracketed-symbol representation as ``text/bpe.py``, with each
+    merge = one pair-count aggregate + one arg-max + one replace().
+    ``replace`` is non-overlapping left-to-right in both engines, which
+    on the bracketed form IS greedy BPE application — so the learned
+    table and every intermediate segmentation are bit-identical."""
+    parts = [
+        """wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq
+               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+               WHERE word <> '' GROUP BY word)""",
+        """w0 AS MATERIALIZED (SELECT word, freq,
+                      regexp_replace(word, '(.)', '[\\1]', 'g') AS sym FROM wf)""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (SELECT toks[j] AS lhs, toks[j + 1] AS rhs, sum(freq)::BIGINT AS c
+              FROM (SELECT freq, toks, unnest(range(1, len(toks))) AS j
+                    FROM (SELECT freq,
+                                 string_split(substr(sym, 2, length(sym) - 2), '][') AS toks
+                          FROM {prev})
+                    WHERE len(toks) >= 2)
+              GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""b{i} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{i} WHERE c >= {min_count}
+              ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (SELECT word, freq,
+                      replace(sym,
+                              '[' || (SELECT lhs FROM b{i}) || '][' || (SELECT rhs FROM b{i}) || ']',
+                              '[' || (SELECT lhs FROM b{i}) || (SELECT rhs FROM b{i}) || ']') AS sym
+              FROM {prev})"""
+        )
+    return ",\n       ".join(parts)
+
+
+_BPE_K = 8
+
+_BPE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    """(merges_df, segmented_words) for the documents corpus, cached
+    per (session, sf) — bpe_merge_table and bpe_subtoken_counts share
+    one training run, mirroring how a pipeline would persist the merge
+    table once and apply it everywhere."""
+    from redshells_spark.text.bpe import learn_bpe_merges, word_freq_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        while len(_BPE_CACHE) >= _TOKEN_CACHE_MAX:
+            _BPE_CACHE.pop(next(iter(_BPE_CACHE)))
+        wf = word_freq_table(_t(spark, sf_dir, "documents"))
+        _BPE_CACHE[key] = learn_bpe_merges(wf, _BPE_K)
+    return _BPE_CACHE[key]
+
+
+@q(
+    "bpe_merge_table",
+    f"""WITH {_bpe_cte(_BPE_K)}
+       """
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, _BPE_K + 1)
+    ),
+)
+def _bpe_merge_table(spark, sf_dir):
+    """Distributed BPE tokenizer training (text/bpe.py): 8 merges
+    learned over the word-frequency table — one corpus pass total,
+    then per merge one pair-count aggregate over the (small) distinct
+    word relation and a single-row collect. The DuckDB oracle replays
+    the identical algorithm as unrolled CTEs; the merge table, with
+    its count-desc/pair-asc tie-break, is bit-reproducible."""
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return merges.select(
+        F.col("rank").alias("merge_rank"),
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+        "pair_count",
+    )
+
+
+@q(
+    "bpe_subtoken_counts",
+    f"""WITH {_bpe_cte(_BPE_K)}
+       SELECT d.doc_id, count(*)::BIGINT AS n_tokens,
+              sum(len(string_split(substr(w.sym, 2, length(w.sym) - 2), '][')))::BIGINT
+                  AS n_subtokens
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+       JOIN w{_BPE_K} w USING (word)
+       WHERE d.word <> ''
+       GROUP BY d.doc_id""",
+)
+def _bpe_subtoken_counts(spark, sf_dir):
+    """Corpus application of the learned BPE merges: exploded tokens
+    broadcast-join the trained word table (distinct words ≪ corpus) to
+    count subtokens per document — the scale path for segmenting
+    100 TB with a merge table trained once."""
+    from redshells_spark.text.bpe import subtoken_count_per_doc
+
+    _, seg = _bpe_trained(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = subtoken_count_per_doc(docs, seg)
+    return out.select("doc_id", "n_tokens", F.col("n_subtokens").cast("long").alias("n_subtokens"))
+
+
+@q(
+    "chunk_documents",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t),
+       c AS (SELECT doc_id, start,
+                    list_slice(toks, start + 1, least(start + 32, len(toks))) AS chunk
+             FROM s)
+       SELECT doc_id, start // 24 AS chunk_id, start AS chunk_start,
+              len(chunk)::BIGINT AS n_chunk_tokens,
+              array_to_string(chunk, ' ') AS chunk_text
+       FROM c""",
+)
+def _chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (text/chunking.py): 32-token
+    chunks at stride 24 — a pure generator (sequence+explode), zero
+    shuffles, pipelined into whatever consumes the chunks."""
+    from redshells_spark.text.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+@q(
+    "within_doc_token_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       e AS (SELECT doc_id, len(toks) AS n, unnest(range(1, len(toks) + 1)) AS pos, toks FROM t),
+       x AS (SELECT doc_id, n, pos, toks[pos] AS unit FROM e),
+       k AS (SELECT doc_id, n, pos, unit,
+                    row_number() OVER (PARTITION BY doc_id, unit ORDER BY pos ASC) AS rn
+             FROM x)
+       SELECT doc_id, string_agg(unit, ' ' ORDER BY pos ASC) AS text,
+              max(n)::BIGINT AS n_units, (max(n) - count(*))::BIGINT AS n_removed
+       FROM k WHERE rn = 1 GROUP BY doc_id""",
+)
+def _within_doc_token_dedup(spark, sf_dir):
+    """C4-style within-document dedup (text/chunking.py): drop
+    repeated units keeping the first occurrence, rebuild the text in
+    original order. Registered on tokens (the corpus has no newlines);
+    the line variant is the same operator with unit_sep='\\n'."""
+    from redshells_spark.text.chunking import dedup_within_doc
+
+    return dedup_within_doc(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "scd2_user_event_type",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+       c AS (SELECT user_id, event_type, us, event_id,
+                    CASE WHEN lag(event_type) OVER
+                              (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+                              IS DISTINCT FROM event_type
+                         THEN 1 ELSE 0 END AS chg
+             FROM e),
+       i AS (SELECT user_id, event_type, us, event_id,
+                    sum(chg) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS island
+             FROM c),
+       a AS (SELECT user_id, island, min(event_type) AS event_type,
+                    min(us) AS valid_from_us, count(*)::BIGINT AS n_events
+             FROM i GROUP BY user_id, island)
+       SELECT user_id, event_type, valid_from_us,
+              lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island ASC)
+                  AS valid_to_us,
+              n_events
+       FROM a""",
+)
+def _scd2_user_event_type(spark, sf_dir):
+    """SCD type-2 interval construction (operators/scd.py): collapse
+    each user's event stream into half-open validity intervals per run
+    of equal event_type — the gaps-and-islands shape, partitioned by
+    the entity key so 100 TB shuffles once by user. event_id breaks
+    timestamp ties, making the interval table deterministic."""
+    from redshells_spark.operators.scd import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", event_us(ev, "ts").alias("us"), "event_id"
+    )
+    out = scd2_intervals(base, "user_id", "event_type", "us", tie_break="event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@q(
+    "compaction_plan",
+    """WITH f AS (SELECT printf('doc_%08d', doc_id) AS path, n_chars AS bytes
+                  FROM documents),
+       p AS (SELECT path, bytes,
+                    coalesce(sum(bytes) OVER (ORDER BY path ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS prefix
+             FROM f)
+       SELECT prefix // 4000 AS bin, count(*)::BIGINT AS n_files,
+              sum(bytes)::BIGINT AS total_bytes,
+              min(path) AS first_path, max(path) AS last_path
+       FROM p GROUP BY 1""",
+)
+def _compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/layout.py): files in
+    path order bin by exclusive-prefix-sum div target — a metadata-only
+    global window (the manifest, not the data), after which each bin
+    rewrites independently. Documents stand in as the file inventory
+    (path=doc_id, bytes=n_chars, 4 KB target)."""
+    from redshells_spark.operators.layout import plan_compaction
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.format_string("doc_%08d", F.col("doc_id")).alias("path"),
+        F.col("n_chars").alias("bytes"),
+    )
+    return plan_compaction(files, target_bytes=4000)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,201 @@
+"""Distributed byte-pair-encoding (BPE) merge learning and application.
+
+Beyond-reference LLM-pipeline operator (the reference repo has no
+tokenizer training; behavioral spec is Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units"): learn the
+``num_merges`` highest-frequency adjacent symbol pairs over a corpus,
+then segment words with the learned merge table.
+
+Scale design
+------------
+BPE training runs on the **word-frequency table**, not the corpus:
+one corpus-wide ``groupBy(token)`` collapses 100 TB of text into a
+distinct-word relation (millions of rows at web scale — small next to
+the corpus, far too big to require a driver), and every merge
+iteration is then one pair-count aggregation + one column rewrite
+over that relation. Per iteration the driver receives exactly ONE row
+(the arg-max pair); the word table itself is never collected. Lineage
+is cut with ``localCheckpoint`` each iteration, so plan size stays
+constant in the number of merges (same fix as the pagerank /
+k-hop-BFS supersteps in ``operators/graph.py``).
+
+The bracketed-symbol representation
+-----------------------------------
+A word's symbol sequence is ONE string with every symbol wrapped in
+brackets: ``the → [t][h][e]``.  Applying merge ``(a, b) → ab`` is then
+plain non-overlapping left-to-right ``replace("[a][b]", "[ab]")`` —
+which IS greedy BPE application (``[a][a][a]`` + merge (a,a) →
+``[aa][a]``), because the wrapped form shares no boundary characters
+between adjacent matches (a space-separated form would: the trailing
+space of one match is the leading space of the next, and sequential
+``replace`` misses the second occurrence).  Both Spark and DuckDB
+implement ``replace`` with identical semantics, so the entire training
+loop — pair counting, arg-max, merge application — is expressible in
+both engines and the learned merge table hash-MATCHes an unrolled-CTE
+oracle (see ``queries.py:bpe_merge_table``).
+
+Symbols never contain ``[`` or ``]`` themselves as long as the input
+tokens don't; ``word_freq_table`` refuses bracket-bearing tokens
+loudly rather than silently corrupting the representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# pair-key separator: unit separator, never appears in text tokens
+SEP = "\x1f"
+
+
+def word_freq_table(
+    docs: DataFrame, text_col: str = "text", token_sep: str = " "
+) -> DataFrame:
+    """→ (word, freq) over whitespace-tokenized ``text_col``.
+
+    The ONLY corpus-wide pass in BPE training (map-side partial
+    counts, one shuffle of distinct words). Empty tokens are dropped;
+    tokens containing ``[``/``]`` are refused because they would break
+    the bracketed-symbol representation.
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), token_sep)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    bad = words.filter(F.col("word").contains("[") | F.col("word").contains("]"))
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "word_freq_table: tokens containing '[' or ']' break the bracketed "
+            "BPE symbol representation; clean or re-map them first"
+        )
+    return words
+
+
+def to_symbols(word_col: str = "word"):
+    """Column expr: word → bracketed char-symbol string (``the → [t][h][e]``)."""
+    return F.regexp_replace(F.col(word_col), "(.)", "[$1]")
+
+
+def symbols_to_array(sym_col: str = "sym"):
+    """Column expr: bracketed symbol string → array of symbols."""
+    inner = F.expr(f"substring({sym_col}, 2, length({sym_col}) - 2)")
+    return F.split(inner, "\\]\\[")
+
+
+def pair_counts(words: DataFrame, sym_col: str = "sym", freq_col: str = "freq") -> DataFrame:
+    """→ (left, right, c): frequency-weighted counts of adjacent symbol
+    pairs across the word table. One explode + one groupBy — the
+    per-iteration cost of BPE training."""
+    arr = symbols_to_array(sym_col)
+    pairs = F.expr(
+        "transform(sequence(1, size(__arr) - 1), "
+        f"i -> concat(element_at(__arr, i), '{SEP}', element_at(__arr, i + 1)))"
+    )
+    return (
+        words.withColumn("__arr", arr)
+        .filter(F.size("__arr") >= 2)
+        .select(F.explode(pairs).alias("pair"), F.col(freq_col))
+        .groupBy("pair")
+        .agg(F.sum(freq_col).alias("c"))
+        .select(
+            F.split("pair", SEP)[0].alias("left"),
+            F.split("pair", SEP)[1].alias("right"),
+            "c",
+        )
+    )
+
+
+def learn_bpe_merges(
+    words: DataFrame,
+    num_merges: int,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``num_merges`` BPE merges over a (word, freq) table.
+
+    Returns ``(merges, segmented_words)``:
+
+    - merges: (rank, left, right, merged, pair_count) — rank 1 is the
+      most frequent pair; deterministic tie-break (count desc, left
+      asc, right asc), so the table is bit-reproducible.
+    - segmented_words: (word, freq, sym) — final bracketed
+      segmentation of every corpus word under the learned merges.
+
+    Driver traffic is one 1-row collect per merge; the word table
+    stays distributed throughout.
+
+    The word table is checkpointed once up front (so no later
+    iteration replays the corpus-wide groupBy) and then every
+    ``checkpoint_every`` merges: between checkpoints the lineage grows
+    by one string ``replace`` per merge — trivial to replay — and each
+    skipped checkpoint saves one Spark job, which dominates wall time
+    when the distinct-word table is small.
+    """
+    spark = words.sparkSession
+    cur = words.select("word", "freq", to_symbols("word").alias("sym")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        top = (
+            pair_counts(cur)
+            .filter(F.col("c") >= min_pair_count)
+            .orderBy(F.col("c").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, c = top[0]["left"], top[0]["right"], int(top[0]["c"])
+        merged = left + right
+        merges.append((rank, left, right, merged, c))
+        cur = cur.withColumn(
+            "sym",
+            F.expr(f"replace(sym, '[{left}][{right}]', '[{merged}]')"),
+        )
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    )
+    return merges_df, cur
+
+
+def segment_expr(word_col: str, merges: list[tuple[str, str]]):
+    """Column expr applying an already-learned merge list to raw words:
+    chars → brackets, then one ``replace`` per merge, nested in rank
+    order. Pure whole-stage-codegen string ops — this is the *corpus
+    application* path, usable on 100 TB of tokens without touching the
+    training relation (broadcast-free: merges are literals in the
+    expression tree)."""
+    expr = to_symbols(word_col)
+    for left, right in merges:
+        expr = F.replace(expr, F.lit(f"[{left}][{right}]"), F.lit(f"[{left}{right}]"))
+    return expr
+
+
+def subtoken_count_per_doc(
+    docs: DataFrame,
+    segmented_words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_tokens, n_subtokens): corpus-wide BPE token stats
+    by broadcast-joining exploded tokens against the trained word
+    table (distinct words ≪ corpus)."""
+    seg = segmented_words.select(
+        "word", F.size(symbols_to_array("sym")).alias("n_sub")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(F.broadcast(seg), on="word", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(0))).alias("n_subtokens"),
+        )
+    )
