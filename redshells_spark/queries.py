@@ -5960,6 +5960,124 @@ def _compaction_plan(spark, sf_dir):
     return plan_compaction(files, target_bytes=4000)
 
 
+@q(
+    "cdc_merge_snapshot",
+    """WITH base AS (SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+       ch AS (SELECT user_id, event_id, value, epoch_us(ts) AS version,
+                     CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op
+              FROM events WHERE event_id % 2 = 1),
+       latest AS (SELECT user_id, event_id, value, op FROM (
+              SELECT user_id, event_id, value, op,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY version DESC, event_id DESC) AS rn
+              FROM ch) WHERE rn = 1)
+       SELECT user_id, event_id, round(value, 4) AS value
+       FROM base WHERE user_id NOT IN (SELECT user_id FROM latest)
+       UNION ALL
+       SELECT user_id, event_id, round(value, 4) AS value
+       FROM latest WHERE op <> 'D'""",
+)
+def _cdc_merge_snapshot(spark, sf_dir):
+    """MERGE semantics (operators/cdc.py:apply_changes): even events
+    form the base snapshot (latest per user), odd events a change
+    stream where clicks delete the key and everything else upserts;
+    latest version wins with an event-id tie-break. The base is only
+    touched by one anti-join on the compacted delta's (broadcast) key
+    set — the delta-vs-base asymmetry a 100 TB MERGE depends on."""
+    from redshells_spark.operators.cdc import apply_changes
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_us(ev, "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    base = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+    changes = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "event_id",
+        "value",
+        us.alias("version"),
+        F.when(F.col("event_type") == "click", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    snap = apply_changes(
+        base, changes, ["user_id"], "version", tie_break="event_id"
+    )
+    return snap.select("user_id", "event_id", _r4(F.col("value"), "value"))
+
+
+@q(
+    "max_concurrent_events",
+    """WITH iv AS (SELECT event_type, epoch_us(ts) AS s,
+                          epoch_us(ts) + 1800000000 AS e FROM events),
+       pts AS (SELECT event_type, s AS t, 1 AS delta FROM iv
+               UNION ALL
+               SELECT event_type, e AS t, -1 AS delta FROM iv),
+       r AS (SELECT event_type,
+                    sum(delta) OVER (PARTITION BY event_type
+                                     ORDER BY t ASC, delta ASC
+                                     ROWS UNBOUNDED PRECEDING) AS open
+             FROM pts)
+       SELECT event_type, max(open)::BIGINT AS max_concurrent
+       FROM r GROUP BY event_type""",
+)
+def _max_concurrent_events(spark, sf_dir):
+    """Sweep-line peak concurrency (operators/intervals.py): each
+    event opens a 30-minute [start, end) interval; per event_type the
+    running ±1 sum's max is the peak number of simultaneously open
+    intervals. Ends sort before starts at the same instant (half-open
+    semantics); the sweep partitions by group so each key is an
+    independent sort — no global order."""
+    from redshells_spark.operators.intervals import max_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_us(ev, "ts")
+    iv = ev.select(
+        "event_type", us.alias("s"), (us + F.lit(1_800_000_000)).alias("e")
+    )
+    return max_concurrency(iv, "s", "e", ["event_type"])
+
+
+@q(
+    "interval_coverage_users",
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                          epoch_us(ts) + 1800000000 AS e FROM events),
+       f AS (SELECT user_id, s, e,
+                    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                              IS NULL
+                           OR s > max(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         THEN 1 ELSE 0 END AS ni
+             FROM iv),
+       isl AS (SELECT user_id, s, e,
+                      sum(ni) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                                    ROWS UNBOUNDED PRECEDING) AS island
+               FROM f),
+       g AS (SELECT user_id, island, max(e) - min(s) AS len
+             FROM isl GROUP BY user_id, island)
+       SELECT user_id, sum(len)::BIGINT AS covered, count(*)::BIGINT AS n_islands
+       FROM g GROUP BY user_id""",
+)
+def _interval_coverage_users(spark, sf_dir):
+    """Merged interval coverage (operators/intervals.py): per user,
+    total active time under 30-minute event intervals with overlaps
+    merged — islands begin where a start exceeds the running max of
+    prior ends (gaps-and-islands, keyed by user)."""
+    from redshells_spark.operators.intervals import merged_coverage
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_us(ev, "ts")
+    iv = ev.select("user_id", us.alias("s"), (us + F.lit(1_800_000_000)).alias("e"))
+    return merged_coverage(iv, "s", "e", ["user_id"])
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
