@@ -59,6 +59,14 @@ HEADLINE = [
     "ewma_user_values",
     "q17_small_quantity_revenue",
     "dq_checks",
+    # round-3 session-2 tier: LLM pipeline 2 + warehouse ops
+    "bpe_subtoken_counts",
+    "chunk_documents",
+    "within_doc_token_dedup",
+    "scd2_user_event_type",
+    "cdc_merge_snapshot",
+    "max_concurrent_events",
+    "compaction_plan",
 ]
 
 
