@@ -181,3 +181,70 @@ def test_zorder_key_pure_codegen(spark, sf_dir):
     plan = _plan(with_zorder_key(ev, ["event_id", "user_id"], bits=8))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Exchange" not in plan  # key derivation shuffles nothing
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    # chunking is a pure generator: sequence+explode, zero Exchange
+    from redshells_spark.text.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunk_documents(docs, chunk_tokens=32, stride=24))
+    assert "Exchange" not in plan
+
+
+def test_cdc_merge_anti_join_broadcasts_delta(spark, sf_dir):
+    # the base side must see a broadcast LeftAnti, never a shuffle of base
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.cdc import apply_changes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select("user_id", "event_id", "value").dropDuplicates(["user_id"])
+    changes = ev.limit(100).select(
+        "user_id", "event_id", "value",
+        F.col("event_id").alias("version"), F.lit("U").alias("op"),
+    )
+    plan = _plan(apply_changes(base, changes, ["user_id"], "version"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_partitions_by_entity_key_only(spark, sf_dir):
+    # every Exchange hashes on user_id — no SinglePartition anywhere
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.scd import scd2_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select("user_id", "event_type", F.col("event_id").alias("eid"))
+    plan = _plan(scd2_intervals(base, "user_id", "event_type", "eid"))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_interval_sweep_partitions_by_group(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.intervals import max_concurrency
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.select(
+        "event_type",
+        F.col("event_id").alias("s"),
+        (F.col("event_id") + 100).alias("e"),
+    )
+    plan = _plan(max_concurrency(iv, "s", "e", ["event_type"]))
+    assert "SinglePartition" not in plan
+
+
+def test_bpe_corpus_application_broadcasts_word_table(spark, sf_dir):
+    # subtoken counting joins exploded corpus tokens against the
+    # (small) trained word table via broadcast — corpus never shuffles
+    # for the join, only for the per-doc aggregate
+    from redshells_spark.text.bpe import subtoken_count_per_doc, to_symbols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = docs.selectExpr("explode(split(text, ' ')) AS word").distinct().select(
+        "word", to_symbols("word").alias("sym")
+    )
+    plan = _plan(subtoken_count_per_doc(docs, seg))
+    assert "BroadcastHashJoin" in plan
