@@ -6078,6 +6078,92 @@ def _interval_coverage_users(spark, sf_dir):
     return merged_coverage(iv, "s", "e", ["user_id"])
 
 
+@q(
+    "spearman_by_group",
+    """WITH r AS (SELECT l_returnflag,
+                    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
+                      + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+                      AS rx,
+                    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC)
+                      + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+                      AS ry
+             FROM lineitem)
+       SELECT l_returnflag, round(corr(rx, ry), 4) AS spearman,
+              count(*) AS n FROM r GROUP BY l_returnflag""",
+)
+def _spearman_by_group(spark, sf_dir):
+    """Spearman rank correlation per group: average ranks computed
+    tie-independently as min-rank + (tie_count − 1)/2 — no tie-break
+    column needed, bit-identical across engines — then Pearson on the
+    ranks. All windows partition by the group key, so each group ranks
+    independently (the global-Spearman variant would need a single
+    total order; per-group is the shape that scales)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").asc())
+    wp = Window.partitionBy("l_returnflag").orderBy(F.col("l_extendedprice").asc())
+    rx = F.rank().over(wq) + (
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "l_quantity")) - 1
+    ) / 2.0
+    ry = F.rank().over(wp) + (
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "l_extendedprice")) - 1
+    ) / 2.0
+    ranked = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    return ranked.groupBy("l_returnflag").agg(
+        _r4(F.corr("rx", "ry"), "spearman"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "equi_depth_histogram",
+    """WITH b AS (SELECT event_type, value,
+                    ntile(8) OVER (PARTITION BY event_type
+                                   ORDER BY value ASC, event_id ASC) AS bucket
+             FROM events)
+       SELECT event_type, bucket, count(*) AS n,
+              round(min(value), 4) AS lo, round(max(value), 4) AS hi
+       FROM b GROUP BY event_type, bucket""",
+)
+def _equi_depth_histogram(spark, sf_dir):
+    """Equi-depth (equal-frequency) histogram per group via ntile —
+    the summary statistics engines keep for selectivity estimation.
+    event_id breaks value ties so bucket boundaries are deterministic.
+    Partitioned by event_type: per-group ntile windows, no global
+    sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r4(F.min("value"), "lo"),
+            _r4(F.max("value"), "hi"),
+        )
+    )
+
+
+@q(
+    "key_skew_profile",
+    """SELECT user_id, count(*) AS rows,
+              round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS share
+       FROM events GROUP BY user_id
+       ORDER BY rows DESC, user_id ASC LIMIT 10""",
+)
+def _key_skew_profile(spark, sf_dir):
+    """Skew diagnostic (operators/skew.py:key_skew_profile): the
+    top-10 heaviest keys and their row share — the number that decides
+    whether a join/aggregate needs salting (share ≫ 1/partitions).
+    One aggregate + TakeOrderedAndProject; the kind of probe a planner
+    runs before choosing the salted path."""
+    from redshells_spark.operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=10)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

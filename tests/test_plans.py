@@ -248,3 +248,36 @@ def test_bpe_corpus_application_broadcasts_word_table(spark, sf_dir):
     )
     plan = _plan(subtoken_count_per_doc(docs, seg))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    # write events partitioned by event_type, join against a filtered
+    # tiny dimension on the partition column: Spark must inject a
+    # dynamicpruning subquery so only the matching partitions are read
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    part_dir = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(part_dir)
+
+    fact = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0), ("purchase", 3.0), ("scroll", 4.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") < 2.5)  # selective build side
+
+    joined = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower()
+
+    got = {r["event_type"]: r["n"] for r in joined.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
