@@ -6164,6 +6164,34 @@ def _key_skew_profile(spark, sf_dir):
     return key_skew_profile(ev, "user_id", top_n=10)
 
 
+@q(
+    "k_anonymity_audit",
+    """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+                         count(DISTINCT c_acctbal) AS n_sensitive
+                  FROM customer GROUP BY 1, 2)
+       SELECT count(*) AS n_classes,
+              sum(CASE WHEN n_rows < 50 THEN 1 ELSE 0 END)::BIGINT AS k_violating_classes,
+              sum(CASE WHEN n_rows < 50 THEN n_rows ELSE 0 END)::BIGINT AS rows_at_risk,
+              round(sum(CASE WHEN n_rows < 50 THEN n_rows ELSE 0 END)
+                    / sum(n_rows)::DOUBLE, 6) AS risk_share,
+              sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END)::BIGINT
+                  AS l_violating_classes
+       FROM c""",
+)
+def _k_anonymity_audit(spark, sf_dir):
+    """Release-audit governance op (operators/privacy.py): equivalence
+    classes over the quasi-identifiers (nation, market segment) with
+    account balance as the sensitive attribute — k=50 anonymity and
+    l=2 diversity in ONE groupBy + summary aggregate, map-side
+    combined, no driver state."""
+    from redshells_spark.operators.privacy import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], k=50, sensitive_col="c_acctbal"
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
