@@ -34,6 +34,11 @@ DTYPE_SENSITIVE = [
     "zorder_events",
     "latest_by_key",
     "pq_topk",
+    # round-3 session-2 event-time consumers
+    "scd2_user_event_type",
+    "max_concurrent_events",
+    "interval_coverage_users",
+    "cdc_merge_snapshot",
 ]
 
 
