@@ -265,3 +265,103 @@ def kmv_rolling_distinct(
         F.col("n_kept").cast("long").alias("n_kept"),
         F.round(est, 4).alias("rolling_distinct_est"),
     )
+
+
+# --------------------------------------------------------- Count-Min sketch
+
+# portable row-hash constants (Knuth multiplicative + per-row offset),
+# all arithmetic within int64 for keys < 2^32 — identical in any engine
+_CMS_A = 2654435761
+_CMS_B = 1099087573
+_CMS_C = 40503
+_CMS_P = 2147483647
+
+
+def cms_bucket_sql(key_sql: str, row: int, width: int) -> str:
+    """Portable SQL for CMS row ``row``'s bucket of a NON-NEGATIVE
+    integer key expression: ``((k·A + row·B + C) mod P) mod width``.
+    The same text evaluates identically in Spark and DuckDB (``%`` on
+    non-negative operands), which puts the sketch itself inside the
+    cross-engine correctness contract."""
+    return (
+        f"((({key_sql}) * {_CMS_A} + {row * _CMS_B + _CMS_C}) % {_CMS_P}) % {width}"
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_column: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_column: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a
+    non-negative integer key column → (row, bucket, c) with exactly
+    ``depth × width`` cells (absent cells = 0).
+
+    One explode(depth) + one groupBy: partial aggregation collapses
+    every task's contribution to ≤ depth·width rows before the
+    shuffle, so sketching 100 TB moves a few KB per task regardless of
+    input size. Sketches merge by unioning cell tables and re-summing
+    (`cms_merge`)."""
+    if depth < 1 or width < 1:
+        raise ValueError("cms_build: depth and width must be >= 1")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.expr(cms_bucket_sql(key_column, j, width)).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    w = F.col(weight_column) if weight_column else F.lit(1)
+    return (
+        df.select(F.explode(cells).alias("__cell"), w.alias("__w"))
+        .groupBy(
+            F.col("__cell.row").alias("row"), F.col("__cell.bucket").alias("bucket")
+        )
+        .agg(F.sum("__w").cast("long").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union cell tables and re-sum — CMS is a linear sketch, so the
+    merged table equals the sketch of the concatenated inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("c").cast("long").alias("c"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_column: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """→ keys + ``est``: the min over rows of the key's cell counts —
+    an overestimate-only frequency (est ≥ true count, whp close).
+    The sketch is depth·width rows, so the join broadcasts it; probing
+    any number of keys never shuffles the sketch."""
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.expr(cms_bucket_sql(key_column, j, width)).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__cell"),
+    ).select("*", F.col("__cell.row").alias("row"), F.col("__cell.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+    group_cols = [c for c in keys.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -6192,6 +6192,43 @@ def _k_anonymity_audit(spark, sf_dir):
     )
 
 
+@q(
+    "cms_user_counts",
+    """WITH ks AS (SELECT user_id, count(*)::BIGINT AS true_cnt
+                   FROM events GROUP BY user_id),
+       probes AS (SELECT user_id, true_cnt FROM ks
+                  ORDER BY true_cnt DESC, user_id ASC LIMIT 10),
+       rj AS (SELECT unnest(range(0, 4)) AS j),
+       cells AS (SELECT j,
+                        ((user_id * 2654435761 + j * 1099087573 + 40503)
+                         % 2147483647) % 512 AS bucket,
+                        count(*)::BIGINT AS c
+                 FROM events, rj GROUP BY 1, 2),
+       pe AS (SELECT p.user_id, p.true_cnt, r.j,
+                     ((p.user_id * 2654435761 + r.j * 1099087573 + 40503)
+                      % 2147483647) % 512 AS bucket
+              FROM probes p, rj r)
+       SELECT pe.user_id, pe.true_cnt, min(c.c) AS est
+       FROM pe JOIN cells c ON c.j = pe.j AND c.bucket = pe.bucket
+       GROUP BY 1, 2""",
+)
+def _cms_user_counts(spark, sf_dir):
+    """Count-Min sketch (operators/sketches.py): depth-4 × width-512
+    frequency sketch of user ids built with portable multiplicative
+    hashing — partial aggregation collapses each task to ≤ d·w cells
+    before the one shuffle, and probes broadcast-join the (tiny) cell
+    table. Probing the 10 heaviest users shows est ≥ true with the
+    same numbers in both engines: an approximate structure under the
+    exact correctness contract (same discipline as the KMV suite)."""
+    from redshells_spark.operators.sketches import cms_build, cms_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=4, width=512)
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = true.orderBy(F.col("true_cnt").desc(), F.col("user_id").asc()).limit(10)
+    return cms_lookup(sketch, probes, "user_id", depth=4, width=512)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,61 @@
+"""Count-Min sketch: overestimate-only, exactness when collision-free,
+merge linearity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshells_spark.operators.sketches import cms_build, cms_lookup, cms_merge
+
+
+@pytest.fixture()
+def skewed(spark):
+    rows = [(k,) for k in range(50) for _ in range(k + 1)]  # key k appears k+1 times
+    return spark.createDataFrame(rows, "k long")
+
+
+def test_cms_never_underestimates(spark, skewed):
+    sk = cms_build(skewed, "k", depth=4, width=32)  # narrow -> collisions
+    true = skewed.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    got = cms_lookup(sk, true, "k", depth=4, width=32).collect()
+    assert len(got) == 50
+    assert all(r["est"] >= r["true_cnt"] for r in got)
+
+
+def test_cms_exact_when_wide(spark, skewed):
+    sk = cms_build(skewed, "k", depth=4, width=4096)  # 50 keys, 4096 buckets
+    true = skewed.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    got = cms_lookup(sk, true, "k", depth=4, width=4096).collect()
+    assert all(r["est"] == r["true_cnt"] for r in got)
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(60)], "k long")
+    merged = cms_merge(
+        cms_build(a, "k", depth=3, width=64), cms_build(b, "k", depth=3, width=64)
+    )
+    direct = cms_build(a.unionByName(b), "k", depth=3, width=64)
+    m = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    d = {(r["row"], r["bucket"]): r["c"] for r in direct.collect()}
+    assert m == d
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame([(1, 10), (1, 5), (2, 3)], "k long, w long")
+    sk = cms_build(df, "k", depth=2, width=128, weight_column="w")
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = {r["k"]: r["est"] for r in cms_lookup(sk, keys, "k", depth=2, width=128).collect()}
+    assert got[1] == 15 and got[2] == 3 and got[3] == 0  # absent key -> 0
+
+
+def test_cms_guards(spark, skewed):
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(skewed, "k", depth=0, width=8)
+
+
+def test_cms_cell_count_bounded(spark, skewed):
+    sk = cms_build(skewed, "k", depth=4, width=32)
+    assert sk.count() <= 4 * 32
+    assert sk.filter((F.col("bucket") < 0) | (F.col("bucket") >= 32)).count() == 0
