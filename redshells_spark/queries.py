@@ -6229,6 +6229,58 @@ def _cms_user_counts(spark, sf_dir):
     return cms_lookup(sketch, probes, "user_id", depth=4, width=512)
 
 
+@q(
+    "corpus_chunking_pipeline",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       e AS (SELECT doc_id, len(toks) AS n, unnest(range(1, len(toks) + 1)) AS pos, toks
+             FROM t),
+       x AS (SELECT doc_id, n, pos, toks[pos] AS unit FROM e),
+       kk AS (SELECT doc_id, n, pos, unit,
+                     row_number() OVER (PARTITION BY doc_id, unit ORDER BY pos ASC) AS rn
+              FROM x),
+       dd AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos ASC) AS text,
+                     max(n) AS n_units, max(n) - count(*) AS n_removed
+              FROM kk WHERE rn = 1 GROUP BY doc_id),
+       kept AS (SELECT dd.doc_id, dd.text, d.source
+                FROM dd JOIN documents d USING (doc_id)
+                WHERE dd.n_removed * 2 < dd.n_units),
+       kt AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM kept),
+       s AS (SELECT doc_id, source, toks, unnest(range(0, len(toks), 24)) AS start
+             FROM kt),
+       c AS (SELECT doc_id, source,
+                    len(list_slice(toks, start + 1, least(start + 32, len(toks))))
+                        AS n_chunk_tokens
+             FROM s)
+       SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+              sum(n_chunk_tokens)::BIGINT AS n_tokens
+       FROM c GROUP BY source""",
+)
+def _corpus_chunking_pipeline(spark, sf_dir):
+    """Composite LLM-corpus preparation: within-document dedup →
+    repetition-quality gate (docs that lost ≥ half their tokens to
+    repeats are dropped) → overlapping 32/24 chunking → per-source
+    accounting. Chains three oracle-green operators end-to-end; the
+    only shuffles are the dedup windows (keyed by doc) and the final
+    per-source aggregate — chunking itself is generator-only."""
+    from redshells_spark.text.chunking import chunk_documents, dedup_within_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = dedup_within_doc(docs)
+    kept = (
+        dd.filter(F.col("n_removed") * 2 < F.col("n_units"))
+        .join(docs.select("doc_id", "source"), on="doc_id")
+        .select("doc_id", "text", "source")
+    )
+    chunks = chunk_documents(kept, chunk_tokens=32, stride=24).join(
+        kept.select("doc_id", "source"), on="doc_id"
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
