@@ -49,9 +49,16 @@ def association_rules_pairs(
     reproducible cross-engine.
     """
     require_columns(df, [basket_col, item_col])
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # the distinct (basket, item) relation feeds FOUR consumers (basket
+    # sizes, the n_baskets count, item supports, both self-join sides);
+    # materialize it once or every consumer replays the caller's
+    # upstream joins + the dedup shuffle — same fix as the graph
+    # supersteps (operators/graph.py)
+    items = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__bs"))
     bounded = items.join(
