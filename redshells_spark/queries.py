@@ -6281,6 +6281,91 @@ def _corpus_chunking_pipeline(spark, sf_dir):
     )
 
 
+def _ranking_eval_oracle_sql() -> str:
+    from redshells_spark.operators.ranking import _lcm_upto, discount_nanos
+
+    d = discount_nanos(10)
+    idcg = [sum(d[:i]) for i in range(1, 11)]
+    lcm = _lcm_upto(10)
+    darr = "[" + ", ".join(str(x) for x in d) + "]"
+    iarr = "[" + ", ".join(str(x) for x in idcg) + "]"
+    return f"""WITH base AS (SELECT o_custkey AS u, p_brand AS i, o_orderkey % 2 AS odd
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                                 JOIN part ON p_partkey = l_partkey),
+       train AS (SELECT u, i, count(*) AS cnt FROM base WHERE odd = 0 GROUP BY u, i),
+       recs AS (SELECT u, i, rk FROM (
+                  SELECT u, i, row_number() OVER (PARTITION BY u
+                                 ORDER BY cnt DESC, i ASC) AS rk
+                  FROM train) WHERE rk <= 10),
+       truth AS (SELECT DISTINCT u, i FROM base WHERE odd = 1),
+       nrel AS (SELECT u, count(*) AS n_rel FROM truth GROUP BY u),
+       hits AS (SELECT r.u, r.rk FROM recs r JOIN truth t ON t.u = r.u AND t.i = r.i),
+       sc AS (SELECT u, rk, ({darr})[rk] AS dcg_n,
+                     (row_number() OVER (PARTITION BY u ORDER BY rk ASC) * {lcm}) // rk
+                         AS ap_n
+              FROM hits),
+       pu AS (SELECT u, count(*)::BIGINT AS n_hits, sum(dcg_n)::BIGINT AS dcg,
+                     sum(ap_n)::BIGINT AS ap
+              FROM sc GROUP BY u),
+       ev AS (SELECT n.u, n.n_rel FROM nrel n
+              WHERE n.u IN (SELECT DISTINCT u FROM recs))
+       SELECT ev.u AS user_id, ev.n_rel, coalesce(pu.n_hits, 0)::BIGINT AS n_hits,
+              round(coalesce(pu.n_hits, 0) / 10.0, 4) AS precision_at_k,
+              round(coalesce(pu.n_hits, 0)::DOUBLE / ev.n_rel, 4) AS recall_at_k,
+              round(coalesce(pu.ap, 0)::DOUBLE
+                    / ({lcm} * least(ev.n_rel, 10)), 4) AS map_at_k,
+              round(coalesce(pu.dcg, 0)::DOUBLE
+                    / ({iarr})[least(ev.n_rel, 10)], 4) AS ndcg_at_k
+       FROM ev LEFT JOIN pu ON pu.u = ev.u"""
+
+
+@q("ranking_eval_metrics", _ranking_eval_oracle_sql())
+def _ranking_eval_metrics(spark, sf_dir):
+    """Recommender evaluation (operators/ranking.py): train a
+    count-based brand ranker on even orders, score top-10 recs per
+    customer against odd-order truth with precision/recall/MAP/NDCG@10.
+    Transcendentals never enter the distributed aggregation — NDCG
+    discounts are driver-precomputed integer nano-unit literals and AP
+    terms are lcm-scaled exact integers, so an *evaluation metric*
+    lands inside the bit-exact oracle contract."""
+    from redshells_spark.operators.ranking import ranking_metrics_at_k
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("p_brand").alias("i"),
+            (F.col("o_orderkey") % 2).alias("odd"),
+        )
+    )
+    train = (
+        base.filter(F.col("odd") == 0)
+        .groupBy("u", "i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wrk = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("i").asc())
+    recs = (
+        train.withColumn("rk", F.row_number().over(wrk)).filter(F.col("rk") <= 10)
+    )
+    truth = base.filter(F.col("odd") == 1).select("u", "i")
+    out = ranking_metrics_at_k(
+        recs, truth, k=10, user_col="u", item_col="i", rank_col="rk"
+    )
+    return out.select(
+        F.col("u").alias("user_id"),
+        "n_rel",
+        "n_hits",
+        F.col("precision").alias("precision_at_k"),
+        F.col("recall").alias("recall_at_k"),
+        "map_at_k",
+        F.col("ndcg").alias("ndcg_at_k"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
