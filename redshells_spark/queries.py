@@ -6366,6 +6366,76 @@ def _ranking_eval_metrics(spark, sf_dir):
     )
 
 
+@q(
+    "grouped_mad_outliers",
+    """WITH r AS (SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value ASC, event_id ASC) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM events),
+       med AS (SELECT event_type, value AS m FROM r WHERE rn = (n + 1) // 2),
+       d AS (SELECT e.event_type, e.value, e.event_id, abs(e.value - med.m) AS dev,
+                    med.m
+             FROM events e JOIN med USING (event_type)),
+       r2 AS (SELECT event_type, m, dev,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY dev ASC, event_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM d),
+       mad AS (SELECT event_type, m, dev AS mad, n FROM r2 WHERE rn = (n + 1) // 2)
+       SELECT d.event_type, any_value(mad.n)::BIGINT AS n,
+              round(any_value(mad.m), 4) AS median_value,
+              round(any_value(mad.mad), 4) AS mad,
+              sum(CASE WHEN mad.mad > 0 AND d.dev > 3 * mad.mad
+                       THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+       FROM d JOIN mad USING (event_type)
+       GROUP BY d.event_type""",
+)
+def _grouped_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per group: exact lower median via
+    window selection (same trick as grouped_median_price — no
+    percentile semantics to reconcile), MAD as the median of absolute
+    deviations, outliers = |x − median| > 3·MAD. Two key-partitioned
+    window passes + one broadcast join of the 5-row median table; the
+    robust pair (median, MAD) survives the heavy-tailed values that
+    wreck mean/stddev z-scores."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    wv = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    med = (
+        ev.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("value").alias("m"))
+    )
+    d = ev.join(F.broadcast(med), on="event_type").select(
+        "event_type", "event_id", "m", F.abs(F.col("value") - F.col("m")).alias("dev")
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("dev").asc(), F.col("event_id").asc()
+    )
+    mad = (
+        d.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"), "n")
+    )
+    return (
+        d.join(F.broadcast(mad), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("n")).cast("long").alias("n"),
+            _r4(F.any_value(F.col("m")), "median_value"),
+            _r4(F.any_value(F.col("mad")), "mad"),
+            F.sum(
+                ((F.col("mad") > 0) & (F.col("dev") > 3 * F.col("mad"))).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
