@@ -6436,6 +6436,88 @@ def _grouped_mad_outliers(spark, sf_dir):
     )
 
 
+def _kmeans_oracle_sql(iterations: int = 2) -> str:
+    """Unrolled integer Lloyd's iterations (see ml/kmeans_int.py).
+    MATERIALIZED CTEs — pts feeds every iteration and DuckDB would
+    otherwise inline-re-expand it (same lesson as the BPE oracle)."""
+    parts = [
+        """pts AS MATERIALIZED (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                  (floor(unnest(embedding)::DOUBLE * 1000000 + 0.5))::BIGINT
+                      + 4000000 AS x
+           FROM embeddings)""",
+        """c0 AS MATERIALIZED (SELECT vec_id // 62 AS cid, dim, x AS c
+           FROM pts WHERE vec_id % 62 = 0 AND vec_id < 496)""",
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2 ASC, cid ASC) AS rn
+            FROM (SELECT p.vec_id, c.cid,
+                         sum((p.x - c.c) * (p.x - c.c))::BIGINT AS d2
+                  FROM pts p JOIN {prev} c ON c.dim = p.dim
+                  GROUP BY p.vec_id, c.cid)) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+            SELECT a.cid, p.dim,
+                   (2 * sum(p.x) + count(*)) // (2 * count(*)) AS c
+            FROM pts p JOIN a{i} a USING (vec_id) GROUP BY a.cid, p.dim)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""df AS MATERIALIZED (
+        SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+        FROM (SELECT p.vec_id, c.cid,
+                     sum((p.x - c.c) * (p.x - c.c))::BIGINT AS d2
+              FROM pts p JOIN {prev} c ON c.dim = p.dim
+              GROUP BY p.vec_id, c.cid))"""
+    )
+    parts.append(
+        f"cs AS (SELECT cid, sum(c)::BIGINT AS c_checksum FROM {prev} GROUP BY cid)"
+    )
+    body = ",\n       ".join(parts)
+    return f"""WITH {body}
+       SELECT a.cid, count(*) AS n_members, sum(a.d2)::BIGINT AS inertia,
+              cs.c_checksum
+       FROM df a JOIN cs USING (cid) WHERE a.rn = 1
+       GROUP BY a.cid, cs.c_checksum"""
+
+
+@q("kmeans_lloyd_exact", _kmeans_oracle_sql(2))
+def _kmeans_lloyd_exact_query(spark, sf_dir):
+    """Distributed Lloyd's K-means under the EXACT contract
+    (ml/kmeans_int.py): fixed-point integer components (offset keeps
+    them non-negative so Spark div == DuckDB // == floor), integer
+    centroid updates via (2s+n) div 2n, int64 distances, (dist, cid)
+    tie-breaks — 8 strided seed centroids, 2 iterations, per-cluster
+    sizes + inertia + centroid checksum all hash-MATCH an unrolled-CTE
+    oracle. MLlib KMeans remains the production default; this is the
+    variant a cross-engine correctness gate can hold."""
+    from redshells_spark.ml.kmeans_int import explode_points, kmeans_lloyd_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # pts feeds every superstep (assignment + update per iteration):
+    # materialize once, same as the graph/assoc relations
+    pts = explode_points(emb).localCheckpoint(eager=True)
+    cent0 = pts.filter((F.col("vec_id") % 62 == 0) & (F.col("vec_id") < 496)).select(
+        F.expr("vec_id div 62").alias("cid"), "dim", F.col("x").alias("c")
+    )
+    assign, cent = kmeans_lloyd_exact(pts, cent0, iterations=2)
+    cs = cent.groupBy("cid").agg(F.sum("c").cast("long").alias("c_checksum"))
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d2").cast("long").alias("inertia"),
+        )
+        .join(cs, on="cid")
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
