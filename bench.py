@@ -67,6 +67,11 @@ HEADLINE = [
     "cdc_merge_snapshot",
     "max_concurrent_events",
     "compaction_plan",
+    "ranking_eval_metrics",
+    "kmeans_lloyd_exact",
+    "grouped_mad_outliers",
+    "cms_user_counts",
+    "corpus_chunking_pipeline",
 ]
 
 
