@@ -6518,6 +6518,62 @@ def _kmeans_lloyd_exact_query(spark, sf_dir):
     )
 
 
+@q(
+    "decision_stump_returnflag",
+    """WITH m AS (SELECT 'l_quantity' AS feature, l_quantity::DOUBLE AS value,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+                  FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', l_discount::DOUBLE,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem),
+       pv AS (SELECT feature, value, count(*)::BIGINT AS n_v,
+                     sum(label)::BIGINT AS pos_v
+              FROM m GROUP BY 1, 2),
+       sc AS (SELECT feature, value,
+                     sum(n_v) OVER (PARTITION BY feature ORDER BY value ASC
+                                    ROWS UNBOUNDED PRECEDING) AS n_left,
+                     sum(pos_v) OVER (PARTITION BY feature ORDER BY value ASC
+                                      ROWS UNBOUNDED PRECEDING) AS pos_left,
+                     sum(n_v) OVER (PARTITION BY feature) AS n,
+                     sum(pos_v) OVER (PARTITION BY feature) AS pos
+              FROM pv),
+       g AS (SELECT feature, value AS threshold,
+                    n_left::BIGINT AS n_left, (n - n_left)::BIGINT AS n_right,
+                    pos_left::BIGINT AS pos_left,
+                    (pos - pos_left)::BIGINT AS pos_right, n::BIGINT AS n
+             FROM sc WHERE n - n_left > 0),
+       sg AS (SELECT feature, threshold, n_left, n_right, pos_left, pos_right, n,
+                     ((n_left * n_left - pos_left * pos_left
+                       - (n_left - pos_left) * (n_left - pos_left))::DOUBLE / n_left
+                      + (n_right * n_right - pos_right * pos_right
+                         - (n_right - pos_right) * (n_right - pos_right))::DOUBLE
+                        / n_right) AS gcost
+              FROM g)
+       SELECT feature, threshold, n_left, n_right, pos_left, pos_right,
+              round(gcost / n, 6) AS gini,
+              round((greatest(pos_left, n_left - pos_left)
+                     + greatest(pos_right, n_right - pos_right))::DOUBLE / n, 4)
+                  AS accuracy
+       FROM sg ORDER BY gcost ASC, feature ASC, threshold ASC LIMIT 1""",
+)
+def _decision_stump_returnflag(spark, sf_dir):
+    """Exact depth-1 CART induction (ml/decision_stump.py): per
+    feature one map-combined aggregate to distinct values, one prefix
+    window, integer Gini operands — the split score is a fixed
+    expression over identical integers, so both engines compute the
+    identical double and the argmin split hash-MATCHes. Approximate
+    quantile binning (the MLlib/XGBoost trick) plugs in upstream for
+    high-cardinality features without changing the scoring."""
+    from redshells_spark.ml.decision_stump import best_stump
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_discount",
+        (F.col("l_returnflag") == "R").cast("long").alias("is_return"),
+    )
+    return best_stump(li, ["l_quantity", "l_discount"], "is_return")
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
