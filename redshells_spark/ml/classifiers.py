@@ -102,8 +102,14 @@ def train_classifier(
 ) -> PipelineModel:
     """Fit registry model on (features, target) — reference
     ``TrainClassificationModel`` (``train/train_clasification_model.py:12-47``)."""
+    from redshells_spark.ml.mllib_compat import strip_training_summary
+
     model = build_prediction_model(model_name, **(model_params or {}))
-    return _pipeline(model, feature_columns, target_column).fit(train_data)
+    # summary stripped: keeps the SparkSession out of the model graph
+    # (observe()-poisoned closure serialization — see mllib_compat.py)
+    return strip_training_summary(
+        _pipeline(model, feature_columns, target_column).fit(train_data)
+    )
 
 
 def validate_classifier(

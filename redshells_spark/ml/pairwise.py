@@ -61,8 +61,10 @@ def train_pairwise_similarity(
     feats = make_pairwise_features(similarity_data, item2embedding, **feature_kwargs)
     vecs = feats.withColumn("features", array_to_vector("feature"))
     model = build_prediction_model(model_name, **(model_params or {}))
+    from redshells_spark.ml.mllib_compat import strip_training_summary
+
     model.setFeaturesCol("features").setLabelCol("label")
-    return Pipeline(stages=[model]).fit(vecs)
+    return strip_training_summary(Pipeline(stages=[model]).fit(vecs))
 
 
 def predict_pairwise_similarity(

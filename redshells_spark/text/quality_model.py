@@ -51,7 +51,12 @@ def train_quality_classifier(
         regParam=reg_param,
         maxIter=max_iter,
     )
-    return Pipeline(stages=[tf, idf, lr]).fit(labeled_docs)
+    from redshells_spark.ml.mllib_compat import strip_training_summary
+
+    # drop the LR training summary: it pins the SparkSession into the
+    # model's object graph, which breaks transform-closure serialization
+    # in any session that has ever run df.observe (see mllib_compat.py)
+    return strip_training_summary(Pipeline(stages=[tf, idf, lr]).fit(labeled_docs))
 
 
 def score_quality(

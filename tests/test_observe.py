@@ -37,3 +37,23 @@ def test_empty_write_refused(spark, tmp_path):
     df = spark.createDataFrame([], "a long")
     with pytest.raises(ValueError, match="0 rows"):
         write_parquet_with_audit(df, str(tmp_path / "e"), audit_metrics(df))
+
+
+def test_observe_does_not_poison_mllib_transforms(spark, tmp_path):
+    # Spark 4.1: the first observe() lazily creates the session's
+    # (non-serializable) ObservationManager; a summary-carrying model
+    # then dies serializing its transform closure. Our fits strip the
+    # summary (ml/mllib_compat.py) — pin the combination explicitly.
+    ev = spark.createDataFrame([(1, "a")], "id long, t string")
+    write_parquet_with_audit(ev, str(tmp_path / "w"), audit_metrics(ev))
+
+    from redshells_spark.text.quality_model import train_quality_classifier
+
+    docs = spark.createDataFrame(
+        [(i, ["good", "text", "words"], 1.0) if i % 2 else (i, ["bad", "bad"], 0.0)
+         for i in range(40)],
+        "doc_id long, tokens array<string>, label double",
+    )
+    model = train_quality_classifier(docs)
+    assert not model.stages[-1].hasSummary
+    assert model.transform(docs.select("doc_id", "tokens")).count() == 40
