@@ -6574,6 +6574,78 @@ def _decision_stump_returnflag(spark, sf_dir):
     return best_stump(li, ["l_quantity", "l_discount"], "is_return")
 
 
+_DAY_US_SD = 86_400_000_000
+
+
+@q(
+    "seasonal_decompose_profile",
+    f"""WITH daily AS (SELECT event_type, epoch_us(ts) // {_DAY_US_SD} AS day,
+                       sum(CAST(round(value * 100, 0) AS BIGINT)) AS v_c
+                FROM events GROUP BY 1, 2),
+       tr AS (SELECT event_type, day, v_c,
+                     sum(v_c) OVER (PARTITION BY event_type ORDER BY day ASC
+                                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+                     count(*) OVER (PARTITION BY event_type ORDER BY day ASC
+                                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7n
+              FROM daily),
+       det AS (SELECT event_type, day % 7 AS dow,
+                      7 * v_c - t7 AS d_x7
+               FROM tr WHERE t7n = 7)
+       SELECT event_type, dow, count(*)::BIGINT AS n_days,
+              CAST(floor((sum(d_x7)::DOUBLE / count(*)) / 700.0 * 10000 + 0.5)
+                   AS BIGINT) AS seasonal_e4
+       FROM det GROUP BY event_type, dow""",
+)
+def _seasonal_decompose_profile(spark, sf_dir):
+    """STL-lite seasonal profile under the exact contract: daily sums
+    carried as integer cents, the 7-day centered moving trend kept as
+    the un-divided window SUM (detrended value = 7·v − Σ₇ stays
+    integer — no float drift in any aggregate), weekday seasonal
+    means exported via the floor(x·1e4+0.5) fixed-point (one IEEE
+    division + one multiply — identical in both engines, sidestepping
+    their different round() semantics). Interior days only (full
+    7-day window), all windows partitioned by series key."""
+    ev = _t(spark, sf_dir, "events")
+    us = event_us(ev, "ts")
+    daily = (
+        ev.select(
+            "event_type",
+            (us / F.lit(_DAY_US_SD)).cast("long").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_c").alias("v_c"))
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "v_c",
+        F.sum("v_c").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("t7n"),
+    )
+    det = tr.filter(F.col("t7n") == 7).select(
+        "event_type",
+        (F.col("day") % 7).alias("dow"),
+        (F.lit(7) * F.col("v_c") - F.col("t7")).alias("d_x7"),
+    )
+    return det.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.floor(
+            (F.sum("d_x7").cast("double") / F.count(F.lit(1)))
+            / 700.0
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("seasonal_e4"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
