@@ -90,3 +90,60 @@ def kmeans_lloyd_exact(
             .localCheckpoint(eager=True)
         )
     return _assign(pts, cent), cent
+
+
+def assign_arrow(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dense scale path for the assignment step: broadcast the (tiny)
+    centroid matrix, one Arrow batch pass over the vectors, numpy
+    int64 matmul-free distance argmin — no per-point explode, no
+    (vec × centroid) shuffle. Bit-identical to :func:`_assign` on the
+    exploded relation (same fixed-point ints, same (d2, cid)
+    tie-break; pinned in tests), so the oracle-checked relational
+    formulation certifies this one.
+
+    → (vec_id, cid, d2)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    crows = centroids.orderBy("cid", "dim").collect()
+    cids = sorted({r["cid"] for r in crows})
+    dims = sorted({r["dim"] for r in crows})
+    cmat = np.zeros((len(cids), len(dims)), dtype=np.int64)
+    cid_index = {c: i for i, c in enumerate(cids)}
+    for r in crows:
+        cmat[cid_index[r["cid"]], r["dim"]] = r["c"]
+    bc = spark.sparkContext.broadcast((np.array(cids, dtype=np.int64), cmat))
+
+    def batches(it):
+        cid_arr, cm = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__x"].to_numpy()).astype(np.int64)
+            # (n, k) int64 squared distances — exact, no float path
+            d2 = ((x[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)  # ties -> lowest index == lowest cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cid_arr[best],
+                    "d2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    scaled = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: (
+                F.floor(v.cast("double") * SCALE + F.lit(0.5)).cast("long") + OFFSET
+            ),
+        ).alias("__x"),
+    )
+    return scaled.mapInPandas(batches, "vec_id long, cid long, d2 long")

@@ -100,3 +100,17 @@ def test_iteration_guard(spark, data):
     pts = explode_points(df)
     with pytest.raises(ValueError, match="iterations"):
         kmeans_lloyd_exact(pts, pts.limit(0), iterations=-1)
+
+
+def test_arrow_assignment_bit_identical_to_relational(spark, data):
+    from redshells_spark.ml.kmeans_int import _assign, assign_arrow
+
+    _, df = data
+    pts = explode_points(df)
+    c0 = pts.filter(F.col("vec_id").isin(0, 30, 60)).select(
+        F.expr("vec_id div 30").alias("cid"), "dim", F.col("x").alias("c")
+    )
+    _, cent = kmeans_lloyd_exact(pts, c0, iterations=2)
+    rel = {r["vec_id"]: (r["cid"], r["d2"]) for r in _assign(pts, cent).collect()}
+    arw = {r["vec_id"]: (r["cid"], r["d2"]) for r in assign_arrow(df, cent).collect()}
+    assert rel == arw
