@@ -39,6 +39,7 @@ DTYPE_SENSITIVE = [
     "max_concurrent_events",
     "interval_coverage_users",
     "cdc_merge_snapshot",
+    "seasonal_decompose_profile",
 ]
 
 
