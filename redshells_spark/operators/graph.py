@@ -211,3 +211,71 @@ def k_hop_distances(
             dist = dist.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     return dist
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_broadcast_frontier: int = 1_000_000,
+) -> DataFrame:
+    """Bellman-Ford bounded at ``k`` relaxation rounds: min-cost path
+    distance from any source using ≤ k edges. Integer weights keep
+    every distance exact (the oracle replays the identical
+    relaxations); floats would accumulate engine-ordered summation
+    noise along paths.
+
+    Same superstep shape as :func:`k_hop_distances`: only nodes whose
+    distance IMPROVED last round propagate (delta-stepping's
+    observation — after k rounds this equals full k-round relaxation,
+    because an unchanged node re-relaxes to the same candidates), the
+    frontier broadcasts while small, the edge relation is checkpointed
+    once, and dist/frontier checkpoint per round.
+
+    → (node, dist) for nodes reachable within k edges; sources at 0.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if k > 0:
+        edges = edges.select(
+            F.col(src), F.col(dst), F.col(weight).cast("long").alias("__w")
+        ).localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    if k > 0:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(k):
+        fr = frontier
+        if fr.count() <= max_broadcast_frontier:
+            fr = F.broadcast(fr)
+        cand = (
+            fr.join(edges, fr["node"] == edges[src])
+            .select(
+                F.col(dst).alias("node"), (F.col("dist") + F.col("__w")).alias("dist")
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        d = F.broadcast(dist) if dist.count() <= max_broadcast_frontier else dist
+        # improved = candidate strictly better than current (or new node)
+        frontier = (
+            cand.join(d.withColumnRenamed("dist", "__old"), on="node", how="left")
+            .filter(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

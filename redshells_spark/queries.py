@@ -6646,6 +6646,67 @@ def _seasonal_decompose_profile(spark, sf_dir):
     )
 
 
+def _bellman_ford_oracle_sql(rounds: int = 3) -> str:
+    parts = [
+        """e0 AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+                         count(*) AS cnt
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1, 2)""",
+        """edges AS MATERIALIZED (
+             SELECT src, dst, 1000000 // cnt AS w FROM e0
+             UNION ALL SELECT dst AS src, src AS dst, 1000000 // cnt FROM e0)""",
+        """d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist
+                  FROM (VALUES ('c1'), ('c2'), ('c3')) t(node))""",
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
+             SELECT node, dist FROM {prev}
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM {prev} d JOIN edges e ON e.src = d.node) GROUP BY node)"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n       ".join(parts)
+        + f"\n       SELECT node, dist FROM {prev}"
+    )
+
+
+@q("weighted_shortest_paths", _bellman_ford_oracle_sql(3))
+def _weighted_shortest_paths(spark, sf_dir):
+    """Bounded Bellman-Ford (operators/graph.py:bounded_shortest_paths)
+    over the co-purchase graph with integer tie-strength weights
+    (1e6 div purchase count — stronger ties are shorter): 3 relaxation
+    supersteps from three seed customers. Only improved nodes
+    propagate per round (equal to full relaxation — unchanged nodes
+    regenerate already-folded candidates), frontier broadcasts, edge
+    relation checkpointed once. Integer weights keep every path length
+    exact, so the distance table hash-MATCHes the unrolled oracle."""
+    from redshells_spark.operators.graph import bounded_shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = F.expr("1000000 div cnt")
+    edges = e0.select("src", "dst", w.alias("w")).unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
+        )
+    )
+    sources = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
+    return bounded_shortest_paths(edges, sources, k=3)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

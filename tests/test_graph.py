@@ -56,3 +56,31 @@ def test_triangle_free_graph_empty(spark):
     # a path graph has no triangles
     e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     assert count_triangles_per_node(e).count() == 0
+
+
+def test_bounded_shortest_paths_prefers_cheap_two_hop(spark):
+    from redshells_spark.operators.graph import bounded_shortest_paths
+
+    # a->c direct cost 10; a->b->c cost 2+3=5; d unreachable in k=2
+    edges = spark.createDataFrame(
+        [("a", "c", 10), ("a", "b", 2), ("b", "c", 3), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in
+           bounded_shortest_paths(edges, sources, k=2).collect()}
+    assert got == {"a": 0, "b": 2, "c": 5, "d": 11}
+    # k=3 lets the path continue through c
+    got3 = {r["node"]: r["dist"] for r in
+            bounded_shortest_paths(edges, sources, k=3).collect()}
+    assert got3["d"] == 6
+
+
+def test_bounded_shortest_paths_zero_rounds(spark):
+    from redshells_spark.operators.graph import bounded_shortest_paths
+
+    edges = spark.createDataFrame([("a", "b", 1)], "src string, dst string, w long")
+    sources = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in
+           bounded_shortest_paths(edges, sources, k=0).collect()}
+    assert got == {"a": 0}
