@@ -198,3 +198,47 @@ def head_cap(
     """Cap data size after shuffle (reference
     ``contrib/train/train_matrix_factorization.py:41-42``)."""
     return sample_data(df, max_data_size, seed=seed, key_column=key_column)
+
+
+def impute_with_group_median(
+    df,
+    value_column: str,
+    group_columns: list[str],
+    order_tie_break: str,
+    flag_column: str | None = None,
+):
+    """Fill NULLs in ``value_column`` with the exact per-group lower
+    median of the non-null values (the rank-(n+1)/2 row under a total
+    order — no engine percentile semantics involved, so the imputed
+    table is bit-reproducible; same selection trick as the
+    grouped-median queries).
+
+    The median table is |groups| rows and broadcast-joins back; one
+    window pass over the non-null side, no shuffle of the full table
+    beyond it. ``order_tie_break`` must be a unique column (stable
+    median under value ties). ``flag_column`` optionally records which
+    rows were imputed.
+    """
+    from pyspark.sql import Window
+
+    require_columns(df, [value_column, *group_columns, order_tie_break])
+    nn = df.filter(F.col(value_column).isNotNull())
+    w = Window.partitionBy(*group_columns).orderBy(
+        F.col(value_column).asc(), F.col(order_tie_break).asc()
+    )
+    wn = Window.partitionBy(*group_columns)
+    med = (
+        nn.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(*group_columns, F.col(value_column).alias("__median"))
+    )
+    out = df.join(F.broadcast(med), on=group_columns, how="left")
+    if flag_column is not None:
+        out = out.withColumn(
+            flag_column,
+            (F.col(value_column).isNull() & F.col("__median").isNotNull()).cast("long"),
+        )
+    return out.withColumn(
+        value_column, F.coalesce(F.col(value_column), F.col("__median"))
+    ).drop("__median")

@@ -144,3 +144,44 @@ def weighted_sample_priority(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    group_column: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-corpus
+    trick: raise every domain's share to 1/T, T>1 flattens the
+    distribution toward uniform): → (group, n_rows, sample_prob).
+
+    The whole pipeline reduces to a closed form with NO float
+    aggregation: target ∝ p^(1/T) and prob ∝ target/p = p^(1/T − 1),
+    which is maximal at the smallest group, so
+
+        sample_prob = (n_min / n_g)^(1 − 1/T)
+
+    — one integer ratio and one power per group. At T=2 the power is a
+    square root, which IEEE 754 requires to be correctly rounded, so
+    the weights are bit-identical in any engine (the T=2 case is the
+    one under the exact oracle contract; other T go through libm pow,
+    identical in practice but not guaranteed to the last ulp).
+    T=1 degenerates to prob 1.0 everywhere (natural mix); T→∞
+    approaches the uniform rebalance of :func:`domain_mix_weights`.
+    """
+    if temperature < 1.0:
+        raise ValueError("temperature_mix_weights: temperature must be >= 1")
+    require_columns(df, [group_column])
+    counts = df.groupBy(group_column).agg(F.count(F.lit(1)).alias("n_rows"))
+    n_min = F.min("n_rows").over(Window.partitionBy())
+    ratio = n_min.cast("double") / F.col("n_rows")
+    expo = 1.0 - 1.0 / temperature
+    if abs(expo - 0.5) < 1e-12:
+        prob = F.sqrt(ratio)  # correctly rounded — exact cross-engine
+    else:
+        prob = F.pow(ratio, F.lit(expo))
+    return counts.select(
+        group_column,
+        "n_rows",
+        (F.floor(prob * 1_000_000 + F.lit(0.5))).cast("long").alias("prob_e6"),
+    )

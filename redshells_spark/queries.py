@@ -6707,6 +6707,73 @@ def _weighted_shortest_paths(spark, sf_dir):
     return bounded_shortest_paths(edges, sources, k=3)
 
 
+@q(
+    "temperature_mix_weights",
+    """WITH c AS (SELECT source, count(*)::BIGINT AS n_rows
+                  FROM documents GROUP BY source),
+       m AS (SELECT min(n_rows) AS n_min FROM c)
+       SELECT source, n_rows,
+              CAST(floor(sqrt(m.n_min::DOUBLE / c.n_rows) * 1000000 + 0.5)
+                   AS BIGINT) AS prob_e6
+       FROM c, m""",
+)
+def _temperature_mix_weights(spark, sf_dir):
+    """Temperature-2 corpus mixing (data/sampling.py): the multilingual
+    p^(1/T) rebalance reduced to the closed form sqrt(n_min/n_g) — one
+    integer ratio + one correctly-rounded sqrt per group, NO float
+    aggregation anywhere, so even this 'soft' sampling policy is under
+    the bit-exact oracle contract."""
+    from redshells_spark.data.sampling import temperature_mix_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix_weights(docs, "source", temperature=2.0)
+
+
+@q(
+    "impute_group_median",
+    """WITH holey AS (SELECT event_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+            FROM events),
+       nn AS (SELECT event_type, value, event_id FROM holey WHERE value IS NOT NULL),
+       r AS (SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value ASC, event_id ASC) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM nn),
+       med AS (SELECT event_type, value AS m FROM r WHERE rn = (n + 1) // 2)
+       SELECT h.event_type,
+              sum(CASE WHEN h.value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_imputed,
+              count(*)::BIGINT AS n_rows,
+              sum(CAST(round(coalesce(h.value, med.m) * 10000, 0) AS BIGINT))
+                  AS imputed_sum_e4
+       FROM holey h JOIN med USING (event_type)
+       GROUP BY h.event_type""",
+)
+def _impute_group_median(spark, sf_dir):
+    """Median imputation (data/frame_ops.py:impute_with_group_median):
+    every 7th event's value is knocked out, then refilled with the
+    exact per-group lower median — rank-selection, not engine
+    percentiles, so the repaired table is bit-reproducible. Checksum =
+    order-free integer sum of 1e-4-scaled values."""
+    from redshells_spark.data.frame_ops import impute_with_group_median
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias(
+            "value"
+        ),
+    )
+    imputed = impute_with_group_median(
+        ev, "value", ["event_type"], "event_id", flag_column="was_imputed"
+    )
+    return imputed.groupBy("event_type").agg(
+        F.sum("was_imputed").cast("long").alias("n_imputed"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("imputed_sum_e4"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

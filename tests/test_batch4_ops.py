@@ -99,3 +99,36 @@ def test_association_rules_dedupes_within_basket(spark):
     df = spark.createDataFrame(rows, "b bigint, i string")
     out = association_rules_pairs(df, "b", "i", min_pair_support=1).collect()
     assert len(out) == 1 and out[0]["pair_count"] == 1
+
+
+def test_impute_with_group_median(spark):
+    from redshells_spark.data.frame_ops import impute_with_group_median
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, None),
+         ("b", 5, 7.0), ("b", 6, None), ("c", 7, None)],
+        "g string, id long, v double",
+    )
+    out = impute_with_group_median(df, "v", ["g"], "id", flag_column="imp")
+    got = {r["id"]: (r["v"], r["imp"]) for r in out.collect()}
+    assert got[4] == (20.0, 1)      # a's lower median
+    assert got[6] == (7.0, 1)       # b's only value
+    assert got[1] == (10.0, 0)
+    # group with NO non-null values stays null, flagged 0 (nothing to impute from)
+    assert got[7] == (None, 0)
+
+
+def test_temperature_mix_weights(spark):
+    from redshells_spark.data.sampling import temperature_mix_weights
+
+    df = spark.createDataFrame(
+        [("big",)] * 400 + [("small",)] * 100, "src string"
+    )
+    got = {r["src"]: r["prob_e6"] for r in
+           temperature_mix_weights(df, "src", temperature=2.0).collect()}
+    # smallest group keeps everything; big thinned to sqrt(100/400)=0.5
+    assert got == {"small": 1_000_000, "big": 500_000}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_mix_weights(df, "src", temperature=0.5)
