@@ -163,3 +163,48 @@ def run_streaming_stats(stream: DataFrame, stats: StreamingStats, query_name: st
         .trigger(availableNow=True)
         .start()
     )
+
+
+@dataclass
+class StreamingCms:
+    """foreachBatch processor maintaining a Count-Min frequency sketch
+    (``operators/sketches.py:cms_build``) as persistent state: CMS is
+    LINEAR, so folding a micro-batch is build-the-batch-sketch +
+    cell-wise sum with the persisted table — the merged state equals
+    the sketch of everything ever seen (exact batch parity, tested),
+    and state size is a constant depth × width cells forever."""
+
+    root: str
+    key_column: str = "user_id"
+    depth: int = 4
+    width: int = 512
+
+    def _path(self) -> str:
+        return f"{self.root}/cms"
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from redshells_spark.operators.sketches import cms_build, cms_merge
+
+        spark = batch_df.sparkSession
+        batch_sketch = cms_build(
+            batch_df, self.key_column, depth=self.depth, width=self.width
+        )
+        state = _read_or_empty(spark, self._path(), "row int, bucket long, c long")
+        merged = cms_merge(state, batch_sketch).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self._path())
+
+    def lookup(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        from redshells_spark.operators.sketches import cms_lookup
+
+        state = _read_or_empty(spark, self._path(), "row int, bucket long, c long")
+        return cms_lookup(state, keys, self.key_column, self.depth, self.width)
+
+
+def run_streaming_cms(stream: DataFrame, cms: StreamingCms, query_name: str):
+    return (
+        stream.writeStream.foreachBatch(cms.process_batch)
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -59,3 +59,27 @@ def test_cms_cell_count_bounded(spark, skewed):
     sk = cms_build(skewed, "k", depth=4, width=32)
     assert sk.count() <= 4 * 32
     assert sk.filter((F.col("bucket") < 0) | (F.col("bucket") >= 32)).count() == 0
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    from redshells_spark.operators.sketches import cms_build
+    from redshells_spark.streaming.stats import StreamingCms
+
+    batches = [[(i % 7,) for i in range(50)], [(i % 5,) for i in range(30)],
+               [(3,)] * 20]
+    cms = StreamingCms(root=str(tmp_path / "state"), key_column="k",
+                       depth=3, width=64)
+    for i, b in enumerate(batches):
+        cms.process_batch(spark.createDataFrame(b, "k long"), i)
+
+    all_rows = spark.createDataFrame([r for b in batches for r in b], "k long")
+    direct = {(r["row"], r["bucket"]): r["c"]
+              for r in cms_build(all_rows, "k", depth=3, width=64).collect()}
+    state = {(r["row"], r["bucket"]): r["c"]
+             for r in spark.read.parquet(str(tmp_path / "state" / "cms")).collect()}
+    assert state == direct
+
+    keys = spark.createDataFrame([(3,), (0,)], "k long")
+    got = {r["k"]: r["est"] for r in cms.lookup(spark, keys).collect()}
+    true3 = sum(1 for b in batches for (k,) in b if k == 3)
+    assert got[3] >= true3
