@@ -242,3 +242,53 @@ def impute_with_group_median(
     return out.withColumn(
         value_column, F.coalesce(F.col(value_column), F.col("__median"))
     ).drop("__median")
+
+
+def target_encode_loo(
+    df,
+    category_column: str,
+    target_column: str,
+    output_column: str = "te",
+    prior_weight: int = 0,
+    scale: int = 1_000_000,
+):
+    """Leave-one-out target encoding: each row's category is replaced
+    by the mean target of the OTHER rows in its category —
+    ``(sum_g − y_i) / (n_g − 1)`` — the standard leakage-free encoding
+    for high-cardinality categoricals. With ``prior_weight`` m > 0 the
+    encoding is smoothed toward the global mean:
+    ``(sum_g − y_i + m·μ) / (n_g − 1 + m)``.
+
+    Exactness: sums/counts are exact integers (the target is carried
+    at ``scale`` fixed-point), each row's encoding is ONE fixed-shape
+    division over exact operands (identical IEEE result in any
+    engine), and the output is exported at 1e-6 fixed point — no
+    order-dependent float aggregation anywhere. Rows that are alone in
+    their category (n_g = 1, m = 0) get NULL, loudly, rather than a
+    fabricated value.
+
+    One groupBy (category sums broadcast back) + one join: the table
+    shuffles once at most, and not at all when the category relation
+    broadcasts.
+    """
+    require_columns(df, [category_column, target_column])
+    y = F.round(F.col(target_column) * scale, 0).cast("long")
+    sums = (
+        df.select(category_column, y.alias("__y"))
+        .groupBy(category_column)
+        .agg(F.sum("__y").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    out = df.withColumn("__y", y).join(F.broadcast(sums), on=category_column)
+    if prior_weight > 0:
+        gm = df.select(
+            (F.sum(y) / F.count(F.lit(1))).alias("mu")
+        ).collect()[0]["mu"]
+        num = F.col("__s") - F.col("__y") + F.lit(float(prior_weight) * gm)
+        den = F.col("__n") - 1 + prior_weight
+    else:
+        num = (F.col("__s") - F.col("__y")).cast("double")
+        den = F.col("__n") - 1
+    enc = F.when(
+        den > 0, F.floor(num / den + F.lit(0.5)).cast("long")
+    ).otherwise(F.lit(None))
+    return out.withColumn(output_column, enc).drop("__y", "__s", "__n")

@@ -6774,6 +6774,35 @@ def _impute_group_median(spark, sf_dir):
     )
 
 
+@q(
+    "target_encode_returnflag",
+    """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag AS cat,
+                  CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS y
+                  FROM lineitem),
+       s AS (SELECT cat, sum(y)::BIGINT AS s, count(*)::BIGINT AS n
+             FROM t GROUP BY cat)
+       SELECT t.l_orderkey, t.l_linenumber, t.cat,
+              CASE WHEN s.n > 1
+                   THEN CAST(floor((s.s - t.y)::DOUBLE / (s.n - 1) + 0.5) AS BIGINT)
+              END AS te
+       FROM t JOIN s USING (cat)""",
+)
+def _target_encode_shipmode(spark, sf_dir):
+    """Leave-one-out target encoding (data/frame_ops.py:
+    target_encode_loo): return flag → mean extended price of the
+    OTHER rows in the category, (sum − y)/(n − 1) over exact fixed-point
+    integers with one fixed-shape division per row — leakage-free
+    categorical features under the bit-exact contract. One broadcast
+    of the per-category sums; the fact table never shuffles."""
+    from redshells_spark.data.frame_ops import target_encode_loo
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_returnflag").alias("cat"), "l_extendedprice"
+    )
+    out = target_encode_loo(li, "cat", "l_extendedprice", output_column="te")
+    return out.select("l_orderkey", "l_linenumber", "cat", "te")
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

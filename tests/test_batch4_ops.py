@@ -132,3 +132,32 @@ def test_temperature_mix_weights(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="temperature"):
         temperature_mix_weights(df, "src", temperature=0.5)
+
+
+def test_target_encode_loo(spark):
+    from redshells_spark.data.frame_ops import target_encode_loo
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)],
+        "cat string, y double",
+    )
+    out = target_encode_loo(df, "cat", "y", output_column="te")
+    got = {(r["cat"], r["y"]): r["te"] for r in out.collect()}
+    # (sum - y) / (n - 1) at 1e6 fixed point
+    assert got[("a", 1.0)] == 2_500_000  # (2+3)/2
+    assert got[("a", 2.0)] == 2_000_000  # (1+3)/2
+    assert got[("a", 3.0)] == 1_500_000
+    assert got[("b", 5.0)] is None      # alone in category -> NULL, not fabricated
+
+
+def test_target_encode_loo_smoothed(spark):
+    from redshells_spark.data.frame_ops import target_encode_loo
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 0.0), ("b", 10.0)], "cat string, y double"
+    )
+    out = target_encode_loo(df, "cat", "y", output_column="te", prior_weight=1)
+    got = {(r["cat"], r["y"]): r["te"] for r in out.collect()}
+    mu = 10.0 / 3  # global mean
+    # b alone: (0 + 1*mu)/(0 + 1) = mu
+    assert abs(got[("b", 10.0)] - round(mu * 1_000_000)) <= 1
