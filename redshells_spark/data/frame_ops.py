@@ -292,3 +292,20 @@ def target_encode_loo(
         den > 0, F.floor(num / den + F.lit(0.5)).cast("long")
     ).otherwise(F.lit(None))
     return out.withColumn(output_column, enc).drop("__y", "__s", "__n")
+
+
+def kfold_column(
+    df, key_column: str, k: int, seed: int = 42, fold_column: str = "fold"
+):
+    """Deterministic k-fold assignment keyed on an integer column via
+    the same portable multiplicative hash as :func:`hash_split` —
+    fold ∈ [0, k), grouped rows (same key) always share a fold, so
+    group-aware CV falls out of choosing the key. Reproducible across
+    engines/partitionings; a (train, valid) pair per fold is
+    ``df.filter(fold != i)`` / ``df.filter(fold == i)``."""
+    from redshells_spark.schema import portable_hash
+
+    if k < 2:
+        raise ValueError("kfold_column: k must be >= 2")
+    require_columns(df, [key_column])
+    return df.withColumn(fold_column, portable_hash(key_column, seed) % k)

@@ -6803,6 +6803,36 @@ def _target_encode_shipmode(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "cat", "te")
 
 
+@q(
+    "kfold_assignment",
+    """WITH f AS (SELECT ((o_custkey * 2654435761 + 42) % 4294967296) % 5 AS fold,
+                         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS p_c
+                  FROM orders)
+       SELECT fold, count(*) AS n_rows,
+              round(sum(p_c) / 100.0 / count(*), 4) AS avg_totalprice
+       FROM f GROUP BY fold""",
+)
+def _kfold_assignment(spark, sf_dir):
+    """Deterministic group-aware k-fold CV assignment
+    (data/frame_ops.py:kfold_column): folds from the portable
+    multiplicative hash of the CUSTOMER key, so every customer's
+    orders share a fold (no group leakage across folds). Fold
+    balance + per-fold target means as exact-integer checks."""
+    from redshells_spark.data.frame_ops import kfold_column
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    folded = kfold_column(o, "o_custkey", k=5, seed=42)
+    return folded.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_totalprice"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -161,3 +161,18 @@ def test_target_encode_loo_smoothed(spark):
     mu = 10.0 / 3  # global mean
     # b alone: (0 + 1*mu)/(0 + 1) = mu
     assert abs(got[("b", 10.0)] - round(mu * 1_000_000)) <= 1
+
+
+def test_kfold_column_group_coherent(spark):
+    from redshells_spark.data.frame_ops import kfold_column
+
+    import pytest as _pytest
+    df = spark.createDataFrame([(i % 20, i) for i in range(200)], "g long, i long")
+    out = kfold_column(df, "g", k=5)
+    # same key -> same fold, every fold in range
+    per_key = out.groupBy("g").agg(F.countDistinct("fold").alias("nf")).collect()
+    assert all(r["nf"] == 1 for r in per_key)
+    folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+    assert folds <= set(range(5)) and len(folds) >= 3
+    with _pytest.raises(ValueError, match="k must"):
+        kfold_column(df, "g", k=1)
