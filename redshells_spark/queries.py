@@ -6833,6 +6833,92 @@ def _kfold_assignment(spark, sf_dir):
     )
 
 
+@q(
+    "grouped_ols_two_features",
+    """WITH m AS (SELECT l_returnflag,
+                count(*)::BIGINT AS n,
+                sum(CAST(l_quantity AS BIGINT))::BIGINT AS sx,
+                sum(CAST(round(l_discount * 100, 0) AS BIGINT))::BIGINT AS sz,
+                sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS sy,
+                sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))::BIGINT AS sxx,
+                sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                    * CAST(round(l_discount * 100, 0) AS BIGINT))::BIGINT AS szz,
+                sum(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_discount * 100, 0) AS BIGINT))::BIGINT AS sxz,
+                sum(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS sxy,
+                sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS szy
+           FROM lineitem GROUP BY l_returnflag),
+       c AS (SELECT l_returnflag, n, sx, sz, sy,
+                    (n::DOUBLE * sxx) - (sx::DOUBLE * sx) AS cxx,
+                    (n::DOUBLE * szz) - (sz::DOUBLE * sz) AS czz,
+                    (n::DOUBLE * sxz) - (sx::DOUBLE * sz) AS cxz,
+                    (n::DOUBLE * sxy) - (sx::DOUBLE * sy) AS cxy,
+                    (n::DOUBLE * szy) - (sz::DOUBLE * sy) AS czy
+             FROM m),
+       b AS (SELECT l_returnflag, n, sx, sz, sy,
+                    ((czz * cxy) - (cxz * czy)) / ((cxx * czz) - (cxz * cxz)) AS b1,
+                    ((cxx * czy) - (cxz * cxy)) / ((cxx * czz) - (cxz * cxz)) AS b2
+             FROM c)
+       SELECT l_returnflag, n,
+              CAST(floor(b1 * 1000000 + 0.5) AS BIGINT) AS beta_qty_e6,
+              CAST(floor(b2 * 1000000 + 0.5) AS BIGINT) AS beta_disc_e6,
+              CAST(floor(((sy::DOUBLE - (b1 * sx)) - (b2 * sz)) / n * 100 + 0.5)
+                   AS BIGINT) AS intercept_c
+       FROM b""",
+)
+def _grouped_ols_two_features(spark, sf_dir):
+    """Closed-form multivariate regression per group: price ~ quantity
+    + discount via the 2×2 normal equations solved from NINE exact
+    integer moments (one map-combined aggregate — the only distributed
+    pass). The centered cross-products and determinant ratios are
+    FIXED expression trees over those integers, mirrored
+    parenthesis-for-parenthesis in the oracle, so every double is
+    IEEE-identical cross-engine and the coefficients export exactly at
+    fixed point. The one-feature version is grouped_ols_trend; this is
+    the genuinely multivariate shape (quantity and discount enter
+    jointly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    z = F.round(F.col("l_discount") * 100, 0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(z).alias("sz"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * z).alias("sxz"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(z * y).alias("szy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = (nd * F.col("sxx")) - (F.col("sx").cast("double") * F.col("sx"))
+    czz = (nd * F.col("szz")) - (F.col("sz").cast("double") * F.col("sz"))
+    cxz = (nd * F.col("sxz")) - (F.col("sx").cast("double") * F.col("sz"))
+    cxy = (nd * F.col("sxy")) - (F.col("sx").cast("double") * F.col("sy"))
+    czy = (nd * F.col("szy")) - (F.col("sz").cast("double") * F.col("sy"))
+    det = (cxx * czz) - (cxz * cxz)
+    b1 = ((czz * cxy) - (cxz * czy)) / det
+    b2 = ((cxx * czy) - (cxz * cxy)) / det
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.floor(b1 * 1_000_000 + F.lit(0.5)).cast("long").alias("beta_qty_e6"),
+        F.floor(b2 * 1_000_000 + F.lit(0.5)).cast("long").alias("beta_disc_e6"),
+        F.floor(
+            ((F.col("sy").cast("double") - (b1 * F.col("sx"))) - (b2 * F.col("sz")))
+            / F.col("n")
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("intercept_c"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
