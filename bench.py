@@ -72,6 +72,9 @@ HEADLINE = [
     "grouped_mad_outliers",
     "cms_user_counts",
     "corpus_chunking_pipeline",
+    "weighted_shortest_paths",
+    "target_encode_returnflag",
+    "grouped_ols_two_features",
 ]
 
 
