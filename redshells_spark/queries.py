@@ -6919,6 +6919,101 @@ def _grouped_ols_two_features(spark, sf_dir):
     )
 
 
+@q(
+    "calibration_lift_table",
+    """WITH tr AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                  count(*)::BIGINT AS n_q,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos_q
+           FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+       te AS (SELECT l.l_orderkey, l.l_linenumber,
+                     CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                     CAST(floor(tr.pos_q::DOUBLE * 1000000000 / tr.n_q + 0.5)
+                          AS BIGINT) AS score_e9
+              FROM lineitem l JOIN tr ON tr.q = CAST(l.l_quantity AS BIGINT)
+              WHERE l.l_orderkey % 2 = 1),
+       d AS (SELECT y, score_e9,
+                    ntile(10) OVER (ORDER BY score_e9 DESC, l_orderkey ASC,
+                                    l_linenumber ASC) AS decile
+             FROM te),
+       g AS (SELECT decile, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+                    sum(score_e9)::BIGINT AS sum_score_e9
+             FROM d GROUP BY decile)
+       SELECT decile, n, n_pos,
+              (2 * n_pos * 1000000 + n) // (2 * n) AS obs_rate_e6,
+              (2 * (sum_score_e9 // 1000) + n) // (2 * n) AS pred_rate_e6,
+              sum(n_pos) OVER (ORDER BY decile ASC ROWS UNBOUNDED PRECEDING)::BIGINT
+                  AS cum_pos
+       FROM g""",
+)
+def _calibration_lift_table(spark, sf_dir):
+    """Model calibration + lift/gains table, entirely in exact integer
+    arithmetic: a per-quantity empirical return-rate model fit on even
+    orders scores odd orders (score exported as floor-e9 fixed point —
+    summable with no float drift), deciles by descending score with
+    unique tie-breaks, then observed vs predicted rates per decile
+    ((2a+b) div 2b exact rounding) and the cumulative-positives gains
+    curve. Completes the evaluation suite (AUC, RMSE, ranking
+    metrics) with the reliability diagram every production scorer
+    ships with.
+
+    Scale note: exact global deciles need one total order (the ntile
+    window's single-partition exchange — fine for eval sets, which are
+    samples by construction). At full-corpus scale the standard move
+    is boundary binning: approx-quantile score cut points, then a
+    broadcast range join — same statistics, no global sort, slightly
+    different tie handling; this query keeps exact ntile because the
+    oracle contract pins exact tie semantics."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("q"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    tr = (
+        li.filter(F.col("l_orderkey") % 2 == 0)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_q"), F.sum("y").alias("pos_q"))
+    )
+    te = (
+        li.filter(F.col("l_orderkey") % 2 == 1)
+        .join(F.broadcast(tr), on="q")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "y",
+            F.floor(
+                F.col("pos_q").cast("double") * 1_000_000_000 / F.col("n_q")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("score_e9"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("score_e9").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    g = (
+        te.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("score_e9").alias("sum_score_e9"),
+        )
+    )
+    wc = Window.orderBy(F.col("decile").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.expr("(2 * n_pos * 1000000 + n) div (2 * n)").alias("obs_rate_e6"),
+        F.expr("(2 * (sum_score_e9 div 1000) + n) div (2 * n)").alias("pred_rate_e6"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
