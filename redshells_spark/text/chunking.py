@@ -10,6 +10,12 @@ with no Python in the hot path, so they scale as ordinary shuffles
 keyed by doc_id (near-perfectly parallel; one document's tokens land
 in one task via the aggregation key, and documents are bounded in
 size so there is no skew risk beyond the corpus's own max-doc-length).
+
+Tokenization is a plain single-separator split (identical semantics
+in the SQL oracle): consecutive separators produce empty units, which
+are kept deterministically. Run text through
+``text/analysis.py:clean_text`` (whitespace normalization) first —
+that is the pipeline order the corpus composites use.
 """
 
 from __future__ import annotations
