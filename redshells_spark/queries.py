@@ -7014,6 +7014,44 @@ def _calibration_lift_table(spark, sf_dir):
     )
 
 
+@q(
+    "isotonic_calibration",
+    """WITH lv AS (SELECT CAST(l_quantity AS BIGINT) AS s, count(*)::BIGINT AS n,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos
+            FROM lineitem GROUP BY 1),
+       pref AS (SELECT s, n, pos,
+                 sum(n) OVER (ORDER BY s ASC ROWS UNBOUNDED PRECEDING) AS cn,
+                 sum(pos) OVER (ORDER BY s ASC ROWS UNBOUNDED PRECEDING) AS cp,
+                 row_number() OVER (ORDER BY s ASC) AS i
+          FROM lv),
+       lo AS (SELECT i AS j, cn - n AS n_lo, cp - pos AS p_lo FROM pref),
+       hi AS (SELECT i AS k, cn AS n_hi, cp AS p_hi FROM pref),
+       rg AS (SELECT j, k, (p_hi - p_lo)::DOUBLE / (n_hi - n_lo) AS avg
+              FROM lo JOIN hi ON j <= k),
+       im AS (SELECT p.i, p.s, p.n, p.pos, r.j, min(r.avg) AS mn
+              FROM pref p JOIN rg r ON r.j <= p.i AND r.k >= p.i
+              GROUP BY p.i, p.s, p.n, p.pos, r.j)
+       SELECT s AS score, n, pos,
+              CAST(floor(max(mn) * 1000000000 + 0.5) AS BIGINT) AS iso_e9
+       FROM im GROUP BY i, s, n, pos""",
+)
+def _isotonic_calibration(spark, sf_dir):
+    """Isotonic (monotone) calibration of the quantity→return-rate
+    relationship via the exact PAV solution (ml/isotonic_exact.py):
+    one corpus-wide map-combined aggregate to distinct score levels,
+    then the unique isotonic least-squares fit from the max-min
+    closed form over exact integer prefix sums — a regression fit
+    whose fitted values hash-MATCH the oracle (PAV-reference parity
+    pinned in tests)."""
+    from redshells_spark.ml.isotonic_exact import isotonic_fit_exact
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("score"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    return isotonic_fit_exact(li, "score", "y")
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
