@@ -2865,23 +2865,33 @@ def _event_time_gaps(spark, sf_dir):
     "monthly_order_rollup",
     """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start,
               o_orderstatus, count(*) AS n_orders,
-              round(sum(o_totalprice), 4) AS total, round(avg(o_totalprice), 4) AS avg_price
+              round(sum(o_totalprice), 4) AS total,
+              (2 * sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) * 100 + count(*))
+                  // (2 * count(*)) AS avg_price_e4
        FROM orders GROUP BY 1, 2""",
 )
 def _monthly_order_rollup(spark, sf_dir):
     # date/time functions (absent in reference — SURVEY §2.G — covered
-    # by Spark builtins for the driver's timestamped tables)
+    # by Spark builtins for the driver's timestamped tables). The mean
+    # exports as the exact integer (2·100·Σcents + n) div 2n: averages
+    # of 2-decimal prices land EXACTLY on .xxxx5 boundaries (e.g.
+    # x.51/8), where Spark's BigDecimal HALF_UP and DuckDB's
+    # multiply-then-round disagree — surfaced by the sf0.001 sweep.
     o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return (
         o.withColumn(
             "month_start",
             F.date_trunc("month", event_ts(o, "o_orderdate")).cast("long"),
         )
+        .withColumn("__c", cents)
         .groupBy("month_start", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             _r4(F.sum("o_totalprice"), "total"),
-            _r4(F.avg("o_totalprice"), "avg_price"),
+            F.expr("(2 * sum(__c) * 100 + count(*)) div (2 * count(*))").alias(
+                "avg_price_e4"
+            ),
         )
     )
 
