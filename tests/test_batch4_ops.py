@@ -176,3 +176,28 @@ def test_kfold_column_group_coherent(spark):
     assert folds <= set(range(5)) and len(folds) >= 3
     with _pytest.raises(ValueError, match="k must"):
         kfold_column(df, "g", k=1)
+
+
+def test_exact_auc_against_pairwise_definition(spark):
+    from redshells_spark.queries import get_queries  # noqa: F401  (query form tested at verify)
+
+    # level-table AUC == the pairwise P(score_pos > score_neg) + 0.5 ties
+    import itertools
+    scores_pos = [3, 3, 5, 7]
+    scores_neg = [1, 3, 4]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p, n in itertools.product(scores_pos, scores_neg))
+    want = wins / (len(scores_pos) * len(scores_neg))
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    rows = [(s, 1) for s in scores_pos] + [(s, 0) for s in scores_neg]
+    df = spark.createDataFrame(rows, "s long, y long")
+    lv = df.groupBy("s").agg(F.sum("y").alias("pos"),
+                             F.sum(F.lit(1) - F.col("y")).alias("neg"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = lv.withColumn("cnb", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    t = c.agg(F.sum(F.col("pos") * (2 * F.col("cnb") + F.col("neg"))).alias("num2"),
+              F.sum("pos").alias("p"), F.sum("neg").alias("n")).collect()[0]
+    got = t["num2"] / (2 * t["p"] * t["n"])
+    assert abs(got - want) < 1e-12
