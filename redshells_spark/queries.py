@@ -7111,6 +7111,60 @@ def _exact_auc(spark, sf_dir):
     )
 
 
+@q(
+    "auc_by_segment",
+    """WITH lv AS (SELECT l_linestatus AS seg, CAST(l_quantity AS BIGINT) AS s,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT AS neg
+           FROM lineitem GROUP BY 1, 2),
+       c AS (SELECT seg, pos, neg,
+                    coalesce(sum(neg) OVER (PARTITION BY seg ORDER BY s ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS cnb
+             FROM lv),
+       t AS (SELECT seg, sum(pos * (2 * cnb + neg))::BIGINT AS num2,
+                    sum(pos)::BIGINT AS p, sum(neg)::BIGINT AS n
+             FROM c GROUP BY seg)
+       SELECT seg, p AS n_pos, n AS n_neg,
+              CASE WHEN p > 0 AND n > 0
+                   THEN (2 * num2 * 1000000 + 2 * p * n) // (4 * p * n)
+              END AS auc_e6
+       FROM t""",
+)
+def _auc_by_segment(spark, sf_dir):
+    """Per-segment exact AUC (model-fairness slicing): the same
+    level-table Mann-Whitney as exact_auc, windows and aggregates
+    partitioned by the segment key — every slice's AUC in one pass,
+    no per-row ranks. Degenerate slices (single-class) report NULL
+    instead of a fabricated 0.5."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("seg"),
+        F.col("l_quantity").cast("long").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    lv = li.groupBy("seg", "s").agg(
+        F.sum("y").alias("pos"), F.sum(F.lit(1) - F.col("y")).alias("neg")
+    )
+    w = Window.partitionBy("seg").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = lv.withColumn("cnb", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    t = c.groupBy("seg").agg(
+        F.sum(F.col("pos") * (2 * F.col("cnb") + F.col("neg"))).alias("num2"),
+        F.sum("pos").alias("p"),
+        F.sum("neg").alias("n"),
+    )
+    return t.select(
+        "seg",
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.when(
+            (F.col("p") > 0) & (F.col("n") > 0),
+            F.expr("(2 * num2 * 1000000 + 2 * p * n) div (4 * p * n)"),
+        ).alias("auc_e6"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
