@@ -7165,6 +7165,53 @@ def _auc_by_segment(spark, sf_dir):
     )
 
 
+@q(
+    "pr_curve",
+    """WITH lv AS (SELECT CAST(l_quantity AS BIGINT) AS s,
+                  count(*)::BIGINT AS n,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos
+           FROM lineitem GROUP BY 1),
+       c AS (SELECT s,
+                    sum(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_n,
+                    sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_pos,
+                    (SELECT sum(pos) FROM lv) AS p_total
+             FROM lv)
+       SELECT s AS threshold, cum_n::BIGINT AS n_predicted,
+              cum_pos::BIGINT AS n_hit,
+              (2 * cum_pos * 1000000 + cum_n) // (2 * cum_n) AS precision_e6,
+              (2 * cum_pos * 1000000 + p_total) // (2 * p_total) AS recall_e6
+       FROM c""",
+)
+def _pr_curve(spark, sf_dir):
+    """Precision-recall curve at every score threshold, from the level
+    table's descending cumulative counts — one aggregate + one window,
+    each output value ONE exact integer ratio ((2a+b) div 2b), so the
+    whole curve is bit-reproducible and no per-row sort ever runs.
+    (A scalar average-precision would sum fractions with different
+    denominators — order-dependent floats; the curve form keeps every
+    number exact, and AP integrates from it client-side if wanted.)"""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    lv = li.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        lv.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("pos").over(w))
+        .withColumn("p_total", F.sum("pos").over(Window.partitionBy()))
+    )
+    return c.select(
+        F.col("s").alias("threshold"),
+        F.col("cum_n").alias("n_predicted"),
+        F.col("cum_pos").alias("n_hit"),
+        F.expr("(2 * cum_pos * 1000000 + cum_n) div (2 * cum_n)").alias("precision_e6"),
+        F.expr("(2 * cum_pos * 1000000 + p_total) div (2 * p_total)").alias("recall_e6"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
