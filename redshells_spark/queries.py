@@ -7212,6 +7212,54 @@ def _pr_curve(spark, sf_dir):
     )
 
 
+@q(
+    "best_f1_threshold",
+    """WITH lv AS (SELECT CAST(l_quantity AS BIGINT) AS s,
+                  count(*)::BIGINT AS n,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos
+           FROM lineitem GROUP BY 1),
+       c AS (SELECT s,
+                    sum(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_n,
+                    sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_pos,
+                    (SELECT sum(pos) FROM lv) AS p_total
+             FROM lv),
+       f AS (SELECT s, cum_n::BIGINT AS n_predicted, cum_pos::BIGINT AS n_hit,
+                    (2 * (2 * cum_pos) * 1000000 + (cum_n + p_total))
+                        // (2 * (cum_n + p_total)) AS f1_e6
+             FROM c)
+       SELECT s AS threshold, n_predicted, n_hit, f1_e6
+       FROM f ORDER BY f1_e6 DESC, s ASC LIMIT 1""",
+)
+def _best_f1_threshold(spark, sf_dir):
+    """Decision-threshold tuning: F1 at a threshold reduces to the
+    single rational 2·TP / (n_predicted + n_actual), so the argmax
+    over the level table is an exact-integer comparison (e6 fixed
+    point, threshold tie-break) — one aggregate, one window, one
+    TakeOrderedAndProject. Closes the threshold-selection loop over
+    the PR curve."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    lv = li.groupBy("s").agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        lv.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("pos").over(w))
+        .withColumn("p_total", F.sum("pos").over(Window.partitionBy()))
+    )
+    f = c.select(
+        F.col("s").alias("threshold"),
+        F.col("cum_n").alias("n_predicted"),
+        F.col("cum_pos").alias("n_hit"),
+        F.expr(
+            "(2 * (2 * cum_pos) * 1000000 + (cum_n + p_total))"
+            " div (2 * (cum_n + p_total))"
+        ).alias("f1_e6"),
+    )
+    return f.orderBy(F.col("f1_e6").desc(), F.col("threshold").asc()).limit(1)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
