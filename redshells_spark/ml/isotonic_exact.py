@@ -10,7 +10,8 @@ least-squares solution is UNIQUE and has the closed max-min form
 so after aggregating the corpus to its distinct score levels (the
 only corpus-wide pass — a map-combined groupBy), the fit is a
 triangle of prefix-sum averages over the LEVEL table: k levels →
-O(k³) tiny rows, independent of corpus size. Each average is one
+O(k²) tiny rows (the inner min over k is a suffix-min window per j,
+not a third join), independent of corpus size. Each average is one
 fixed-shape division over exact integer prefix sums (identical IEEE
 double in any engine), min/max over identical sets are identical, and
 the result exports at fixed point — a regression FIT inside the
@@ -77,15 +78,26 @@ def isotonic_fit_exact(
             / (F.col("n_hi") - F.col("n_lo"))
         ).alias("avg"),
     )
-    idx = pref.select("i", "s", "n", "pos")
-    inner = (
-        idx.join(ranges, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
-        .groupBy("i", "s", "n", "pos", "j")
-        .agg(F.min("avg").alias("mn"))
+    # min_{k >= i} avg(j..k) is a suffix-min over k within each j — a
+    # window pass over the O(k²) ranges table, NOT a third join (the
+    # naive (i,j,k) triple join is O(k³) and blows up long before the
+    # max_levels guard would trip). Row (j, k=i) then holds m(j, i),
+    # and f(i) = max_{j <= i} m(j, i) is one groupBy over the same
+    # table. Identical value sets → identical min/max → bit-identical
+    # fit to the triangle formulation.
+    wsm = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    m = ranges.select(
+        "j", F.col("k").alias("i"), F.min("avg").over(wsm).alias("mn")
+    )
+    idx = pref.select("i", "s", "n", "pos")
     return (
-        inner.groupBy("i", "s", "n", "pos")
+        m.groupBy("i")
         .agg(F.max("mn").alias("f"))
+        .join(idx, "i")
         .select(
             F.col("s").alias(score_col),
             "n",

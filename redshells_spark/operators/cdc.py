@@ -66,7 +66,13 @@ def apply_changes(
     if missing:
         raise ValueError(f"apply_changes: changes missing base columns {missing}")
     latest = latest_changes(changes, key_cols, version_col, tie_break)
-    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    # NULL-safe op dispatch: a bare `op != delete_op` evaluates to NULL
+    # for NULL ops, silently dropping the row from the upsert side while
+    # the anti-join still removes its key — a NULL-op change would act
+    # as a delete. Treat NULL op as upsert instead.
+    upserts = latest.filter(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).select(*base.columns)
     touched = latest.select(*key_cols)
     if broadcast_delta:
         touched = F.broadcast(touched)

@@ -279,12 +279,17 @@ _CMS_P = 2147483647
 
 def cms_bucket_sql(key_sql: str, row: int, width: int) -> str:
     """Portable SQL for CMS row ``row``'s bucket of a NON-NEGATIVE
-    integer key expression: ``((k·A + row·B + C) mod P) mod width``.
-    The same text evaluates identically in Spark and DuckDB (``%`` on
-    non-negative operands), which puts the sketch itself inside the
-    cross-engine correctness contract."""
+    integer key expression: ``(((k mod P)·A + row·B + C) mod P) mod
+    width``. The key is reduced mod P FIRST so the product stays
+    within int64 for any non-negative int64 key ((P-1)·A ≈ 5.7e18 <
+    2^63-1) — without the reduction, keys above ~3.47e9 would overflow
+    (a runtime error under Spark's ANSI default, silent wrap with ANSI
+    off). The same text evaluates identically in Spark and DuckDB
+    (``%`` on non-negative operands), which puts the sketch itself
+    inside the cross-engine correctness contract."""
     return (
-        f"((({key_sql}) * {_CMS_A} + {row * _CMS_B + _CMS_C}) % {_CMS_P}) % {width}"
+        f"(((({key_sql}) % {_CMS_P}) * {_CMS_A} + {row * _CMS_B + _CMS_C})"
+        f" % {_CMS_P}) % {width}"
     )
 
 

@@ -6210,12 +6210,12 @@ def _k_anonymity_audit(spark, sf_dir):
                   ORDER BY true_cnt DESC, user_id ASC LIMIT 10),
        rj AS (SELECT unnest(range(0, 4)) AS j),
        cells AS (SELECT j,
-                        ((user_id * 2654435761 + j * 1099087573 + 40503)
+                        (((user_id % 2147483647) * 2654435761 + j * 1099087573 + 40503)
                          % 2147483647) % 512 AS bucket,
                         count(*)::BIGINT AS c
                  FROM events, rj GROUP BY 1, 2),
        pe AS (SELECT p.user_id, p.true_cnt, r.j,
-                     ((p.user_id * 2654435761 + r.j * 1099087573 + 40503)
+                     (((p.user_id % 2147483647) * 2654435761 + r.j * 1099087573 + 40503)
                       % 2147483647) % 512 AS bucket
               FROM probes p, rj r)
        SELECT pe.user_id, pe.true_cnt, min(c.c) AS est

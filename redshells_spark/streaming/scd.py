@@ -71,8 +71,11 @@ def _fold_scd2(
             n_late = 0
             cur_state, cur_from, cur_n = st, ts, 1
     state.update((cur_state, cur_from, cur_n))
-    if not out and n_late:
-        # surface pure-late batches as a marker row (open interval)
+    if n_late:
+        # Surface ANY residual lateness as a marker row (open interval)
+        # — not only when no close was emitted: late events landing
+        # after the batch's last close would otherwise vanish from the
+        # n_late accounting (each close resets the counter).
         out.append((k, cur_state, cur_from, None, cur_n, n_late))
     if out:
         yield pd.DataFrame(

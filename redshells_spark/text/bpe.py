@@ -151,9 +151,14 @@ def learn_bpe_merges(
         left, right, c = top[0]["left"], top[0]["right"], int(top[0]["c"])
         merged = left + right
         merges.append((rank, left, right, merged, c))
+        # Column-literal replace (NOT f-string-into-F.expr): symbols
+        # containing quotes/backslashes ("don't", "a\\b") would break or
+        # silently no-op an interpolated SQL string literal.
         cur = cur.withColumn(
             "sym",
-            F.expr(f"replace(sym, '[{left}][{right}]', '[{merged}]')"),
+            F.replace(
+                F.col("sym"), F.lit(f"[{left}][{right}]"), F.lit(f"[{merged}]")
+            ),
         )
         if rank % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)

@@ -222,3 +222,25 @@ def test_compaction_target_guard(spark):
     files = spark.createDataFrame([("a", 1)], "path string, bytes long")
     with pytest.raises(ValueError, match="target_bytes"):
         plan_compaction(files, 0)
+
+
+def test_bpe_symbols_with_quotes_and_backslashes(spark):
+    # regression: merge application must be column-literal replace, not
+    # f-string-into-F.expr — "don't" (quote) crashed with ParseException
+    # and a backslash symbol was silently consumed as an escape.
+    corpus = [
+        (0, "don't don't don't can't can't"),
+        (1, "a\\b a\\b a\\b don't can't"),
+    ]
+    wf = {"don't": 4, "can't": 3, "a\\b": 3}
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges_df, seg = learn_bpe_merges(word_freq_table(docs), 6)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    want, vocab = _reference_bpe(wf, 6)
+    assert got == want
+    got_seg = {r["word"]: r["sym"] for r in seg.collect()}
+    want_seg = {"".join(s): "".join(f"[{t}]" for t in s) for s, _ in vocab.items()}
+    assert got_seg == want_seg

@@ -105,3 +105,15 @@ def test_merged_coverage_grouped(spark):
     got = {r["g"]: (r["covered"], r["n_islands"]) for r in
            merged_coverage(iv, "s", "e", ["g"]).collect()}
     assert got == {"a": (20, 2), "b": (5, 1)}
+
+
+def test_apply_changes_null_op_is_upsert(spark):
+    # regression: op != 'D' is NULL for NULL ops — the key was
+    # anti-joined out of the base but never re-inserted (silent delete).
+    base = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, name string")
+    changes = spark.createDataFrame(
+        [(1, "new", 1, None), (3, "ins", 1, None)],
+        "k long, name string, version long, op string",
+    )
+    out = {r["k"]: r["name"] for r in apply_changes(base, changes, ["k"], "version").collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}

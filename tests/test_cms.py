@@ -83,3 +83,16 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     got = {r["k"]: r["est"] for r in cms.lookup(spark, keys).collect()}
     true3 = sum(1 for b in batches for (k,) in b if k == 3)
     assert got[3] >= true3
+
+
+def test_cms_keys_above_2_pow_32_no_overflow(spark):
+    # regression: key*A overflowed int64 for keys above ~3.47e9 (ANSI
+    # runtime error / silent wrap); the key is now reduced mod P first.
+    big = 2**40 + 12345
+    df = spark.createDataFrame([(big,)] * 7 + [(2**33,)] * 3, "k long")
+    sk = cms_build(df, "k", depth=4, width=1024)
+    keys = spark.createDataFrame([(big,), (2**33,)], "k long")
+    got = {r["k"]: r["est"] for r in cms_lookup(sk, keys, "k", depth=4, width=1024).collect()}
+    assert got[big] >= 7 and got[2**33] >= 3
+    buckets = sk.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert buckets[0] >= 0 and buckets[1] < 1024

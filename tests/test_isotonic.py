@@ -80,3 +80,23 @@ def test_level_guard(spark):
     df = spark.createDataFrame([(i, 0) for i in range(50)], "score long, y long")
     with pytest.raises(ValueError, match="distinct score levels"):
         isotonic_fit_exact(df, "score", "y", max_levels=10)
+
+
+def test_matches_pav_reference_many_levels(spark):
+    # regression companion to the O(k^3)->O(k^2) suffix-min rewrite:
+    # a k=120 level table (would be ~1.7M triples under the old
+    # triangle join) still matches pure-Python PAV exactly.
+    levels = []
+    for s in range(120):
+        n = 3 + (s * 7) % 5
+        pos = (s * 2654435761 + 17) % (n + 1)
+        levels.append((s, n, pos))
+    rows = []
+    for s, n, pos in levels:
+        rows += [(s, 1)] * pos + [(s, 0)] * (n - pos)
+    df = spark.createDataFrame(rows, "score long, y long")
+    got = {r["score"]: r["iso_e9"] for r in isotonic_fit_exact(df, "score", "y").collect()}
+    ref = _pav([(n, pos) for _, n, pos in levels])
+    assert len(got) == 120
+    for (s, _, _), want in zip(levels, ref):
+        assert abs(got[s] - round(want * NANO)) <= 1, (s, got[s], want)

@@ -78,3 +78,53 @@ def test_streaming_scd2_counts_late_events(spark, tmp_path):
     assert len(late) == 1 and late[0]["n_late"] == 1
     # the open run is untouched by the late event
     assert late[0]["valid_from"] == 100 and late[0]["valid_to"] is None
+
+
+def test_streaming_scd2_late_and_close_same_batch(spark, tmp_path):
+    # n_late accounting when a batch mixes late events with a close:
+    # the late event (ts < open run start) folds first (in-batch ts
+    # sort), so its count rides the close row — and the residual-late
+    # guard (_fold_scd2 emits a marker whenever n_late > 0 remains at
+    # batch end, not only when no closes were produced) must not
+    # double-count it.
+    batches = [
+        [(1, "a", 100, 1)],
+        [(1, "x", 50, 2), (1, "b", 200, 3)],  # late, then close a[100,200)
+    ]
+    got = _run_stream(spark, tmp_path, batches)
+    rows = got.collect()
+    closes = [r for r in rows if r["valid_to"] is not None]
+    assert len(closes) == 1
+    c = closes[0]
+    assert (c["state"], c["valid_from"], c["valid_to"], c["n_late"]) == ("a", 100, 200, 1)
+    # exactly once: no extra marker row repeating the same late count
+    assert sum(r["n_late"] for r in rows) == 1
+
+
+def test_fold_scd2_pure_late_batch_marker_unit():
+    # unit-level check of the residual-late marker: a batch of only
+    # late events (every ts < the open run's start) must emit exactly
+    # one open-interval marker carrying the full count, and leave the
+    # stored open run untouched. (With the in-batch ts sort, any
+    # non-late event closes the run and carries the count on the close
+    # row instead — covered by the stream test above.)
+    import pandas as pd
+
+    from redshells_spark.streaming.scd import _fold_scd2
+
+    class FakeState:
+        exists = True
+        get = ("a", 100, 2)
+
+        def update(self, v):
+            self.updated = v
+
+    st = FakeState()
+    batch = pd.DataFrame(
+        {"ts": [50, 60], "seq": [1, 2], "state": ["x", "y"], "key": [1, 1]}
+    )
+    out = list(_fold_scd2((1,), iter([batch]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["n_late"] == 2 and pd.isna(row["valid_to"])
+    assert st.updated == ("a", 100, 2)  # open run untouched
