@@ -70,6 +70,38 @@ def kmv_distinct(
     )
 
 
+def kmv_distinct_global(
+    df: DataFrame,
+    value_column: str,
+    k: int = 256,
+) -> DataFrame:
+    """→ one row (n_hashes, kmv_estimate): ungrouped KMV distinct
+    estimate of ``value_column`` over the whole relation.
+
+    The k smallest portable 60-bit hashes are found with a distributed
+    ``orderBy().limit(k)`` (TakeOrdered: per-partition top-k merged on
+    the driver) after a map-side-combined hash dedup — no global
+    window, no single-partition exchange, so the path holds at any row
+    count. Estimate arithmetic matches :func:`kmv_distinct`
+    ((k−1)·2⁶⁰ / h_k), reproduced bit-for-bit by a DuckDB oracle.
+    """
+    require_columns(df, [value_column])
+    hashes = df.select(
+        F.expr(_h60_sql(f"`{value_column}`")).alias("__h")
+    ).dropDuplicates(["__h"])
+    kept = hashes.orderBy(F.col("__h").asc()).limit(k)
+    agg = kept.agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("__h").alias("__hk")
+    )
+    est = F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(TWO_POW_60) / F.col("__hk").cast("double")
+    )
+    return agg.select(
+        F.col("n_hashes").cast("long").alias("n_hashes"),
+        est.alias("kmv_estimate"),
+    )
+
+
 def kmv_set_algebra(
     df: DataFrame,
     group_column: str,

@@ -540,6 +540,37 @@ def ivf_build_index(
     return assigned, centroids
 
 
+def ivf_seed_centroids(
+    corpus: DataFrame,
+    num_centroids: int,
+    corpus_id: str = "vec_id",
+    embedding_column: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic pseudo-random seed centroids: the ``num_centroids``
+    corpus vectors with the smallest portable 60-bit md5 rank of their
+    id — a uniform sample any engine reproduces (cf. the md5-rank
+    sampling in data/sampling.py). The sort+limit is TakeOrdered
+    (per-partition top-k merged on the driver), so seeding never
+    shuffles the corpus. Centroids come back in (rank, id) order —
+    the centroid index an oracle can re-derive. Use with
+    :func:`assign_to_centroids` for a fully oracle-checkable IVF
+    pipeline; :func:`ivf_build_index` keeps the MLlib KMeans quantizer
+    when fit quality matters more than cross-engine reproducibility."""
+    from redshells_spark.operators.bloom import _h60_sql
+
+    rows = (
+        corpus.select(
+            F.expr(_h60_sql(f"`{corpus_id}`")).alias("__h"),
+            F.col(corpus_id).alias("__id"),
+            embedding_column,
+        )
+        .orderBy(F.col("__h").asc(), F.col("__id").asc())
+        .limit(num_centroids)
+        .collect()  # num_centroids rows — bounded driver probe
+    )
+    return [[float(x) for x in r[embedding_column]] for r in rows]
+
+
 def assign_to_centroids(
     corpus: DataFrame,
     centroids: list[list[float]],

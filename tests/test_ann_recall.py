@@ -130,3 +130,25 @@ def test_ivf_deterministic_recall(queries_df, emb, truth):
     approx = ivf_topk(queries_df, assigned, centroids, k=K, nprobe=8)
     r = _recall(approx, truth)
     assert r > 0.5, f"deterministic-IVF recall@{K} = {r}"
+
+
+def test_ivf_seed_centroids_deterministic_order(spark, sf_dir):
+    from redshells_spark.similarity.ann import ivf_seed_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = ivf_seed_centroids(emb, num_centroids=8)
+    b = ivf_seed_centroids(emb, num_centroids=8)
+    assert a == b and len(a) == 8 and len(a[0]) == 64
+    # prefix property: fewer centroids = prefix of more (rank order)
+    c4 = ivf_seed_centroids(emb, num_centroids=4)
+    assert a[:4] == c4
+
+
+def test_registry_front_window(spark):
+    from redshells_spark.queries import _FRONT, ORACLES, QUERIES, get_oracles, get_queries
+
+    qs, os_ = get_queries(), get_oracles()
+    assert list(qs)[: len(_FRONT)] == _FRONT
+    assert set(qs) == set(QUERIES) and set(os_) == set(ORACLES)
+    # every round-4 contract change sits inside the driver's 50-entry window
+    assert all(name in list(qs)[:50] for name in _FRONT)

@@ -93,3 +93,21 @@ def test_kmv_rolling_distinct_only_present_buckets(spark):
     buckets = {r["bucket"] for r in
                kmv_rolling_distinct(df, "bk", "u", window_buckets=3, k=8).collect()}
     assert buckets == {0, 5}
+
+
+def test_kmv_distinct_global_exact_below_k(spark):
+    from redshells_spark.operators.sketches import kmv_distinct_global
+
+    df = spark.createDataFrame([(i % 40,) for i in range(500)], "u long")
+    r = kmv_distinct_global(df, "u", k=256).collect()[0]
+    # below k: the sketch holds every hash -> estimate IS the exact count
+    assert r["n_hashes"] == 40 and r["kmv_estimate"] == 40.0
+
+
+def test_kmv_distinct_global_estimate_above_k(spark):
+    from redshells_spark.operators.sketches import kmv_distinct_global
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "u long")
+    r = kmv_distinct_global(df, "u", k=128).collect()[0]
+    assert r["n_hashes"] == 128
+    assert 5000 * 0.6 < r["kmv_estimate"] < 5000 * 1.6  # ~9% stderr at k=128
