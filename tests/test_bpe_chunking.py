@@ -244,3 +244,44 @@ def test_bpe_symbols_with_quotes_and_backslashes(spark):
     got_seg = {r["word"]: r["sym"] for r in seg.collect()}
     want_seg = {"".join(s): "".join(f"[{t}]" for t in s) for s, _ in vocab.items()}
     assert got_seg == want_seg
+
+
+def test_bpe_batched_equals_sequential(spark, sf_dir):
+    # exact batched selection (_select_exact_batch) must reproduce the
+    # strict argmax loop bit-for-bit — merge table AND segmentations —
+    # while issuing ~batch_target x fewer Spark jobs.
+    import time
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = word_freq_table(docs).localCheckpoint(eager=True)
+    t0 = time.time()
+    m_seq, seg_seq = learn_bpe_merges(wf, 60, batch_target=1)
+    seq_rows = [tuple(r) for r in m_seq.orderBy("rank").collect()]
+    t_seq = time.time() - t0
+    t0 = time.time()
+    m_bat, seg_bat = learn_bpe_merges(wf, 60, batch_target=8)
+    bat_rows = [tuple(r) for r in m_bat.orderBy("rank").collect()]
+    t_bat = time.time() - t0
+    assert bat_rows == seq_rows and len(seq_rows) > 10
+    seq_seg = {r["word"]: r["sym"] for r in seg_seq.collect()}
+    bat_seg = {r["word"]: r["sym"] for r in seg_bat.collect()}
+    assert seq_seg == bat_seg
+    # not asserted (timing is noisy), but visible in -s runs
+    print(f"sequential {t_seq:.1f}s vs batched {t_bat:.1f}s for {len(seq_rows)} merges")
+
+
+def test_bpe_batch_reference_parity_quoted_corpus(spark):
+    # batched selection with the tie/minted-symbol stop conditions still
+    # matches the pure-Python reference on a tie-heavy corpus
+    corpus = [(0, "ab ab ab abc abc bc bc bc ca ca ca")] * 3
+    wf = {"ab": 9, "abc": 6, "bc": 9, "ca": 9}
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges_df, _ = learn_bpe_merges(word_freq_table(docs), 10, batch_target=4)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    want, _ = _reference_bpe(wf, 10)
+    assert got == want

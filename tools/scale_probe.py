@@ -1,0 +1,230 @@
+"""Scale rehearsal: replicate sf0.1 ×N into a disjoint-universe corpus
+and measure how the most expensive bench queries grow.
+
+The 100 TB story is argued in SCALE.md; this probe measures it. A
+factor-N corpus is built by unioning N key-shifted copies of every
+table (``df CROSS JOIN range(N)`` — fully distributed, no driver
+data). Each replica is an *isomorphic, disjoint* universe:
+
+- every key column shifts by ``replica * (max_key + 1)`` with
+  referential integrity preserved (lineitem↔orders↔customer,
+  lineitem↔part/supplier), so the co-purchase graph becomes N disjoint
+  copies — N× vertices, N× edges, same topology per copy;
+- document text keeps every original token (language-ID and quality
+  scores depend on exact stopword hits) but INSERTS a per-replica salt
+  token after every 5th token, so cross-replica copies share well
+  under half their shingles and are NOT near-duplicates of each other
+  — MinHash workload grows ~N×, not quadratically in clone pathology —
+  while within-replica exact-dup and near-dup structure is preserved
+  (identical texts get identical salts);
+- events shift (event_id, user_id): N× keys for per-key gapfill and
+  session windows;
+- embeddings shift vec_id only (vector clones — fine for the probe
+  set, which contains no embedding query; don't probe ANN queries at
+  factor>1 without also perturbing vectors).
+
+Pass/fail: with sub-quadratic scaling, factor-10 wall time should stay
+under ~12× the factor-1 time per query (10× data + shuffle log
+factors), with zero guard-trips/OOM.
+
+Usage:
+  python tools/scale_probe.py build  [factor] [src] [out]
+  python tools/scale_probe.py run    [factor] [src] [out] [query ...]
+  python tools/scale_probe.py all    [factor] [src] [out]   # build+run
+
+Defaults: factor=10, src=/root/testdata/sf0.1, out=scale_data/sf1.
+Emits one JSON line per query with t_1x, t_Nx, ratio; writes nothing
+outside the repo.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+# the 8 most expensive r3 bench queries (VERDICT round-3 "Next round" #1)
+PROBE_QUERIES = [
+    "k_hop_reachability",
+    "minhash_near_dedup",
+    "pagerank_copurchase",
+    "weighted_shortest_paths",
+    "association_rules",
+    "corpus_chunking_pipeline",
+    "llm_corpus_pipeline",
+    "time_bucket_gapfill",
+]
+
+# key columns to shift, per table: {table: {column: offset_group}} —
+# columns sharing an offset_group shift by the same amount so joins
+# stay consistent across tables (fact FK == dim PK per replica).
+KEY_GROUPS: dict[str, dict[str, str]] = {
+    "lineitem": {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
+    "orders": {"o_orderkey": "ord", "o_custkey": "cust"},
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+COPY_TABLES = ["nation", "region"]
+
+SALT_EVERY = 5  # insert one salt token after every 5th document token
+
+
+def _offsets(spark: SparkSession, src: str) -> dict[str, int]:
+    """offset_group -> (global max key + 1), the per-replica shift."""
+    maxes: dict[str, int] = {}
+    for table, cols in KEY_GROUPS.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        row = df.agg(
+            *[F.max(F.col(c)).alias(c) for c in cols]
+        ).collect()[0]
+        for c, grp in cols.items():
+            v = int(row[c] or 0) + 1
+            maxes[grp] = max(maxes.get(grp, 0), v)
+    return maxes
+
+
+def _salted_text(text_col, replica_col):
+    """Insert token ``xq<replica>p<idx>`` after every SALT_EVERY-th
+    token for replicas > 0. Original tokens untouched — stopword /
+    language / quality statistics survive; shingle sets diverge."""
+    toks = F.split(text_col, " ")
+    with_salt = F.flatten(
+        F.transform(
+            toks,
+            lambda t, j: F.when(
+                (replica_col > 0) & (j % SALT_EVERY == SALT_EVERY - 1),
+                F.array(
+                    t,
+                    F.concat(
+                        F.lit("xq"),
+                        replica_col.cast("string"),
+                        F.lit("p"),
+                        j.cast("string"),
+                    ),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+    return F.when(replica_col == 0, text_col).otherwise(
+        F.concat_ws(" ", with_salt)
+    )
+
+
+def build_scaled(
+    spark: SparkSession, src: str, out: str, factor: int
+) -> None:
+    os.makedirs(out, exist_ok=True)
+    offs = _offsets(spark, src)
+    reps = F.broadcast(spark.range(factor).select(F.col("id").alias("__r")))
+    for table in COPY_TABLES:
+        spark.read.parquet(f"{src}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{table}.parquet")
+        print(f"# {table}: copied", file=sys.stderr)
+    for table, cols in KEY_GROUPS.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        rep = df.crossJoin(reps)
+        shifted = [
+            (
+                F.col(c) + F.col("__r") * offs[grp]
+                if c in cols
+                else F.col(c)
+            ).alias(c)
+            for c, grp in ((c2, cols.get(c2)) for c2 in df.columns)
+        ]
+        outdf = rep.select(*shifted, F.col("__r"))
+        if table == "documents":
+            outdf = outdf.withColumn(
+                "text", _salted_text(F.col("text"), F.col("__r"))
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        outdf.drop("__r").repartition(32).write.mode("overwrite").parquet(
+            f"{out}/{table}.parquet"
+        )
+        n = spark.read.parquet(f"{out}/{table}.parquet").count()
+        print(f"# {table}: {n} rows at factor {factor}", file=sys.stderr)
+
+
+def run_probe(
+    spark: SparkSession,
+    src: str,
+    out: str,
+    factor: int,
+    names: list[str],
+    repeats: int = 3,
+) -> list[dict]:
+    from redshells_spark.queries import get_queries
+
+    queries = get_queries()
+    results = []
+    for name in names:
+        rec: dict = {"query": name, "factor": factor}
+        for label, d in (("t_1x", src), ("t_Nx", out)):
+            runs, n = [], 0
+            try:
+                for _ in range(repeats):
+                    t0 = time.time()
+                    n = queries[name](spark, d).count()
+                    runs.append(time.time() - t0)
+                rec[label] = round(sorted(runs)[len(runs) // 2], 3)
+                rec[f"rows_{label}"] = n
+            except Exception as e:  # noqa: BLE001 — guard-trips must be visible, not fatal
+                rec[label] = None
+                rec[f"err_{label}"] = f"{type(e).__name__}: {e}"[:300]
+        if rec.get("t_1x") and rec.get("t_Nx"):
+            rec["ratio"] = round(rec["t_Nx"] / rec["t_1x"], 2)
+            rec["subquadratic"] = rec["ratio"] <= 1.2 * factor
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+    return results
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    out = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scale_data",
+        "sf1",
+    )
+    names = sys.argv[5:] or PROBE_QUERIES
+
+    from redshells_spark import get_spark_session
+
+    spark = get_spark_session("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if mode in ("build", "all"):
+        build_scaled(spark, src, out, factor)
+    if mode in ("run", "all"):
+        results = run_probe(spark, src, out, factor, names)
+        bad = [
+            r
+            for r in results
+            if r.get("ratio") is None or not r.get("subquadratic")
+        ]
+        print(
+            json.dumps(
+                {
+                    "probe": "scale",
+                    "factor": factor,
+                    "n_queries": len(results),
+                    "n_flagged": len(bad),
+                    "flagged": [r["query"] for r in bad],
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
