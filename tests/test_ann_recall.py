@@ -152,3 +152,20 @@ def test_registry_front_window(spark):
     assert set(qs) == set(QUERIES) and set(os_) == set(ORACLES)
     # every round-4 contract change sits inside the driver's 50-entry window
     assert all(name in list(qs)[:50] for name in _FRONT)
+
+
+def test_registry_order_pinned_across_split():
+    # the queries.py -> queries/ package split (round 4) must preserve
+    # the exact registration order: the driver's CORRECTNESS gate reads
+    # the first 50 entries of get_queries(). Pinned from the pre-split
+    # single file.
+    import json
+    import os
+
+    from redshells_spark.queries import get_oracles, get_queries
+
+    want = json.load(
+        open(os.path.join(os.path.dirname(__file__), "registry_order.json"))
+    )
+    assert list(get_queries()) == want["queries"]
+    assert list(get_oracles()) == want["oracles"]
