@@ -19,9 +19,12 @@ data). Each replica is an *isomorphic, disjoint* universe:
   (identical texts get identical salts);
 - events shift (event_id, user_id): N× keys for per-key gapfill and
   session windows;
-- embeddings shift vec_id only (vector clones — fine for the probe
-  set, which contains no embedding query; don't probe ANN queries at
-  factor>1 without also perturbing vectors).
+- embeddings shift vec_id AND circularly rotate vector dimensions by
+  the replica index: every replica keeps the exact intra-replica
+  geometry (all inner products / norms / neighbor structure preserved
+  under a fixed permutation) while cross-replica vectors stop being
+  byte clones — so the ANN probe set (PROBE_QUERIES_ANN) measures a
+  10× corpus honestly instead of a 10-way-clone pathology.
 
 Pass/fail: with sub-quadratic scaling, factor-10 wall time should stay
 under ~12× the factor-1 time per query (10× data + shuffle log
@@ -59,6 +62,16 @@ PROBE_QUERIES = [
     "corpus_chunking_pipeline",
     "llm_corpus_pipeline",
     "time_bucket_gapfill",
+]
+
+# ANN tier — meaningful only with the dimension-rotated embeddings
+# replicas (see module docstring); run via:
+#   python tools/scale_probe.py run 10 <src> <out> ann
+PROBE_QUERIES_ANN = [
+    "brute_force_topk",
+    "lsh_topk",
+    "pq_topk",
+    "embedding_near_dup",
 ]
 
 # key columns to shift, per table: {table: {column: offset_group}} —
@@ -147,6 +160,19 @@ def build_scaled(
             outdf = outdf.withColumn(
                 "text", _salted_text(F.col("text"), F.col("__r"))
             ).withColumn("n_chars", F.length("text").cast("long"))
+        if table == "embeddings":
+            # circular dim rotation by replica: a fixed orthonormal
+            # permutation per replica — intra-replica inner products,
+            # norms and neighbor structure are EXACTLY preserved, but
+            # cross-replica vectors are no longer clones
+            outdf = outdf.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(sequence(1, size(embedding)), "
+                    "j -> element_at(embedding, "
+                    "cast((j - 1 + __r) % size(embedding) as int) + 1))"
+                ),
+            )
         outdf.drop("__r").repartition(32).write.mode("overwrite").parquet(
             f"{out}/{table}.parquet"
         )
@@ -198,6 +224,8 @@ def main() -> None:
         "sf1",
     )
     names = sys.argv[5:] or PROBE_QUERIES
+    if names == ["ann"]:
+        names = PROBE_QUERIES_ANN
 
     from redshells_spark import get_spark_session
 
