@@ -1,0 +1,104 @@
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023,
+arXiv:2303.09540): drop documents whose EMBEDDINGS are near-identical,
+catching paraphrases and boilerplate that token-level MinHash misses.
+
+Beyond-reference LLM-pipeline operator. The algorithm is exactly the
+paper's shape re-expressed relationally:
+
+1. cluster the embedding space (the paper uses k-means; here any
+   centroid list works — :func:`redshells_spark.similarity.ann.
+   ivf_seed_centroids` for the deterministic/oracle-checkable path,
+   MLlib KMeans via ``ivf_build_index`` when quantizer quality
+   matters);
+2. compute pairwise cosine ONLY within each cluster — the quadratic
+   term is bounded by the largest cluster, never the corpus (that is
+   the paper's entire scalability argument: k ≈ √N clusters make the
+   expected per-cluster work N/k ≈ √N);
+3. drop every vector that has ANY kept (lower-id) near-duplicate
+   neighbor at ``threshold`` cosine — the paper keeps one exemplar
+   per duplicate group; lowest-id-wins is the deterministic,
+   relational form of that choice (no iterative connected components:
+   a chain a<b<c with cos(a,b), cos(b,c) ≥ t but cos(a,c) < t drops b
+   AND c, which matches the paper's "remove all but one point within
+   ε" per-pair semantics, not transitive-closure clustering).
+
+Scale design: one centroid-assignment projection over the corpus
+(whole-stage codegen, no shuffle beyond the cluster equi-join), one
+equi-join on cluster id with the ``id0 < id1`` triangle filter, one
+distinct + anti-join. The ``max_cluster_size`` guard refuses
+degenerate quantizers loudly instead of detonating a quadratic join —
+re-cluster with more centroids rather than raising it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redshells_spark.functions.vector import cosine_similarity
+from redshells_spark.schema import require_columns
+from redshells_spark.similarity.ann import assign_to_centroids
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """→ (cid, id0, id1, cos): within-cluster pairs with cosine ≥
+    ``threshold`` and ``id0 < id1`` — the semantic near-duplicate
+    edge list."""
+    require_columns(df, [id_col, embedding_col])
+    assigned = assign_to_centroids(df, centroids, embedding_col).select(
+        F.col(id_col), F.col(embedding_col), F.col("centroid").alias("cid")
+    )
+    big = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cluster_size)
+        .limit(1)
+        .count()
+    )
+    if big:
+        raise ValueError(
+            f"semantic_dedup: a cluster exceeds max_cluster_size="
+            f"{max_cluster_size}; re-cluster with more centroids instead of "
+            "raising the cap (the within-cluster join is quadratic)"
+        )
+    a = assigned.select(
+        "cid", F.col(id_col).alias("id0"), F.col(embedding_col).alias("__e0")
+    )
+    b = assigned.select(
+        "cid", F.col(id_col).alias("id1"), F.col(embedding_col).alias("__e1")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id0") < F.col("id1"))
+        .withColumn("cos", cosine_similarity("__e0", "__e1"))
+        .filter(F.col("cos") >= threshold)
+        .select("cid", "id0", "id1", "cos")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """→ the deduplicated corpus: input rows minus every vector with a
+    lower-id near-duplicate neighbor in its cluster, plus the ``cid``
+    assignment column. Lowest id per duplicate pair survives."""
+    pairs = semantic_dedup_pairs(
+        df, centroids, threshold, id_col, embedding_col, max_cluster_size
+    )
+    dropped = pairs.select(F.col("id1").alias(id_col)).distinct()
+    assigned = assign_to_centroids(df, centroids, embedding_col).withColumnRenamed(
+        "centroid", "cid"
+    )
+    return assigned.join(dropped, id_col, "left_anti")

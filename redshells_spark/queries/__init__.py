@@ -30,6 +30,7 @@ _FRONT = [
     "dimension_reduction",  # r4: rows-only → exploded-L2 oracle
     "approx_distinct_users",  # r4: HLL → portable global KMV, exact oracle
     "ivf_topk",  # r4: KMeans RNG → md5-seeded deterministic quantizer
+    "semantic_dedup",  # r4: NEW — SemDeDup embedding near-dup removal
 ]
 
 

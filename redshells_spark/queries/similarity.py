@@ -297,6 +297,58 @@ def _ivf_topk(spark, sf_dir):
 
 
 @q(
+    "semantic_dedup",
+    f"""WITH cent AS (
+         SELECT CAST(row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS BIGINT)
+                    AS cid,
+                embedding
+         FROM (SELECT vec_id, embedding, {_duck_h60("vec_id")} AS h FROM embeddings
+               ORDER BY h ASC, vec_id ASC LIMIT 16)),
+       d2 AS (
+         SELECT e.vec_id AS eid, c.cid AS cid,
+                list_reduce(list_transform(range(1, 65),
+                    i -> (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                       * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)),
+                    (acc, x) -> acc + x) AS d2
+         FROM embeddings e CROSS JOIN cent c),
+       assign AS (
+         SELECT eid AS vec_id, cid FROM (
+           SELECT eid, cid,
+                  row_number() OVER (PARTITION BY eid ORDER BY d2 ASC, cid ASC) AS rn
+           FROM d2)
+         WHERE rn = 1),
+       pairs AS (
+         SELECT s1.vec_id AS id1
+         FROM assign s0
+         JOIN assign s1 ON s0.cid = s1.cid AND s0.vec_id < s1.vec_id
+         JOIN embeddings a ON a.vec_id = s0.vec_id
+         JOIN embeddings b ON b.vec_id = s1.vec_id
+         WHERE {_COS_SQL} >= 0.25),
+       dropped AS (SELECT DISTINCT id1 AS vec_id FROM pairs)
+       SELECT s.vec_id, s.cid
+       FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+       WHERE d.vec_id IS NULL""",
+)
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup (dedup/semantic.py, Abbas et al. 2023): embedding-space
+    near-duplicate removal — cluster with the md5-seeded deterministic
+    quantizer, pairwise cosine ONLY within clusters (the quadratic term
+    is bounded by the largest cluster, the paper's scalability
+    argument), drop every vector with a lower-id near-dup neighbor.
+    The synthetic embeddings carry no true semantic duplicates (max
+    within-cluster cosine ≈ 0.49), so this registry instance runs a
+    demonstrative 0.25 threshold to exercise the drop path end-to-end;
+    the operator default stays at the paper's 0.95."""
+    from redshells_spark.dedup.semantic import semantic_dedup
+    from redshells_spark.similarity.ann import ivf_seed_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_seed_centroids(emb, num_centroids=16)
+    kept = semantic_dedup(emb, centroids, threshold=0.25)
+    return kept.select("vec_id", F.col("cid").cast("long").alias("cid"))
+
+
+@q(
     "sum_embeddings_by_key",
     """SELECT label, CAST(dim - 1 AS BIGINT) AS dim, round(s, 4) AS s FROM (
          SELECT label, dim, sum(x) AS s FROM (

@@ -267,3 +267,48 @@ def test_repetition_signals(spark):
     assert out[2]["repeated_token_frac"] == pytest.approx(0.0)
     assert out[3]["top_bigram_frac"] == 0.0
     assert out[3]["repeated_token_frac"] == 0.0
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def _sem_fixture(spark):
+    # cluster 0 around e1, cluster 1 around e2; ids 1,2 are dups (cos=1),
+    # 3 is their chain-neighbor, 10 is isolated
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),      # exact dup of 1 -> dropped
+        (3, [0.9, 0.43589, 0.0, 0.0]),  # cos(1,3)=0.9 -> dropped at t=0.85
+        (10, [0.0, 1.0, 0.0, 0.0]),     # other cluster, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    return df, cents
+
+
+def test_semantic_dedup_lowest_id_survives(spark):
+    from redshells_spark.dedup.semantic import semantic_dedup
+
+    df, cents = _sem_fixture(spark)
+    kept = {r["vec_id"]: r["cid"] for r in semantic_dedup(df, cents, threshold=0.85).collect()}
+    assert kept == {1: 0, 10: 1}
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    from redshells_spark.dedup.semantic import semantic_dedup_pairs
+
+    df, cents = _sem_fixture(spark)
+    pairs = semantic_dedup_pairs(df, cents, threshold=0.0).collect()
+    # the cross-cluster (1,10) pair must never be scored
+    assert all({p["id0"], p["id1"]} <= {1, 2, 3} for p in pairs)
+    assert {(p["id0"], p["id1"]) for p in pairs} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_semantic_dedup_cluster_cap_guard(spark):
+    import pytest as _pytest
+
+    from redshells_spark.dedup.semantic import semantic_dedup
+
+    df, cents = _sem_fixture(spark)
+    with _pytest.raises(ValueError, match="max_cluster_size"):
+        semantic_dedup(df, cents, threshold=0.9, max_cluster_size=2)
