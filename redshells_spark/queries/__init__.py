@@ -31,6 +31,7 @@ _FRONT = [
     "approx_distinct_users",  # r4: HLL → portable global KMV, exact oracle
     "ivf_topk",  # r4: KMeans RNG → md5-seeded deterministic quantizer
     "semantic_dedup",  # r4: NEW — SemDeDup embedding near-dup removal
+    "cross_doc_line_dedup",  # r4: NEW — CCNet paragraph dedup
 ]
 
 

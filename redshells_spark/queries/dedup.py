@@ -554,3 +554,41 @@ def _simhash_near_dup(spark, sf_dir):
     )
 
 
+
+
+@q(
+    "cross_doc_line_dedup",
+    """WITH t AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                  FROM documents),
+       b AS (SELECT doc_id, CAST(bi AS BIGINT) AS pos,
+                    array_to_string(toks[bi * 8 + 1 : bi * 8 + 8], ' ') AS unit
+             FROM (SELECT doc_id, toks, unnest(range(0, (len(toks) + 7) // 8)) AS bi
+                   FROM t WHERE len(toks) > 0)),
+       j AS (SELECT doc_id, pos, unit,
+                    count(*) OVER (PARTITION BY md5(unit)) AS cnt,
+                    row_number() OVER (PARTITION BY md5(unit)
+                                       ORDER BY doc_id ASC, pos ASC) AS rn
+             FROM b),
+       k AS (SELECT doc_id, pos, unit, (cnt < 2 OR rn = 1) AS keep FROM j)
+       SELECT doc_id, count(*)::BIGINT AS n_units,
+              sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+              coalesce(string_agg(CASE WHEN keep THEN unit END, ' '
+                                  ORDER BY pos ASC), '') AS text
+       FROM k GROUP BY doc_id""",
+)
+def _cross_doc_line_dedup(spark, sf_dir):
+    """CCNet paragraph dedup (dedup/lines.py, Wenzek et al. 2020):
+    hash every unit corpus-wide, keep only the globally-first
+    occurrence of any repeated unit, reconstruct documents. ONE
+    map-combined groupBy on the 32-byte unit hash + an equi-join back
+    (groupBy+join, not a hash-partition window: a boilerplate unit in
+    billions of docs stays a combinable aggregate row — skew-safe).
+    The synthetic corpus has no newline structure, so units are
+    non-overlapping 8-token blocks (block_units); real corpora use
+    split_units('\\n')."""
+    from redshells_spark.dedup.lines import block_units, cross_doc_unit_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    units = block_units(docs, block_tokens=8)
+    return cross_doc_unit_dedup(units, min_occurrences=2)

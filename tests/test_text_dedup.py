@@ -312,3 +312,64 @@ def test_semantic_dedup_cluster_cap_guard(spark):
     df, cents = _sem_fixture(spark)
     with _pytest.raises(ValueError, match="max_cluster_size"):
         semantic_dedup(df, cents, threshold=0.9, max_cluster_size=2)
+
+
+# ------------------------------------------- cross-doc line/unit dedup
+
+
+def test_split_units_newlines(spark):
+    from redshells_spark.dedup.lines import split_units
+
+    docs = spark.createDataFrame(
+        [(1, "header\nbody one\n\nfooter"), (2, "header\nbody two\nfooter")],
+        "doc_id long, text string",
+    )
+    units = {(r["doc_id"], r["pos"]): r["unit"] for r in split_units(docs, sep="\n").collect()}
+    assert units[(1, 0)] == "header" and units[(1, 3)] == "footer"
+    assert (1, 2) not in units  # empty line dropped, positions preserved
+
+
+def test_block_units_partial_tail(spark):
+    from redshells_spark.dedup.lines import block_units
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    units = {r["pos"]: r["unit"] for r in block_units(docs, block_tokens=2).collect()}
+    assert units == {0: "a b", 1: "c d", 2: "e"}
+
+
+def test_cross_doc_unit_dedup_keep_first_global(spark):
+    from redshells_spark.dedup.lines import cross_doc_unit_dedup, split_units
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nunique one\nfooter"),
+            (2, "header\nunique two\nfooter"),
+            (3, "header\nheader\nunique three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_unit_dedup(
+            split_units(docs, sep="\n"), joiner="\n"
+        ).collect()
+    }
+    # doc 1 holds the first occurrence of header AND footer
+    assert out[1]["n_dropped"] == 0
+    assert out[1]["text"] == "header\nunique one\nfooter"
+    # doc 2 loses both boilerplate units
+    assert out[2]["n_dropped"] == 2 and out[2]["text"] == "unique two"
+    # doc 3: both header copies dropped (first is in doc 1)
+    assert out[3]["n_dropped"] == 2 and out[3]["text"] == "unique three"
+    assert all(r["n_units"] == 3 for r in out.values())
+
+
+def test_cross_doc_unit_dedup_fully_dropped_doc_empty_text(spark):
+    from redshells_spark.dedup.lines import cross_doc_unit_dedup, split_units
+
+    docs = spark.createDataFrame(
+        [(1, "dup"), (2, "dup")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in cross_doc_unit_dedup(split_units(docs)).collect()}
+    assert out[1]["text"] == "dup" and out[2]["text"] == ""
+    assert out[2]["n_dropped"] == 1
