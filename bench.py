@@ -75,6 +75,9 @@ HEADLINE = [
     "weighted_shortest_paths",
     "target_encode_returnflag",
     "grouped_ols_two_features",
+    # round-4 tier: embedding + line dedup
+    "semantic_dedup",
+    "cross_doc_line_dedup",
 ]
 
 

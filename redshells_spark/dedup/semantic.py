@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from redshells_spark.functions.vector import cosine_similarity
+from redshells_spark.functions.vector import dot_product, l2_norm
 from redshells_spark.schema import require_columns
 from redshells_spark.similarity.ann import assign_to_centroids
 
@@ -68,16 +68,33 @@ def semantic_dedup_pairs(
             f"{max_cluster_size}; re-cluster with more centroids instead of "
             "raising the cap (the within-cluster join is quadratic)"
         )
-    a = assigned.select(
-        "cid", F.col(id_col).alias("id0"), F.col(embedding_col).alias("__e0")
+    # Precompute each vector's norm ONCE before the pair join: the
+    # cosine then costs one dot product per pair instead of three
+    # folds (dot + two norms) — bitwise-identical to
+    # cosine_similarity's dot/(greatest(||a||,eps)·greatest(||b||,eps)),
+    # just with the norm subexpressions hoisted out of the join.
+    withn = assigned.withColumn(
+        "__n", F.greatest(l2_norm(embedding_col), F.lit(1e-12))
     )
-    b = assigned.select(
-        "cid", F.col(id_col).alias("id1"), F.col(embedding_col).alias("__e1")
+    a = withn.select(
+        "cid",
+        F.col(id_col).alias("id0"),
+        F.col(embedding_col).alias("__e0"),
+        F.col("__n").alias("__n0"),
+    )
+    b = withn.select(
+        "cid",
+        F.col(id_col).alias("id1"),
+        F.col(embedding_col).alias("__e1"),
+        F.col("__n").alias("__n1"),
     )
     return (
         a.join(b, "cid")
         .filter(F.col("id0") < F.col("id1"))
-        .withColumn("cos", cosine_similarity("__e0", "__e1"))
+        .withColumn(
+            "cos",
+            dot_product("__e0", "__e1") / (F.col("__n0") * F.col("__n1")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("cid", "id0", "id1", "cos")
     )
