@@ -32,6 +32,7 @@ _FRONT = [
     "ivf_topk",  # r4: KMeans RNG → md5-seeded deterministic quantizer
     "semantic_dedup",  # r4: NEW — SemDeDup embedding near-dup removal
     "cross_doc_line_dedup",  # r4: NEW — CCNet paragraph dedup
+    "bpe_encode",  # r4: NEW — corpus → token-id sequences via trained BPE
 ]
 
 

@@ -264,6 +264,49 @@ def _bpe_subtoken_counts(spark, sf_dir):
 
 
 @q(
+    "bpe_encode",
+    f"""WITH {_bpe_cte(_BPE_K)},
+       seg AS (SELECT word,
+                      string_split(substr(sym, 2, length(sym) - 2), '][') AS subs
+               FROM w{_BPE_K}),
+       vs AS (SELECT sub AS subtoken, sum(freq)::BIGINT AS n_uses
+              FROM (SELECT freq,
+                           unnest(string_split(substr(sym, 2, length(sym) - 2), '][')) AS sub
+                    FROM w{_BPE_K})
+              GROUP BY 1),
+       vocab AS (SELECT CAST(row_number() OVER (ORDER BY n_uses DESC, subtoken ASC) - 1
+                             AS BIGINT) AS token_id,
+                        subtoken
+                 FROM vs),
+       d AS (SELECT doc_id, word, CAST(pos - 1 AS BIGINT) AS pos FROM
+               (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents)
+             WHERE word <> ''),
+       e AS (SELECT d.doc_id, d.pos,
+                    CAST(generate_subscripts(g.subs, 1) - 1 AS BIGINT) AS sub_pos,
+                    unnest(g.subs) AS subtoken
+             FROM d JOIN seg g ON g.word = d.word)
+       SELECT e.doc_id, e.pos, e.sub_pos, v.token_id
+       FROM e JOIN vocab v USING (subtoken)""",
+)
+def _bpe_encode(spark, sf_dir):
+    """Corpus encoding with the trained tokenizer (text/bpe.py
+    bpe_vocab + bpe_encode): dense subtoken ids assigned by
+    (corpus-use desc, subtoken asc) over the vocabulary relation, then
+    every document becomes its (pos, sub_pos, token_id) sequence via
+    two broadcast joins inside codegen — one corpus scan, no global
+    sort. The whole train→segment→assign-ids→encode pipeline is
+    replayed by the DuckDB oracle and hash-MATCHes."""
+    from redshells_spark.text.bpe import bpe_encode, bpe_vocab
+
+    _, seg = _bpe_trained(spark, sf_dir)
+    vocab = bpe_vocab(seg)
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, seg, vocab)
+
+
+@q(
     "chunk_documents",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t),

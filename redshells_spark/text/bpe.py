@@ -287,3 +287,70 @@ def subtoken_count_per_doc(
             F.sum(F.coalesce(F.col("n_sub"), F.lit(0))).alias("n_subtokens"),
         )
     )
+
+
+def bpe_vocab(segmented_words: DataFrame, freq_col: str = "freq") -> DataFrame:
+    """→ (token_id, subtoken, n_uses): the subtoken vocabulary of a
+    trained segmentation, ids dense from 0 in (corpus-use desc,
+    subtoken asc) order — the deterministic id assignment an encoder
+    and an oracle can both re-derive. The global row_number runs over
+    the VOCABULARY (≤ base chars + num_merges entries), never the
+    corpus."""
+    subs = (
+        segmented_words.select(
+            F.explode(symbols_to_array("sym")).alias("subtoken"), F.col(freq_col)
+        )
+        .groupBy("subtoken")
+        .agg(F.sum(freq_col).alias("n_uses"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_uses").desc(), F.col("subtoken").asc())
+    return subs.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "subtoken",
+        F.col("n_uses").cast("long").alias("n_uses"),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    segmented_words: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, pos, sub_pos, token_id): every document encoded to
+    its BPE token-id sequence — the *production* step after training
+    (``learn_bpe_merges``) and id assignment (``bpe_vocab``).
+
+    Scale shape: exploded corpus tokens broadcast-join the segmented
+    word table (distinct words ≪ corpus) and the vocabulary (≤ chars +
+    merges rows); positions come from posexplode, so no global sort —
+    encoding 100 TB is one scan plus two broadcast joins inside
+    whole-stage codegen."""
+    seg = segmented_words.select(
+        "word", symbols_to_array("sym").alias("__subs")
+    )
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.posexplode("__subs").alias("sub_pos", "subtoken"),
+        )
+        .join(F.broadcast(vocab.select("token_id", "subtoken")), "subtoken")
+        .select(
+            "doc_id",
+            "pos",
+            F.col("sub_pos").cast("long").alias("sub_pos"),
+            "token_id",
+        )
+    )

@@ -285,3 +285,41 @@ def test_bpe_batch_reference_parity_quoted_corpus(spark):
     ]
     want, _ = _reference_bpe(wf, 10)
     assert got == want
+
+
+def test_bpe_encode_roundtrip_reconstructs_words(spark):
+    # decoding the id sequence must reconstruct every original word:
+    # ids -> subtokens concatenated in sub_pos order == source token
+    from pyspark.sql import functions as F
+
+    from redshells_spark.text.bpe import bpe_encode, bpe_vocab, learn_bpe_merges
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    _, seg = learn_bpe_merges(word_freq_table(docs), 6)
+    vocab = bpe_vocab(seg)
+    enc = bpe_encode(docs, seg, vocab)
+    # vocab ids are dense 0..n-1 and unique
+    vrows = vocab.collect()
+    assert sorted(r["token_id"] for r in vrows) == list(range(len(vrows)))
+    decoded = (
+        enc.join(vocab.select("token_id", "subtoken"), "token_id")
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_pos", "subtoken"))),
+                    lambda s: s["subtoken"],
+                ),
+            ).alias("word")
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    mismatch = decoded.join(orig, ["doc_id", "pos"], "full").filter(
+        (decoded["word"] != orig["word"])
+        | decoded["word"].isNull()
+        | orig["word"].isNull()
+    )
+    assert mismatch.count() == 0
