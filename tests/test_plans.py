@@ -281,3 +281,48 @@ def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path)
         .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_semantic_dedup_plan_no_cartesian(spark, sf_dir):
+    # the within-cluster pair join must be an equi-join on cid — never
+    # a cartesian/BNLJ over the corpus — and vector norms are computed
+    # in the projection, not re-derived per pair
+    from redshells_spark.dedup.semantic import semantic_dedup_pairs
+    from redshells_spark.similarity.ann import ivf_seed_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_seed_centroids(emb, 8)
+    plan = _plan(semantic_dedup_pairs(emb, cents, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan  # whole pipeline stays JVM-side
+
+
+def test_cross_doc_line_dedup_plan_partial_agg(spark, sf_dir):
+    # unit-hash counting must partial-aggregate map-side (HashAggregate
+    # pairs) and stay free of Python; join back is an equi-join
+    from redshells_spark.dedup.lines import block_units, cross_doc_unit_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cross_doc_unit_dedup(block_units(docs)))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_bpe_encode_plan_broadcast_joins(spark, sf_dir):
+    # both the segmented-word table and the vocab are broadcast: the
+    # corpus side never shuffles for the joins
+    from redshells_spark.text.bpe import (
+        bpe_encode,
+        bpe_vocab,
+        learn_bpe_merges,
+        word_freq_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, seg = learn_bpe_merges(word_freq_table(docs), 4)
+    plan = _plan(bpe_encode(docs, seg, bpe_vocab(seg)))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
