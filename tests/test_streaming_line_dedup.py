@@ -1,0 +1,74 @@
+"""Streaming line dedup e2e: replaying a doc_id-ordered log through
+micro-batches reproduces the batch cross_doc_unit_dedup output, and
+state survives across batches (boilerplate seen in batch 1 is dropped
+in batch 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redshells_spark.dedup.lines import cross_doc_unit_dedup, split_units
+from redshells_spark.streaming.line_dedup import LineDedupIngest, run_line_dedup_ingest
+
+SCHEMA = "doc_id long, text string"
+
+BATCHES = [
+    [(1, "header\nalpha body\nfooter"), (2, "header\nbeta body\nfooter")],
+    [(3, "gamma body\nheader")],
+    [(4, "footer\ndelta body\nalpha body")],
+]
+
+
+def _run_stream(spark, tmp_path, batches, **kwargs):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    ingest = LineDedupIngest(base_path=str(tmp_path / "state"), **kwargs)
+    q = run_line_dedup_ingest(stream, ingest, "line_dedup_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(str(tmp_path / "state" / "corpus")), ingest
+
+
+def test_streaming_matches_batch_keep_first(spark, tmp_path):
+    corpus, ingest = _run_stream(
+        spark, tmp_path, BATCHES, unit_sep="\n", joiner="\n"
+    )
+    got = {
+        r["doc_id"]: (r["n_units"], r["n_dropped"], r["text"])
+        for r in corpus.collect()
+    }
+    all_docs = spark.createDataFrame([r for b in BATCHES for r in b], SCHEMA)
+    want = {
+        r["doc_id"]: (r["n_units"], r["n_dropped"], r["text"])
+        for r in cross_doc_unit_dedup(
+            split_units(all_docs, sep="\n"), joiner="\n"
+        ).collect()
+    }
+    assert got == want
+    # cross-batch state: doc 3's header (first seen in batch 0) dropped
+    assert got[3] == (2, 1, "gamma body")
+    # doc 4 loses footer (batch 0) AND alpha body (batch 0)
+    assert got[4] == (3, 2, "delta body")
+    assert len(ingest.stats) == 3
+
+
+def test_streaming_token_block_mode(spark, tmp_path):
+    batches = [
+        [(1, "a b c d e f")],  # blocks (size 3): "a b c", "d e f"
+        [(2, "a b c x y z")],  # first block duplicated from doc 1
+    ]
+    corpus, _ = _run_stream(spark, tmp_path, batches, block_tokens=3)
+    got = {r["doc_id"]: (r["n_dropped"], r["text"]) for r in corpus.collect()}
+    assert got[1] == (0, "a b c d e f")
+    assert got[2] == (1, "x y z")
