@@ -33,6 +33,7 @@ _FRONT = [
     "semantic_dedup",  # r4: NEW — SemDeDup embedding near-dup removal
     "cross_doc_line_dedup",  # r4: NEW — CCNet paragraph dedup
     "bpe_encode",  # r4: NEW — corpus → token-id sequences via trained BPE
+    "corpus_report",  # r4: NEW — per-source data-card stats
 ]
 
 

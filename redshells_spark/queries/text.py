@@ -1320,3 +1320,48 @@ def _find_item_keyword(spark, sf_dir):
     return keyword_match_join(top_tokens, keywords, "doc_id", "tokens")
 
 
+
+
+@q(
+    "corpus_report",
+    """WITH base AS (
+         SELECT source,
+                len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+                n_chars,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+         FROM documents)
+       SELECT source,
+              count(*)::BIGINT AS n_docs,
+              sum(n_tok)::BIGINT AS n_tokens,
+              round(avg(n_tok), 4) AS avg_tokens,
+              round(avg(n_chars), 4) AS avg_chars,
+              (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dup_docs
+       FROM base GROUP BY source""",
+)
+def _corpus_report(spark, sf_dir):
+    """Per-source corpus data card: doc/token/char volumes plus the
+    exact-duplicate count from the normalized-text fingerprint — the
+    report a training-data pipeline publishes per crawl source. One
+    scan, map-combined aggregates, the dup count via count(distinct
+    fingerprint) per source (partial-aggregated 32-byte hashes, never
+    text)."""
+    from redshells_spark.text.analysis import fingerprint as add_fp
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = add_fp(docs).select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        "n_chars",
+        "fingerprint",
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        _r4(F.avg("n_tok"), "avg_tokens"),
+        _r4(F.avg("n_chars"), "avg_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint"))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+    )
