@@ -1,0 +1,151 @@
+"""DSIR-style importance resampling for pretraining-data selection.
+
+Implements the data-selection technique of Xie et al., "Data Selection
+for Language Models via Importance Resampling" (DSIR, NeurIPS 2023):
+documents are featurized as hashed bag-of-n-gram counts, token-bucket
+probabilities are estimated for a *target* distribution (the domain
+you want more of) and for the *raw* distribution (the crawl you are
+filtering), and each document is scored with its log importance
+weight ``sum_b n_b * (ln p_target[b] - ln p_raw[b])`` under add-alpha
+smoothing. Selection keeps the top-weighted documents.
+
+Beyond-reference operator (m3dev/redshells has no data-selection
+tier); included because corpus selection against a target domain is a
+core training-data-pipeline need at 100 TB.
+
+Scale design: tokenize -> portable md5 bucket -> one groupBy on
+(doc, bucket, is_target) is the only corpus-sized shuffle; both
+distribution tables are ``num_buckets`` rows (64..1M — always tiny
+next to the corpus) and are broadcast back onto the per-doc counts,
+so scoring is scan + one shuffle + broadcast joins. The bucket hash
+is the portable 60-bit md5 fold (dedup/simhash.py), so the whole
+pipeline is DuckDB-oracle-checkable; swap in xxhash64 for pure speed
+when cross-engine verification isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from redshells_spark.dedup.simhash import portable_token_hash
+
+
+def _ngrams(tokens: Column, n: int) -> Column:
+    """Adjacent-token n-grams from a token array ('_'-joined). Unary
+    index lambda over sequence — NEVER a 2-arg element lambda (Spark
+    treats that as (element, index))."""
+    if n == 1:
+        return tokens
+
+    def join_at(i: Column) -> Column:
+        return F.concat_ws(
+            "_", *[F.element_at(tokens, i + 1 + off) for off in range(n)]
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - F.lit(n)), join_at
+    )
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_buckets: int = 64,
+    ngram: int = 1,
+    lowercase: bool = True,
+    extra_columns: tuple[str, ...] = (),
+) -> DataFrame:
+    """→ (id, *extra_columns, bucket, n): hashed bag-of-n-gram counts
+    (DSIR §2 features). One explode + one groupBy; ``extra_columns``
+    must be functionally determined by the id (they ride the groupBy
+    key without changing granularity — used for the target flag)."""
+    text = F.lower(F.col(text_column)) if lowercase else F.col(text_column)
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    grams = _ngrams(toks, ngram)
+    exploded = df.select(
+        id_column, *extra_columns, F.explode(grams).alias("gram")
+    )
+    bucket = (portable_token_hash(F.col("gram")) % num_buckets).alias("bucket")
+    return (
+        exploded.select(id_column, *extra_columns, bucket)
+        .groupBy(id_column, *extra_columns, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_buckets: int = 64,
+    alpha: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """→ (id, log_weight): per-document DSIR log importance weight of
+    the raw corpus against the subset selected by the ``target``
+    boolean column expression.
+
+    The target/raw bucket distributions both derive from one pass over
+    the per-doc bucket counts; totals and per-bucket stats are
+    broadcast (num_buckets rows), so the weight join never shuffles
+    the corpus a second time. Float contract: p = (c + alpha) /
+    (N + alpha * num_buckets) with double literals, term = n *
+    (ln p_t - ln p_r), summed per doc — mirror this expression tree
+    token-for-token in any oracle.
+    """
+    feats = hashed_ngram_buckets(
+        df.withColumn("__is_t", target),
+        text_column=text_column,
+        id_column=id_column,
+        num_buckets=num_buckets,
+        ngram=ngram,
+        extra_columns=("__is_t",),
+    )
+    raw = feats.groupBy("bucket").agg(F.sum("n").alias("c_raw"))
+    tgt = (
+        feats.filter(F.col("__is_t"))
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("c_tgt"))
+    )
+    stats = raw.join(tgt, "bucket", "left").select(
+        "bucket", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    totals = stats.agg(
+        F.sum("c_raw").alias("nr"), F.sum("c_tgt").alias("nt")
+    )
+    smooth = float(alpha) * num_buckets
+    a = F.lit(float(alpha))
+    p_t = (F.col("c_tgt") + a) / (F.col("nt") + F.lit(smooth))
+    p_r = (F.col("c_raw") + a) / (F.col("nr") + F.lit(smooth))
+    term = (F.col("n") * (F.log(p_t) - F.log(p_r))).alias("t")
+    return (
+        feats.join(F.broadcast(stats), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(id_column, term)
+        .groupBy(id_column)
+        .agg(F.sum("t").alias("log_weight"))
+    )
+
+
+def dsir_select_top(
+    weights: DataFrame,
+    k: int,
+    id_column: str = "doc_id",
+    weight_column: str = "log_weight",
+) -> DataFrame:
+    """→ weights + (keep boolean): deterministic top-k selection by
+    (weight desc, id asc) — the determinized stand-in for the paper's
+    Gumbel-top-k resample (exact sampling needs engine RNG). The
+    global row_number is fine up to ~1e8 docs on the weights relation
+    (2 narrow columns); at full 100 TB corpus scale select by a
+    quantile threshold from approxQuantile instead of a total order.
+    """
+    w = Window.orderBy(F.col(weight_column).desc(), F.col(id_column).asc())
+    return weights.select(
+        id_column,
+        weight_column,
+        (F.row_number().over(w) <= k).alias("keep"),
+    )

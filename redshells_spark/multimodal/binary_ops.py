@@ -163,6 +163,24 @@ def _fake_decode(payload: bytes, height: int, width: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
 
+def _portable_decode(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Portable fake decoder: the pixel stream is the concatenation of
+    md5(payload + b'|px|' + block_index) digests. Unlike the
+    sha256-seeded PCG above, every byte is reproducible in ANSI SQL
+    (md5 + hex-digit parsing), so the decode→featurize mapInPandas
+    pipeline can be verified against a DuckDB oracle end-to-end."""
+    n = height * width
+    out = bytearray()
+    j = 0
+    while len(out) < n:
+        out.extend(hashlib.md5(payload + b"|px|" + str(j).encode()).digest())
+        j += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8).reshape(height, width)
+
+
+_PIXEL_SOURCES = {"prng": _fake_decode, "md5chain": _portable_decode}
+
+
 def decode_images(
     df: DataFrame,
     binary_column: str = "payload",
@@ -170,11 +188,16 @@ def decode_images(
     height: int = 32,
     width: int = 32,
     fake: bool = True,
+    pixel_source: str = "prng",
 ) -> DataFrame:
     """→ (id, pixels: array<int>, height, width). Arrow-batched
-    decode; one pandas batch in, one out."""
+    decode; one pandas batch in, one out. ``pixel_source`` picks the
+    stub generator: "prng" (sha256-seeded PCG) or "md5chain" (SQL-
+    reproducible md5 byte stream — use when an oracle must recompute
+    the pixels)."""
     if not fake:
         _require_codec("decode_images")
+    gen = _PIXEL_SOURCES[pixel_source]
 
     out_schema = f"{id_column} long, pixels array<int>, height int, width int"
 
@@ -183,7 +206,7 @@ def decode_images(
             if pdf.empty:
                 continue
             pixels = [
-                _fake_decode(bytes(p), height, width).ravel().tolist()
+                gen(bytes(p), height, width).ravel().tolist()
                 for p in pdf[binary_column]
             ]
             yield pd.DataFrame(

@@ -34,6 +34,9 @@ _FRONT = [
     "cross_doc_line_dedup",  # r4: NEW — CCNet paragraph dedup
     "bpe_encode",  # r4: NEW — corpus → token-id sequences via trained BPE
     "corpus_report",  # r4: NEW — per-source data-card stats
+    "dsir_importance_weights",  # r4: NEW — DSIR target-domain selection
+    "video_frame_sample",  # r4: NEW — mapInPandas frame slicing, byte-exact
+    "image_decode_features",  # r4: NEW — decode→featurize stub pipeline
 ]
 
 

@@ -6,6 +6,7 @@ __init__ import order and pinned by tests/test_ann_recall.py.
 """
 
 from redshells_spark.queries._shared import *  # noqa: F401,F403
+from redshells_spark.queries.text import _duck_h60  # noqa: F401,E402
 
 # ------------------------------------------------ trend / forecast
 
@@ -1714,3 +1715,56 @@ def _best_f1_threshold(spark, sf_dir):
     return f.orderBy(F.col("f1_e6").desc(), F.col("threshold").asc()).limit(1)
 
 
+
+
+# ------------------------------------------------ DSIR data selection
+
+_DSIR_B = 64  # hashed-feature buckets; smoothing mass = alpha * B = 32
+
+
+@q(
+    "dsir_importance_weights",
+    f"""WITH tok AS (
+         SELECT doc_id, lang = 'en' AS is_t,
+                unnest(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS gram
+         FROM documents),
+       db AS (
+         SELECT doc_id, is_t, {_duck_h60("gram")} % {_DSIR_B} AS bucket,
+                count(*) AS n
+         FROM tok GROUP BY 1, 2, 3),
+       raw AS (SELECT bucket, sum(n) AS c_raw FROM db GROUP BY 1),
+       tgt AS (SELECT bucket, sum(n) AS c_tgt FROM db WHERE is_t GROUP BY 1),
+       stats AS (SELECT raw.bucket, c_raw, coalesce(c_tgt, 0) AS c_tgt
+                 FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+       tot AS (SELECT sum(c_raw) AS nr, sum(c_tgt) AS nt FROM stats),
+       term AS (
+         SELECT db.doc_id,
+                db.n * (ln((s.c_tgt + CAST(0.5 AS DOUBLE))
+                           / (tot.nt + CAST(32 AS DOUBLE)))
+                      - ln((s.c_raw + CAST(0.5 AS DOUBLE))
+                           / (tot.nr + CAST(32 AS DOUBLE)))) AS t
+         FROM db JOIN stats s ON db.bucket = s.bucket, tot),
+       w AS (SELECT doc_id, round(sum(t), 4) AS log_weight
+             FROM term GROUP BY doc_id)
+       SELECT doc_id, log_weight,
+              row_number() OVER (ORDER BY log_weight DESC, doc_id ASC)
+                <= 100 AS keep
+       FROM w""",
+)
+def _dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (data/dsir.py, Xie et al. 2023): hashed
+    bag-of-words importance weights of every document against the
+    lang='en' target slice, plus the deterministic top-100 resample
+    flag. One corpus shuffle (doc×bucket counts); the 64-row
+    distribution tables broadcast back; ln ratios agree cross-engine
+    under the round-4 export (same family as ngram_lm_perplexity's
+    log2). Ranking runs on the ROUNDED weight with a doc_id tie-break
+    so the keep set is engine-independent."""
+    from redshells_spark.data.dsir import dsir_log_weights, dsir_select_top
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        docs, F.col("lang") == "en", num_buckets=_DSIR_B, alpha=0.5
+    ).select("doc_id", _r4(F.col("log_weight"), "log_weight"))
+    return dsir_select_top(w, 100)

@@ -1365,3 +1365,107 @@ def _corpus_report(spark, sf_dir):
         .cast("long")
         .alias("n_exact_dup_docs"),
     )
+
+
+@q(
+    "video_frame_sample",
+    """WITH p AS (
+         SELECT doc_id, hex(encode(text)) AS h,
+                greatest(1, octet_length(encode(text)) // 4) AS step
+         FROM documents),
+       f AS (SELECT doc_id, h, step, k FROM p, range(4) t(k)),
+       s AS (SELECT doc_id, k,
+                    substr(h, k * step * 2 + 1, step * 2) AS fh
+             FROM f)
+       SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+              CASE WHEN fh = '' THEN '00' ELSE fh END AS frame_hex,
+              CAST(length(CASE WHEN fh = '' THEN '00' ELSE fh END) // 2
+                   AS BIGINT) AS frame_bytes
+       FROM s""",
+)
+def _video_frame_sample(spark, sf_dir):
+    """Video-ish frame sampling through the REAL mapInPandas operator
+    (multimodal/binary_ops.py sample_video_frames): the opaque payload
+    (here: encoded text — the env ships no codecs) is sliced into
+    num_frames byte ranges worker-side; bytes never touch the driver
+    and rows fan out by num_frames — the exact shape a real
+    ffmpeg-backed sampler uses. The oracle recomputes every slice on
+    the hex image of the payload (byte slicing == hex slicing at 2×
+    offsets), so a MATCH proves the batch plumbing byte-for-byte,
+    including the short-payload '\\x00' fallback."""
+    from redshells_spark.multimodal.binary_ops import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = sample_video_frames(docs, "payload", id_column="doc_id", num_frames=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.hex("frame_payload").alias("frame_hex"),
+        F.length("frame_payload").cast("long").alias("frame_bytes"),
+    )
+
+
+def _image_feature_sql() -> str:
+    """Oracle for image_decode_features: re-derives the md5-chain pixel
+    stream (16 px per md5 block) and the 16 mean-pooled block features
+    (4 px each) in pure SQL — hex digits parsed with the instr fold,
+    the mean as the identical IEEE expression (sum/4)/255."""
+
+    def hv(e: str) -> str:
+        return f"(instr('0123456789abcdef', {e}) - 1)"
+
+    branches = []
+    for f_idx in range(16):
+        j = f_idx // 4
+        off = (f_idx % 4) * 8
+        terms = []
+        for m in range(4):
+            c1 = f"substr(m{j}, {off + 2 * m + 1}, 1)"
+            c2 = f"substr(m{j}, {off + 2 * m + 2}, 1)"
+            terms.append(f"(16 * {hv(c1)} + {hv(c2)})")
+        branches.append(
+            f"SELECT doc_id, {f_idx} AS f, {' + '.join(terms)} AS s FROM px"
+        )
+    union = "\n         UNION ALL ".join(branches)
+    return f"""WITH px AS (
+         SELECT doc_id,
+                md5(text || '|px|0') AS m0, md5(text || '|px|1') AS m1,
+                md5(text || '|px|2') AS m2, md5(text || '|px|3') AS m3
+         FROM documents),
+       feats AS ({union})
+       SELECT doc_id, CAST(f AS BIGINT) AS feature_idx,
+              (CAST(s AS DOUBLE) / 4) / 255 AS value
+       FROM feats"""
+
+
+@q("image_decode_features", _image_feature_sql())
+def _image_decode_features(spark, sf_dir):
+    """Decode→featurize through the REAL multimodal pipeline
+    (multimodal/binary_ops.py decode_images + extract_image_features):
+    two Arrow-batched mapInPandas stages with exactly the schema,
+    batching, and partition behavior a PIL/CLIP UDF would use — the
+    decoder is the md5-chain stub (pixel_source="md5chain") because
+    the env has no codecs, which makes every pixel SQL-reproducible.
+    8×8 image, 16 mean-pooled block features; the division tree
+    (sum/4)/255 is a fixed IEEE expression, identical in both engines,
+    so values are exported at full precision with no rounding."""
+    from redshells_spark.multimodal.binary_ops import (
+        decode_images,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    decoded = decode_images(
+        docs, "payload", id_column="doc_id", height=8, width=8,
+        pixel_source="md5chain",
+    )
+    feats = extract_image_features(decoded, id_column="doc_id", feature_dim=16)
+    return feats.select("doc_id", F.posexplode("embedding")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("feature_idx"),
+        F.col("col").alias("value"),
+    )
