@@ -37,6 +37,8 @@ _FRONT = [
     "dsir_importance_weights",  # r4: NEW — DSIR target-domain selection
     "video_frame_sample",  # r4: NEW — mapInPandas frame slicing, byte-exact
     "image_decode_features",  # r4: NEW — decode→featurize stub pipeline
+    "gopher_quality_rules",  # r4: NEW — Gopher Table-A1 filter battery
+    "int8_quantize_embeddings",  # r4: NEW — scalar int8 codes + error report
 ]
 
 

@@ -383,3 +383,44 @@ def _embedding_near_dup(spark, sf_dir):
     return out.select("id0", "id1", _r4(F.col("similarity"), "similarity"))
 
 
+
+
+@q(
+    "int8_quantize_embeddings",
+    """WITH x AS (
+         SELECT vec_id,
+                generate_subscripts(embedding, 1) - 1 AS dim,
+                unnest(embedding::DOUBLE[]) AS x
+         FROM embeddings),
+       am AS (SELECT dim, max(abs(x)) AS absmax FROM x GROUP BY dim),
+       c AS (
+         SELECT x.vec_id, x.x, am.absmax,
+                CASE WHEN am.absmax > 0
+                     THEN CAST(greatest(least(
+                              floor(x.x * 127 / am.absmax + CAST(0.5 AS DOUBLE)),
+                              127), -127) AS BIGINT)
+                     ELSE 0 END AS code
+         FROM x JOIN am ON x.dim = am.dim),
+       e AS (
+         SELECT vec_id, code,
+                x - (CASE WHEN absmax > 0
+                          THEN (code * absmax) / 127 ELSE CAST(0 AS DOUBLE) END) AS d
+         FROM c)
+       SELECT vec_id,
+              sum(code) AS code_sum,
+              sum(abs(code)) AS code_l1,
+              CAST(floor(sum(d * d) * CAST(100000000 AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS err_e8
+       FROM e GROUP BY vec_id""",
+)
+def _int8_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus (similarity/quantize.py): the dim-row absmax table is one
+    tiny aggregate broadcast back, codes are
+    floor(x*127/absmax + 0.5) in pure codegen, and the report exports
+    exact integer code checksums (pinning every code bit-for-bit)
+    plus the reconstruction error in 1e-8 fixed point. The 4×-smaller
+    int8 corpus is what ships to an ANN index or serving fleet."""
+    from redshells_spark.similarity.quantize import int8_reconstruction_report
+
+    return int8_reconstruction_report(_t(spark, sf_dir, "embeddings"))

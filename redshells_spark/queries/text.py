@@ -1469,3 +1469,72 @@ def _image_decode_features(spark, sf_dir):
         F.col("pos").cast("long").alias("feature_idx"),
         F.col("col").alias("value"),
     )
+
+
+@q(
+    "gopher_quality_rules",
+    """WITH t AS (
+         SELECT doc_id, text,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+                string_split(text, chr(10)) AS lines
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+                len(toks) AS n_tokens,
+                greatest(len(toks), 1) AS ntd,
+                length(array_to_string(toks, '')) AS wl_sum,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                len(list_intersect(list_distinct(toks),
+                    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                  AS n_stop,
+                greatest(len(lines), 1) AS nld,
+                len(list_filter(lines, l -> starts_with(l, '- ')
+                    OR starts_with(l, '* ') OR starts_with(l, '•'))) AS n_bul,
+                len(list_filter(lines, l -> ends_with(l, '...')
+                    OR ends_with(l, '…'))) AS n_ele
+         FROM t),
+       s AS (
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                wl_sum / CAST(ntd AS DOUBLE) AS mean_word_len,
+                (n_hash + n_ell) / CAST(ntd AS DOUBLE) AS symbol_word_ratio,
+                n_alpha / CAST(ntd AS DOUBLE) AS frac_alpha_words,
+                CAST(n_stop AS BIGINT) AS n_gopher_stopwords,
+                n_bul / CAST(nld AS DOUBLE) AS frac_bullet_lines,
+                n_ele / CAST(nld AS DOUBLE) AS frac_ellipsis_lines
+         FROM m)
+       SELECT *,
+              n_tokens >= 50 AND n_tokens <= 100000
+              AND mean_word_len >= 3 AND mean_word_len <= 10
+              AND symbol_word_ratio <= CAST(0.1 AS DOUBLE)
+              AND frac_alpha_words >= CAST(0.8 AS DOUBLE)
+              AND n_gopher_stopwords >= 2
+              AND frac_bullet_lines <= CAST(0.9 AS DOUBLE)
+              AND frac_ellipsis_lines <= CAST(0.3 AS DOUBLE) AS keep
+       FROM s""",
+)
+def _gopher_quality_rules(spark, sf_dir):
+    """Gopher quality-rule battery (text/analysis.py
+    gopher_quality_rules; Rae et al. 2021 Table A1): word-count and
+    mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    fraction, required stopwords, bullet/ellipsis line fractions, and
+    the conjunction keep flag. All signals are fixed expressions over
+    integer counts (single identical-operand IEEE divisions), so the
+    whole battery — including keep — is exported at full precision
+    with no rounding. Pure codegen: runs at parquet-scan speed."""
+    from redshells_spark.text.analysis import gopher_quality_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_rules(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len",
+        "symbol_word_ratio",
+        "frac_alpha_words",
+        "n_gopher_stopwords",
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        "keep",
+    )

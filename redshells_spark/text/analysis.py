@@ -215,3 +215,71 @@ def repetition_signals(
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         "repeated_token_frac",
     )
+
+
+# Gopher rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """→ + per-rule signals and a ``keep`` flag: the Gopher quality
+    heuristics (Rae et al. 2021, Table A1) as one codegen stage —
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (# and ...), alphabetic-word fraction, required-stopword count,
+    bullet-start and ellipsis-end line fractions.
+
+    Every signal is a fixed expression over integer counts (ratios are
+    single IEEE divisions of identical operands), so the battery —
+    including the boolean ``keep`` conjunction — is cross-engine exact
+    with no rounding. All-codegen, scan-speed at 100 TB like the rest
+    of this module.
+    """
+    require_columns(df, [text_column])
+    text = F.col(text_column)
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+    n_tok_d = F.greatest(n_tokens, F.lit(1)).cast("double")
+    wl_sum = F.length(F.concat_ws("", toks))
+    mean_wl = wl_sum / n_tok_d
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / n_tok_d
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    frac_alpha = n_alpha / n_tok_d
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*map(F.lit, GOPHER_STOPWORDS)))
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    is_bullet = lambda l: (  # noqa: E731 — tiny predicate
+        l.startswith("- ") | l.startswith("* ") | l.startswith("•")
+    )
+    frac_bullet = F.size(F.filter(lines, is_bullet)) / n_lines
+    frac_ell_end = (
+        F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…")))
+        / n_lines
+    )
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("frac_alpha_words", frac_alpha)
+        .withColumn("n_gopher_stopwords", n_stop.cast("long"))
+        .withColumn("frac_bullet_lines", frac_bullet)
+        .withColumn("frac_ellipsis_lines", frac_ell_end)
+    )
+    keep = (
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_gopher_stopwords") >= 2)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+    )
+    return out.withColumn("keep", keep)
