@@ -78,6 +78,11 @@ HEADLINE = [
     # round-4 tier: embedding + line dedup
     "semantic_dedup",
     "cross_doc_line_dedup",
+    # round-4 session-2 tier: data selection, filtering, quantization
+    "dsir_importance_weights",
+    "gopher_quality_rules",
+    "int8_quantize_embeddings",
+    "image_decode_features",
 ]
 
 
