@@ -39,6 +39,7 @@ _FRONT = [
     "image_decode_features",  # r4: NEW — decode→featurize stub pipeline
     "gopher_quality_rules",  # r4: NEW — Gopher Table-A1 filter battery
     "int8_quantize_embeddings",  # r4: NEW — scalar int8 codes + error report
+    "bm25_topk",  # r4: NEW — Okapi BM25 ranked retrieval
 ]
 
 

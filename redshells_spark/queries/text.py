@@ -1538,3 +1538,44 @@ def _gopher_quality_rules(spark, sf_dir):
         "frac_ellipsis_lines",
         "keep",
     )
+
+
+@q(
+    "bm25_topk",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS term
+         FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM dl),
+       p AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN ('spark', 'join', 'window', 'stream', 'hash')
+             GROUP BY 1, 2),
+       dft AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+       s AS (
+         SELECT p.doc_id,
+                ln(CAST(1.0 AS DOUBLE)
+                   + (st.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                     / (dft.df + CAST(0.5 AS DOUBLE)))
+                  * p.tf
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * dl.dl
+                          / (st.dl_sum / st.n_docs))) AS t
+         FROM p JOIN dl USING (doc_id) JOIN dft USING (term), st)
+       SELECT doc_id, round(sum(t), 4) AS score
+       FROM s GROUP BY doc_id
+       ORDER BY score DESC, doc_id ASC LIMIT 20""",
+)
+def _bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (text/bm25.py) for the shared
+    KEYWORDS query: one corpus scan (postings filter pushed into the
+    token explode), broadcast df/avgdl stats, one groupBy(doc), and a
+    TakeOrderedAndProject top-k on the rounded score with a doc_id
+    tie-break. The ln-based idf agrees cross-engine under the round-4
+    export like ngram_lm_perplexity's log2."""
+    from redshells_spark.text.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, KEYWORDS, k=20)

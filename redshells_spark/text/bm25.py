@@ -1,0 +1,138 @@
+"""BM25 ranked retrieval over a document corpus.
+
+Okapi BM25 (Robertson & Zaragoza 2009) as pure relational dataflow —
+the classical lexical-retrieval companion to the dense ANN tier
+(similarity/ann.py) and the TF-IDF tier (text/tfidf.py):
+
+    idf_t  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    s(d,q) = sum_t idf_t * tf_td / (tf_td + k1*(1 - b + b*dl_d/avgdl))
+
+Scale design: the query-term filter is an ``isin`` literal pushed into
+the token explode (the scan only keeps matching postings), document
+frequencies and the (N, avgdl) pair are tiny aggregates joined back by
+broadcast, and scoring is one groupBy(doc). For a query *table* (batch
+retrieval), the same shape with a broadcast equi-join on term. Doc
+lengths come from the full corpus in the same single scan via a
+conditional count, so the whole pipeline is scan → one shuffle →
+top-k. Float contract: fixed-expression doubles + ln, so scores match
+a SQL oracle under a round-4 export (same family as
+ngram_lm_perplexity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redshells_spark.schema import require_columns
+
+
+def _tokens(text_column: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_column)), " "), lambda t: t != ""
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """→ top-k (id, score) for one query, score rounded for a stable,
+    engine-independent ranking (tie-break on id). ``query_terms`` are
+    matched as lowercase whole tokens."""
+    require_columns(docs, [id_column, text_column])
+    toks = _tokens(text_column)
+    # single corpus scan: doc length + per-doc tf of the query terms
+    base = docs.select(
+        id_column, F.explode(toks).alias("term")
+    )
+    dl = base.groupBy(id_column).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    postings = (
+        base.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_column, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    half = F.lit(0.5)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + half) / (F.col("df") + half)
+    )
+    avgdl = F.col("dl_sum") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl") / avgdl
+    )
+    scored = (
+        postings.join(dl, id_column)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_column, (idf * F.col("tf") / denom).alias("t"))
+        .groupBy(id_column)
+        .agg(F.round(F.sum("t"), score_decimals).alias("score"))
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_column).asc()
+    ).limit(k)
+
+
+def bm25_batch_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    query_id_column: str = "query_id",
+    term_column: str = "term",
+) -> DataFrame:
+    """→ (query_id, id, score): batch retrieval for a query table of
+    (query_id, term) rows — the multi-query variant, broadcast-joined
+    on term so the postings relation shuffles once regardless of how
+    many queries ride along."""
+    require_columns(queries, [query_id_column, term_column])
+    toks = _tokens(text_column)
+    base = docs.select(id_column, F.explode(toks).alias("term"))
+    dl = base.groupBy(id_column).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    wanted = queries.select(
+        F.col(query_id_column).alias("qid"),
+        F.lower(F.col(term_column)).alias("term"),
+    ).distinct()
+    postings = (
+        base.join(F.broadcast(wanted.select("term").distinct()), "term")
+        .groupBy(id_column, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    half = F.lit(0.5)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + half) / (F.col("df") + half)
+    )
+    avgdl = F.col("dl_sum") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl") / avgdl
+    )
+    return (
+        postings.join(F.broadcast(wanted), "term")
+        .join(dl, id_column)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", id_column, (idf * F.col("tf") / denom).alias("t"))
+        .groupBy("qid", id_column)
+        .agg(F.sum("t").alias("score"))
+        .withColumnRenamed("qid", query_id_column)
+    )

@@ -1,0 +1,80 @@
+"""BM25 (text/bm25.py) against a hand-computed reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshells_spark.text.bm25 import bm25_batch_scores, bm25_topk
+
+DOCS = [
+    (0, "spark join spark window"),
+    (1, "join the table"),
+    (2, "window window window window window join"),
+    (3, "no matching terms here at all"),
+]
+
+
+def _ref_scores(terms, k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in terms:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf / (tf + k1 * (1.0 - b + b * len(t) / avgdl))
+        if s:
+            out[d] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_topk_matches_reference(spark, corpus):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(corpus, ("spark", "join", "window"), k=10).collect()
+    }
+    want = {d: round(s, 4) for d, s in _ref_scores(("spark", "join", "window")).items()}
+    assert got == want
+    assert 3 not in got  # docs with no query term don't appear
+
+
+def test_bm25_topk_limit_and_tiebreak(spark, corpus):
+    rows = bm25_topk(corpus, ("join",), k=2).collect()
+    assert len(rows) == 2
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_batch_matches_single(spark, corpus):
+    queries = spark.createDataFrame(
+        [("q0", "spark"), ("q0", "join"), ("q0", "window"), ("q1", "join")],
+        "query_id string, term string",
+    )
+    batch = bm25_batch_scores(corpus, queries)
+    got_q0 = {
+        r["doc_id"]: round(r["score"], 4)
+        for r in batch.filter(F.col("query_id") == "q0").collect()
+    }
+    single = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(corpus, ("spark", "join", "window"), k=10).collect()
+    }
+    assert got_q0 == single
+    got_q1 = {
+        r["doc_id"]: round(r["score"], 4)
+        for r in batch.filter(F.col("query_id") == "q1").collect()
+    }
+    assert got_q1 == {d: round(s, 4) for d, s in _ref_scores(("join",)).items()}
