@@ -40,6 +40,7 @@ _FRONT = [
     "gopher_quality_rules",  # r4: NEW — Gopher Table-A1 filter battery
     "int8_quantize_embeddings",  # r4: NEW — scalar int8 codes + error report
     "bm25_topk",  # r4: NEW — Okapi BM25 ranked retrieval
+    "hard_negative_mining",  # r4: NEW — contrastive hard negatives
 ]
 
 

@@ -424,3 +424,29 @@ def _int8_quantize_embeddings(spark, sf_dir):
     from redshells_spark.similarity.quantize import int8_reconstruction_report
 
     return int8_reconstruction_report(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "hard_negative_mining",
+    f"""WITH p AS (
+         SELECT a.vec_id AS id, b.vec_id AS neg_id,
+                a.label AS label, b.label AS neg_label,
+                round({_COS_SQL}, 4) AS similarity
+         FROM embeddings a JOIN embeddings b ON a.label <> b.label)
+       SELECT id, neg_id, label, neg_label, similarity
+       FROM p
+       QUALIFY row_number() OVER (PARTITION BY id
+                                  ORDER BY similarity DESC, neg_id ASC) <= 2""",
+)
+def _hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard negatives (similarity/negatives.py):
+    top-2 most-similar different-label vectors per anchor. The exact
+    all-pairs path here is row-cap guarded (refuses >100k rows); at
+    corpus scale candidates come from the bucketed LSH path
+    (hard_negatives_ann) instead. Rank on the ROUNDED cosine with a
+    neg_id tie-break keeps the selection engine-independent."""
+    from redshells_spark.similarity.negatives import hard_negatives_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives_exact(emb, k=2)
+    return out.select("id", "neg_id", "label", "neg_label", "similarity")
