@@ -75,27 +75,19 @@ def hashed_ngram_buckets(
     )
 
 
-def dsir_log_weights(
+def dsir_bucket_stats(
     df: DataFrame,
     target: Column,
     text_column: str = "text",
     id_column: str = "doc_id",
     num_buckets: int = 64,
-    alpha: float = 0.5,
     ngram: int = 1,
 ) -> DataFrame:
-    """→ (id, log_weight): per-document DSIR log importance weight of
-    the raw corpus against the subset selected by the ``target``
-    boolean column expression.
-
-    The target/raw bucket distributions both derive from one pass over
-    the per-doc bucket counts; totals and per-bucket stats are
-    broadcast (num_buckets rows), so the weight join never shuffles
-    the corpus a second time. Float contract: p = (c + alpha) /
-    (N + alpha * num_buckets) with double literals, term = n *
-    (ln p_t - ln p_r), summed per doc — mirror this expression tree
-    token-for-token in any oracle.
-    """
+    """→ (bucket, c_raw, c_tgt): the raw and target bucket
+    distributions from one pass over the per-doc counts. Persist this
+    tiny (num_buckets-row) table to freeze a reference distribution —
+    the streaming scorer (streaming/dsir.py) reads it back per
+    micro-batch."""
     feats = hashed_ngram_buckets(
         df.withColumn("__is_t", target),
         text_column=text_column,
@@ -110,8 +102,35 @@ def dsir_log_weights(
         .groupBy("bucket")
         .agg(F.sum("n").alias("c_tgt"))
     )
-    stats = raw.join(tgt, "bucket", "left").select(
+    return raw.join(tgt, "bucket", "left").select(
         "bucket", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+
+
+def dsir_score_with_stats(
+    df: DataFrame,
+    stats: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_buckets: int = 64,
+    alpha: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """→ (id, log_weight): score documents against a precomputed
+    (bucket, c_raw, c_tgt) distribution table — the frozen-reference
+    path batch and streaming share. Stats and totals broadcast
+    (num_buckets rows), so scoring is one corpus shuffle. Float
+    contract: p = (c + alpha) / (N + alpha * num_buckets) with double
+    literals, term = n * (ln p_t - ln p_r), summed per doc — mirror
+    this expression tree token-for-token in any oracle. Buckets absent
+    from ``stats`` contribute nothing (unseen-in-reference grams carry
+    no evidence either way)."""
+    feats = hashed_ngram_buckets(
+        df,
+        text_column=text_column,
+        id_column=id_column,
+        num_buckets=num_buckets,
+        ngram=ngram,
     )
     totals = stats.agg(
         F.sum("c_raw").alias("nr"), F.sum("c_tgt").alias("nt")
@@ -127,6 +146,38 @@ def dsir_log_weights(
         .select(id_column, term)
         .groupBy(id_column)
         .agg(F.sum("t").alias("log_weight"))
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_buckets: int = 64,
+    alpha: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """→ (id, log_weight): per-document DSIR log importance weight of
+    the raw corpus against the subset selected by the ``target``
+    boolean column expression (self-referenced stats — the one-corpus
+    batch path)."""
+    stats = dsir_bucket_stats(
+        df,
+        target,
+        text_column=text_column,
+        id_column=id_column,
+        num_buckets=num_buckets,
+        ngram=ngram,
+    )
+    return dsir_score_with_stats(
+        df,
+        stats,
+        text_column=text_column,
+        id_column=id_column,
+        num_buckets=num_buckets,
+        alpha=alpha,
+        ngram=ngram,
     )
 
 
