@@ -37,3 +37,57 @@ def exact_dedup(
         .filter(F.col(id_column) == F.col("__keep"))
         .drop("__keep", "fingerprint")
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    group_column: str = "source",
+    text_column: str = "text",
+) -> DataFrame:
+    """→ (source_a, source_b, n_shared, n_a, n_b, jaccard): exact-
+    duplicate leakage between corpus sources — the data-card matrix
+    that shows which crawls copy from each other (and which eval-ish
+    source leaks into train sources), computed on normalized-text
+    fingerprints.
+
+    Scale design: the corpus reduces to DISTINCT (group, fingerprint)
+    rows first (32-byte hashes, never text), so the self-join on
+    fingerprint fans out at most #groups per hash — bounded by the
+    handful of sources, not corpus size; group sizes are a tiny
+    broadcast table. The full #groups² pair matrix is emitted (zero
+    rows included) so "no leakage" is an asserted result, not an
+    absent row.
+    """
+    require_columns(df, [group_column, text_column])
+    fps = (
+        fingerprint(df, text_column)
+        .select(F.col(group_column).alias("g"), "fingerprint")
+        .distinct()
+    )
+    sizes = fps.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a = fps.select(F.col("g").alias("source_a"), "fingerprint")
+    b = fps.select(F.col("g").alias("source_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("n").alias("n_b"))
+    pairs = sa.crossJoin(sb).filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

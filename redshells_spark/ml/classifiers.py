@@ -21,6 +21,7 @@ from collections.abc import Callable, Sequence
 from typing import Any
 
 from pyspark.ml import Pipeline, PipelineModel
+from redshells_spark.ml.mllib_compat import strip_training_summary
 from pyspark.ml.classification import (
     GBTClassifier,
     LogisticRegression,
@@ -102,8 +103,6 @@ def train_classifier(
 ) -> PipelineModel:
     """Fit registry model on (features, target) — reference
     ``TrainClassificationModel`` (``train/train_clasification_model.py:12-47``)."""
-    from redshells_spark.ml.mllib_compat import strip_training_summary
-
     model = build_prediction_model(model_name, **(model_params or {}))
     # summary stripped: keeps the SparkSession out of the model graph
     # (observe()-poisoned closure serialization — see mllib_compat.py)
@@ -180,7 +179,10 @@ def optimize_classifier(
         parallelism=4,
     )
     fitted = tvs.fit(train_data)
-    return fitted.bestModel, float(max(fitted.validationMetrics))
+    return (
+        strip_training_summary(fitted.bestModel),
+        float(max(fitted.validationMetrics)),
+    )
 
 
 def optimize_classifier_tpe(
@@ -223,9 +225,13 @@ def optimize_classifier_tpe(
         tr, te = data.randomSplit(
             [1.0 - test_size, test_size], seed=seed * 1_000_003 + trial_no["n"]
         )
-        fitted = _pipeline(
-            build_prediction_model(model_name, **params), feature_columns, target_column
-        ).fit(tr)
+        fitted = strip_training_summary(
+            _pipeline(
+                build_prediction_model(model_name, **params),
+                feature_columns,
+                target_column,
+            ).fit(tr)
+        )
         return 1.0 - float(evaluator.evaluate(fitted.transform(te)))
 
     study = Study(seed=seed)

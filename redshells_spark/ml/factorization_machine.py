@@ -21,6 +21,8 @@ from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from redshells_spark.ml.mllib_compat import strip_training_summary
+
 
 def build_fm_feature_pipeline(
     int_columns: Sequence[str], cat_columns: Sequence[str]
@@ -58,7 +60,10 @@ def train_factorization_machine(
         seed=seed,
     )
     stages = build_fm_feature_pipeline(int_columns, cat_columns) + [fm]
-    return Pipeline(stages=stages).fit(train_data)
+    # Spark 4.1 landmine (see ml/mllib_compat.py): the FM summary holds
+    # the session -> ObservationManager, which breaks closure
+    # serialization after ANY df.observe() ran in the session
+    return strip_training_summary(Pipeline(stages=stages).fit(train_data))
 
 
 def evaluate_auc(predictions: DataFrame, label_column: str = "label") -> float:

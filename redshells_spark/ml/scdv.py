@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from redshells_spark.functions.vector import l2_normalize
+from redshells_spark.ml.mllib_compat import strip_training_summary
 
 
 @dataclass
@@ -76,7 +77,7 @@ class SCDV:
         gmm_fit_input = (
             wv_vec.orderBy(F.xxhash64(F.col("word"), F.lit(seed))).limit(gmm_sample_size)
         )
-        gmm_model = gmm.fit(gmm_fit_input)
+        gmm_model = strip_training_summary(gmm.fit(gmm_fit_input))
         clustered = (
             gmm_model.transform(wv_vec)
             .withColumn("probs", vector_to_array("__p"))

@@ -41,6 +41,9 @@ _FRONT = [
     "int8_quantize_embeddings",  # r4: NEW — scalar int8 codes + error report
     "bm25_topk",  # r4: NEW — Okapi BM25 ranked retrieval
     "hard_negative_mining",  # r4: NEW — contrastive hard negatives
+    "token_entropy_signals",  # r4: NEW — Shannon-entropy quality signals
+    "tokenizer_fertility",  # r4: NEW — BPE subtokens-per-word by source
+    "source_overlap_matrix",  # r4: NEW — cross-source dup leakage matrix
 ]
 
 

@@ -592,3 +592,42 @@ def _cross_doc_line_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     units = block_units(docs, block_tokens=8)
     return cross_doc_unit_dedup(units, min_occurrences=2)
+
+
+@q(
+    "source_overlap_matrix",
+    """WITH fp AS (
+         SELECT DISTINCT source,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+         FROM documents),
+       sz AS (SELECT source, count(*) AS n FROM fp GROUP BY 1),
+       sh AS (SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS n_shared
+              FROM fp a JOIN fp b
+                ON a.fingerprint = b.fingerprint AND a.source < b.source
+              GROUP BY 1, 2),
+       pairs AS (SELECT sa.source AS source_a, sa.n AS n_a,
+                        sb.source AS source_b, sb.n AS n_b
+                 FROM sz sa, sz sb WHERE sa.source < sb.source)
+       SELECT p.source_a, p.source_b,
+              CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+              CAST(p.n_a AS BIGINT) AS n_a,
+              CAST(p.n_b AS BIGINT) AS n_b,
+              CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+                / (p.n_a + p.n_b - coalesce(sh.n_shared, 0)) AS jaccard
+       FROM pairs p
+       LEFT JOIN sh ON sh.source_a = p.source_a AND sh.source_b = p.source_b""",
+)
+def _source_overlap_matrix(spark, sf_dir):
+    """Cross-source exact-duplicate leakage matrix (dedup/exact.py
+    cross_source_overlap): which corpus sources copy from each other,
+    on normalized-text fingerprints. The self-join runs on DISTINCT
+    (source, 32-byte hash) rows so fan-out is bounded by the source
+    count per hash, never corpus size; the full pair matrix is
+    emitted (zero rows included) and the jaccard is one
+    identical-operand IEEE division — full-precision export."""
+    from redshells_spark.dedup.exact import cross_source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_overlap(docs)

@@ -1768,3 +1768,46 @@ def _dsir_importance_weights(spark, sf_dir):
         docs, F.col("lang") == "en", num_buckets=_DSIR_B, alpha=0.5
     ).select("doc_id", _r4(F.col("log_weight"), "log_weight"))
     return dsir_select_top(w, 100)
+
+
+@q(
+    "tokenizer_fertility",
+    f"""WITH {_bpe_cte(_BPE_K)},
+       c AS (
+         SELECT d.doc_id, d.source, count(*) AS n_words,
+                sum(len(string_split(substr(w.sym, 2, length(w.sym) - 2), '][')))
+                    AS n_subtokens
+         FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+               FROM documents) d
+         JOIN w{_BPE_K} w USING (word)
+         WHERE d.word <> ''
+         GROUP BY 1, 2)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_words) AS BIGINT) AS n_words,
+              CAST(sum(n_subtokens) AS BIGINT) AS n_subtokens,
+              CAST(sum(n_subtokens) AS DOUBLE) / sum(n_words) AS fertility
+       FROM c GROUP BY source""",
+)
+def _tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility (subtokens per word) by corpus source — the
+    data-card stat that decides whether a tokenizer under- or
+    over-segments a domain (fertility ≈ 1 wastes vocab, ≫ 1 wastes
+    context window). Rides the trained BPE segmentation: exploded
+    tokens broadcast-join the word table, roll up per source. The
+    fertility ratio is one identical-operand IEEE division of two
+    exact longs — full-precision export, no rounding."""
+    from redshells_spark.text.bpe import subtoken_count_per_doc
+
+    _, seg = _bpe_trained(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = subtoken_count_per_doc(docs, seg)
+    j = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_words"),
+        F.sum("n_subtokens").cast("long").alias("n_subtokens"),
+        (F.sum("n_subtokens").cast("double") / F.sum("n_tokens")).alias(
+            "fertility"
+        ),
+    )

@@ -1579,3 +1579,43 @@ def _bm25_topk(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bm25_topk(docs, KEYWORDS, k=20)
+
+
+@q(
+    "token_entropy_signals",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS token
+         FROM documents),
+       c AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       d AS (SELECT doc_id,
+                    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                    CAST(count(*) AS BIGINT) AS n_distinct,
+                    sum(cnt * ln(cnt)) AS s
+             FROM c GROUP BY 1)
+       SELECT doc_id, n_tokens, n_distinct,
+              round(ln(n_tokens) - s / n_tokens, 4) AS entropy,
+              round(CASE WHEN n_distinct > 1
+                         THEN (ln(n_tokens) - s / n_tokens) / ln(n_distinct)
+                         ELSE CAST(0 AS DOUBLE) END, 4) AS norm_entropy
+       FROM d""",
+)
+def _token_entropy_signals(spark, sf_dir):
+    """Shannon token-entropy quality signals (text/analysis.py
+    token_entropy_signals): low entropy flags boilerplate/repetitive
+    docs, near-1 normalized entropy flags random-token garbage. Uses
+    the aggregate identity H = ln(n) − (Σ c·ln c)/n — one token-level
+    + one doc-level map-combined groupBy, no window. Round-4 export
+    absorbs the order-dependent float sum."""
+    from redshells_spark.text.analysis import token_entropy_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = token_entropy_signals(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        _r4(F.col("entropy"), "entropy"),
+        _r4(F.col("norm_entropy"), "norm_entropy"),
+    )

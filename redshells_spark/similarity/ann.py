@@ -534,7 +534,9 @@ def ivf_build_index(
 
     vecs = corpus.withColumn("__v", array_to_vector(F.col(embedding_column).cast("array<double>")))
     km = KMeans(k=num_centroids, seed=seed, featuresCol="__v", predictionCol="centroid")
-    model = km.fit(vecs)
+    from redshells_spark.ml.mllib_compat import strip_training_summary
+
+    model = strip_training_summary(km.fit(vecs))
     assigned = model.transform(vecs).drop("__v")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids

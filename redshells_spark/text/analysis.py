@@ -11,7 +11,7 @@ run at parquet-scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from redshells_spark.schema import require_columns
@@ -283,3 +283,43 @@ def gopher_quality_rules(df: DataFrame, text_column: str = "text") -> DataFrame:
         & (F.col("frac_ellipsis_lines") <= 0.3)
     )
     return out.withColumn("keep", keep)
+
+
+def token_entropy_signals(
+    df: DataFrame, text_column: str = "text", id_column: str = "doc_id"
+) -> DataFrame:
+    """→ (id, n_tokens, n_distinct, entropy, norm_entropy): Shannon
+    entropy of each document's token distribution — low entropy flags
+    repetitive/boilerplate text, near-max entropy flags random-token
+    garbage; the standard statistical companion to the rule-based
+    filters above.
+
+    Unlike the rest of this module this one shuffles (token-level then
+    doc-level groupBy — both map-combined, keyed on the doc so 100 TB
+    spreads evenly). entropy uses the aggregate-friendly identity
+    H = ln(n) - (Σ c·ln c)/n; norm_entropy divides by ln(n_distinct)
+    (0 when a doc has a single distinct token).
+    """
+    require_columns(df, [id_column, text_column])
+    toks = _tokens(F.col(text_column))
+    c = (
+        df.select(id_column, F.explode(toks).alias("__tok"))
+        .groupBy(id_column, "__tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # H = ln(n) - (sum c*ln(c)) / n : one two-level aggregate, no window
+    per_doc = c.groupBy(id_column).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.log("cnt")).alias("__s"),
+    )
+    ent = F.log(F.col("n_tokens")) - F.col("__s") / F.col("n_tokens")
+    return per_doc.select(
+        id_column,
+        "n_tokens",
+        "n_distinct",
+        ent.alias("entropy"),
+        F.when(F.col("n_distinct") > 1, ent / F.log(F.col("n_distinct")))
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

@@ -57,3 +57,29 @@ def test_observe_does_not_poison_mllib_transforms(spark, tmp_path):
     model = train_quality_classifier(docs)
     assert not model.stages[-1].hasSummary
     assert model.transform(docs.select("doc_id", "tokens")).count() == 40
+
+
+def test_summary_models_transform_after_observe(spark):
+    """Spark 4.1 landmine regression pin (ml/mllib_compat.py): after ANY
+    df.observe() has run, serializing a summary-carrying MLlib model's
+    transform closure throws NotSerializableException
+    (ObservationManager). Every summary-capable fit site must strip —
+    this exercises the FM path that slipped through in round 4."""
+    from pyspark.sql.observation import Observation
+
+    from redshells_spark.ml.factorization_machine import (
+        train_factorization_machine,
+    )
+
+    obs = Observation("poison")
+    df = spark.createDataFrame([(1,)], "a long").observe(obs, F.count(F.lit(1)))
+    df.collect()  # ObservationManager now exists in the session
+
+    train = spark.createDataFrame(
+        [(0.1 * i, i % 3, float(i % 2)) for i in range(40)],
+        "x double, c long, label double",
+    )
+    m = train_factorization_machine(
+        train, ["x"], ["c"], label_column="label", max_iter=2
+    )
+    assert m.transform(train).count() == 40  # would throw before the strip

@@ -127,15 +127,13 @@ def test_classifier_predictions_majority_floor(spark, qs):
 
 
 def test_fm_predictions_majority_floor(spark, qs):
+    # past flake root-caused: FM summary held session->ObservationManager
+    # (now stripped at the fit site) — no retry, regressions must surface
+    out = qs["fm_predictions"](spark, SF)
     ev = spark.read.parquet(f"{SF}/events.parquet").select(
         "event_id", (F.col("event_type") == "purchase").cast("int").alias("y")
     )
-    # the FM fit has flaked once with a Py4J error deep in a long suite
-    # (JVM pressure, not logic) — one retry keeps this a plumbing gate
-    try:
-        j = qs["fm_predictions"](spark, SF).join(ev, "event_id").collect()
-    except Exception:  # noqa: BLE001 — Py4JJavaError under suite pressure
-        j = qs["fm_predictions"](spark, SF).join(ev, "event_id").collect()
+    j = out.join(ev, "event_id").collect()
     y = np.array([r["y"] for r in j])
     p = np.array([r["prediction"] for r in j])
     base = max(y.mean(), 1 - y.mean())
