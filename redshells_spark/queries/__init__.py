@@ -44,6 +44,7 @@ _FRONT = [
     "token_entropy_signals",  # r4: NEW — Shannon-entropy quality signals
     "tokenizer_fertility",  # r4: NEW — BPE subtokens-per-word by source
     "source_overlap_matrix",  # r4: NEW — cross-source dup leakage matrix
+    "rag_context_pack",  # r4: NEW — chunk→BM25→context-budget composite
 ]
 
 

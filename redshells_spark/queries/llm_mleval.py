@@ -1811,3 +1811,91 @@ def _tokenizer_fertility(spark, sf_dir):
             "fertility"
         ),
     )
+
+
+@q(
+    "rag_context_pack",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t),
+       ch AS (SELECT doc_id * 100 + start // 24 AS cid,
+                     list_slice(toks, start + 1, least(start + 32, len(toks))) AS chunk
+              FROM s),
+       ctok AS (SELECT cid, len(chunk) AS n_chunk_tokens,
+                       list_filter(list_transform(chunk, x -> lower(x)),
+                                   x -> x <> '') AS toks2
+                FROM ch),
+       tok AS (SELECT cid, unnest(toks2) AS term FROM ctok),
+       dl AS (SELECT cid, count(*) AS dl FROM tok GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM dl),
+       p AS (SELECT cid, term, count(*) AS tf FROM tok
+             WHERE term IN ('spark', 'join', 'window', 'stream', 'hash')
+             GROUP BY 1, 2),
+       dft AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+       sc AS (
+         SELECT p.cid,
+                ln(CAST(1.0 AS DOUBLE)
+                   + (st.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                     / (dft.df + CAST(0.5 AS DOUBLE)))
+                  * p.tf
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * dl.dl
+                          / (st.dl_sum / st.n_docs))) AS t
+         FROM p JOIN dl USING (cid) JOIN dft USING (term), st),
+       top AS (SELECT cid, round(sum(t), 4) AS score
+               FROM sc GROUP BY cid
+               ORDER BY score DESC, cid ASC LIMIT 30),
+       packed AS (
+         SELECT top.cid, top.score, ctok.n_chunk_tokens,
+                CAST(row_number() OVER (ORDER BY top.score DESC, top.cid ASC)
+                     AS BIGINT) AS rank,
+                sum(ctok.n_chunk_tokens)
+                  OVER (ORDER BY top.score DESC, top.cid ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_tokens
+         FROM top JOIN ctok USING (cid))
+       SELECT rank, cid // 100 AS doc_id, cid % 100 AS chunk_id, score,
+              CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+              CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM packed WHERE cum_tokens <= 256""",
+)
+def _rag_context_pack(spark, sf_dir):
+    """RAG retrieval composite: chunk the corpus (32-token windows,
+    stride 24 — text/chunking.py), rank chunks against the shared
+    KEYWORDS query with BM25 (text/bm25.py, chunk corpus stats), and
+    greedily pack the top chunks into a 256-token context budget by
+    (score desc, chunk asc) — the retrieve-then-pack stage of a RAG
+    serving pipeline as one dataflow. Chunking is a shuffle-free
+    generator; BM25 adds one groupBy; packing is a window over the
+    already-top-30 relation. The oracle replays every stage."""
+    from redshells_spark.text.bm25 import bm25_topk
+    from redshells_spark.text.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, stride=24)
+    cdocs = chunks.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+        F.col("chunk_text").alias("text"),
+        "n_chunk_tokens",
+    )
+    top = bm25_topk(cdocs, KEYWORDS, k=30, id_column="cid")
+    w = Window.orderBy(F.col("score").desc(), F.col("cid").asc())
+    packed = (
+        top.join(cdocs.select("cid", "n_chunk_tokens"), "cid")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_chunk_tokens")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= 256)
+    )
+    return packed.select(
+        "rank",
+        (F.col("cid") / 100).cast("long").alias("doc_id"),
+        (F.col("cid") % 100).cast("long").alias("chunk_id"),
+        "score",
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "cum_tokens",
+    )
