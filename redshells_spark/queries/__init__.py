@@ -45,6 +45,7 @@ _FRONT = [
     "tokenizer_fertility",  # r4: NEW — BPE subtokens-per-word by source
     "source_overlap_matrix",  # r4: NEW — cross-source dup leakage matrix
     "rag_context_pack",  # r4: NEW — chunk→BM25→context-budget composite
+    "kn_perplexity",  # r4: NEW — interpolated Kneser-Ney LM filter
 ]
 
 

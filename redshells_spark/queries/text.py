@@ -1619,3 +1619,61 @@ def _token_entropy_signals(spark, sf_dir):
         _r4(F.col("entropy"), "entropy"),
         _r4(F.col("norm_entropy"), "norm_entropy"),
     )
+
+
+@q(
+    "kn_perplexity",
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         FROM documents),
+       flat AS (
+         SELECT doc_id, unnest(toks) AS token,
+                generate_subscripts(toks, 1) AS pos
+         FROM tok),
+       pairs AS (
+         SELECT doc_id,
+                coalesce(lag(token) OVER (PARTITION BY doc_id ORDER BY pos ASC), '␟<s>') AS prev,
+                token AS word
+         FROM flat),
+       bc AS (SELECT prev, word, count(*) AS n FROM pairs GROUP BY 1, 2),
+       ctx AS (SELECT prev, sum(n) AS c_prev, count(*) AS n1p_fwd FROM bc GROUP BY 1),
+       cont AS (SELECT word, count(*) AS n1p_bwd FROM bc GROUP BY 1),
+       ty AS (SELECT count(*) AS n_types FROM bc),
+       sc AS (
+         SELECT p.doc_id,
+                log2((greatest(bc.n - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                      + CAST(0.75 AS DOUBLE) * ctx.n1p_fwd
+                        * (cont.n1p_bwd / ty.n_types))
+                     / ctx.c_prev) AS lp
+         FROM pairs p
+         JOIN bc USING (prev, word)
+         JOIN ctx USING (prev)
+         JOIN cont USING (word), ty)
+       SELECT doc_id,
+              round(-avg(lp), 4) AS cross_entropy,
+              round(pow(2.0, -avg(lp)), 4) AS perplexity
+       FROM sc GROUP BY doc_id""",
+)
+def _kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney perplexity filter (text/ngram_lm.py
+    train_kn_bigram_lm + score_kn_perplexity): the smoothing family
+    CCNet's actual KenLM filter uses, relational end-to-end —
+    P(w|v) = (max(c−d,0) + d·N1+(v,·)·Pcont(w))/c(v) with the
+    continuation distribution Pcont(w) = N1+(·,w)/|bigram types|.
+    Self-scoring (train corpus == target corpus) so every context is
+    known and the whole train+score dataflow is one oracle-checkable
+    graph; production trains once on clean text and broadcasts the
+    vocabulary-bounded tables."""
+    from redshells_spark.text.ngram_lm import (
+        score_kn_perplexity,
+        train_kn_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_kn_bigram_lm(docs)
+    out = score_kn_perplexity(docs, lm, broadcast_lm=True)
+    return out.select(
+        "doc_id",
+        _r4(F.col("cross_entropy"), "cross_entropy"),
+        _r4(F.col("perplexity"), "perplexity"),
+    )

@@ -139,3 +139,93 @@ def score_perplexity(
         .agg((-F.avg("lp")).alias("cross_entropy"))
         .select("doc_id", "cross_entropy", F.pow(F.lit(2.0), "cross_entropy").alias("perplexity"))
     )
+
+
+class KneserNeyLM:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999) — the smoothing family KenLM uses, so this is the
+    closest oracle-checkable relational stand-in for CCNet's actual
+    filter model. Tables: (prev, word, n) bigram counts; (prev,
+    c_prev, n1p_fwd) context totals + distinct-continuation counts;
+    (word, n1p_bwd) distinct-history counts; the distinct-bigram-type
+    total."""
+
+    def __init__(
+        self,
+        bigram_counts: DataFrame,
+        context_stats: DataFrame,
+        continuation_counts: DataFrame,
+        n_bigram_types: int,
+    ):
+        self.bigram_counts = bigram_counts
+        self.context_stats = context_stats
+        self.continuation_counts = continuation_counts
+        self.n_bigram_types = n_bigram_types
+
+
+def train_kn_bigram_lm(docs: DataFrame, text_column: str = "text") -> KneserNeyLM:
+    """One explode + three groupBys over the corpus, all map-combined;
+    every table is vocabulary-bounded (≪ corpus at 100 TB)."""
+    require_columns(docs, [text_column])
+    toks = _tokens(F.col(text_column))
+    grams = docs.select(F.explode(_bigrams(toks)).alias("g")).select(
+        "g.prev", "g.word"
+    )
+    bc = grams.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("n"))
+    ctx = bc.groupBy("prev").agg(
+        F.sum("n").alias("c_prev"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bc.groupBy("word").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    n_types = bc.count()
+    return KneserNeyLM(bc, ctx, cont, n_types)
+
+
+def score_kn_perplexity(
+    docs: DataFrame,
+    lm: KneserNeyLM,
+    text_column: str = "text",
+    doc_id_column: str = "doc_id",
+    discount: float = 0.75,
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """Per-doc cross-entropy (bits/token) and perplexity under
+    interpolated KN: P(w|v) = (max(c(vw)−d, 0) + d·N1+(v,·)·Pcont(w))
+    / c(v), Pcont(w) = N1+(·,w) / |bigram types|.
+
+    Every scored context must exist in the model (guaranteed when
+    scoring the training corpus, the CCNet self-scoring shape); an
+    unseen (v,w) PAIR backs off to the continuation term via the
+    NULL-count coalesce. Fixed-expression doubles — mirror the tree
+    token-for-token in an oracle; export with round-4.
+    """
+    require_columns(docs, [text_column, doc_id_column])
+    toks = _tokens(F.col(text_column))
+    pairs = docs.select(
+        F.col(doc_id_column).alias("doc_id"), F.explode(_bigrams(toks)).alias("g")
+    ).select("doc_id", "g.prev", "g.word")
+    bc, ctx, cont = lm.bigram_counts, lm.context_stats, lm.continuation_counts
+    if broadcast_lm:
+        bc, ctx, cont = F.broadcast(bc), F.broadcast(ctx), F.broadcast(cont)
+    d = F.lit(float(discount))
+    p_cont = F.coalesce(F.col("n1p_bwd"), F.lit(0)) / F.lit(
+        float(lm.n_bigram_types)
+    )
+    p = (
+        F.greatest(F.coalesce(F.col("n"), F.lit(0)) - d, F.lit(0.0))
+        + d * F.col("n1p_fwd") * p_cont
+    ) / F.col("c_prev")
+    scored = (
+        pairs.join(bc, ["prev", "word"], "left")
+        .join(ctx, "prev")
+        .join(cont, "word", "left")
+        .select("doc_id", F.log2(p).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((-F.avg("lp")).alias("cross_entropy"))
+        .select(
+            "doc_id",
+            "cross_entropy",
+            F.pow(F.lit(2.0), "cross_entropy").alias("perplexity"),
+        )
+    )

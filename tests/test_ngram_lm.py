@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from redshells_spark.text.ngram_lm import BigramLM, score_perplexity, train_bigram_lm
@@ -79,3 +81,54 @@ def test_broadcast_hint_plan(spark):
     target = _docs(spark, [("q", "x y")])
     plan = score_perplexity(target, lm, broadcast_lm=True)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kn_probabilities_sum_to_one(spark):
+    from redshells_spark.text.ngram_lm import train_kn_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b a b a")], "doc_id long, text string"
+    )
+    lm = train_kn_bigram_lm(docs)
+    bc = {(r["prev"], r["word"]): r["n"] for r in lm.bigram_counts.collect()}
+    ctx = {
+        r["prev"]: (r["c_prev"], r["n1p_fwd"])
+        for r in lm.context_stats.collect()
+    }
+    cont = {r["word"]: r["n1p_bwd"] for r in lm.continuation_counts.collect()}
+    d, ty = 0.75, lm.n_bigram_types
+    vocab = sorted(cont)  # every word observed as a continuation
+    for prev, (c_prev, n1p) in ctx.items():
+        total = sum(
+            (max(bc.get((prev, w), 0) - d, 0.0) + d * n1p * (cont[w] / ty))
+            / c_prev
+            for w in vocab
+        )
+        # interpolated KN is a proper distribution over observed
+        # continuations when Pcont is normalized over them
+        assert total == pytest.approx(1.0), (prev, total)
+
+
+def test_kn_scores_match_hand_computation(spark):
+    from redshells_spark.text.ngram_lm import (
+        score_kn_perplexity,
+        train_kn_bigram_lm,
+    )
+
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    lm = train_kn_bigram_lm(docs)
+    r = score_kn_perplexity(docs, lm).collect()[0]
+    d = 0.75
+    # bigrams: (BOS,a) (a,b) (b,a); all counts 1, 3 types
+    # ctx: BOS:(1,1), a:(1,1), b:(1,1); cont: a:2, b:1
+    def p(n, n1p_fwd, n1p_bwd, c_prev):
+        return (max(n - d, 0.0) + d * n1p_fwd * (n1p_bwd / 3)) / c_prev
+
+    lps = [
+        math.log2(p(1, 1, 2, 1)),  # BOS -> a
+        math.log2(p(1, 1, 1, 1)),  # a -> b
+        math.log2(p(1, 1, 2, 1)),  # b -> a
+    ]
+    want = -sum(lps) / 3
+    assert r["cross_entropy"] == pytest.approx(want)
+    assert r["perplexity"] == pytest.approx(2**want)
