@@ -52,8 +52,14 @@ def semantic_dedup_pairs(
     ``threshold`` and ``id0 < id1`` — the semantic near-duplicate
     edge list."""
     require_columns(df, [id_col, embedding_col])
-    assigned = assign_to_centroids(df, centroids, embedding_col).select(
-        F.col(id_col), F.col(embedding_col), F.col("centroid").alias("cid")
+    # checkpoint the assignment: it feeds the size guard AND both join
+    # sides (and the caller's anti-join) — without this the argmin-
+    # over-centroids projection re-runs per consumer (bench cold run:
+    # 36s -> the multi-consumer pattern from NOTES.md)
+    assigned = (
+        assign_to_centroids(df, centroids, embedding_col)
+        .select(F.col(id_col), F.col(embedding_col), F.col("centroid").alias("cid"))
+        .localCheckpoint(eager=True)
     )
     big = (
         assigned.groupBy("cid")
