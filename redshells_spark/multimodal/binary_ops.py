@@ -326,3 +326,25 @@ def parse_audio_headers(df: DataFrame, binary_column: str = "payload") -> DataFr
             F.when(block_align > 0, (data_size / block_align).cast("long")),
         )
     )
+
+
+def pool_frame_features(
+    frame_features: DataFrame,
+    video_id_column: str = "video_id",
+) -> DataFrame:
+    """→ (video_id, feature_idx, value): temporal mean-pool of
+    per-frame embeddings into one vector per video — the standard
+    frame-sample → per-frame-encoder → pool video featurization,
+    relational (posexplode + one groupBy on the video key)."""
+    ex = frame_features.select(
+        video_id_column, F.posexplode("embedding").alias("feature_idx", "v")
+    )
+    return (
+        ex.groupBy(video_id_column, "feature_idx")
+        .agg((F.sum("v") / F.count(F.lit(1))).alias("value"))
+        .select(
+            video_id_column,
+            F.col("feature_idx").cast("long").alias("feature_idx"),
+            "value",
+        )
+    )

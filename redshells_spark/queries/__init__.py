@@ -46,6 +46,7 @@ _FRONT = [
     "source_overlap_matrix",  # r4: NEW — cross-source dup leakage matrix
     "rag_context_pack",  # r4: NEW — chunk→BM25→context-budget composite
     "kn_perplexity",  # r4: NEW — interpolated Kneser-Ney LM filter
+    "video_frame_features",  # r4: NEW — frame→decode→featurize→pool pipeline
 ]
 
 

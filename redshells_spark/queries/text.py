@@ -1677,3 +1677,80 @@ def _kn_perplexity(spark, sf_dir):
         _r4(F.col("cross_entropy"), "cross_entropy"),
         _r4(F.col("perplexity"), "perplexity"),
     )
+
+
+def _video_feature_sql() -> str:
+    """Oracle for video_frame_features: replay frame slicing (ASCII
+    payload ⇒ byte slicing == character slicing), the md5-chain
+    per-frame pixels, block-mean features, and the temporal mean-pool.
+    Valid for payloads ≥ num_frames bytes (always true for this
+    corpus; the operator itself handles shorter ones — unit-tested)."""
+
+    def hv(e: str) -> str:
+        return f"(instr('0123456789abcdef', {e}) - 1)"
+
+    branches = []
+    for f_idx in range(16):
+        j = f_idx // 4
+        off = (f_idx % 4) * 8
+        terms = []
+        for m in range(4):
+            c1 = f"substr(m{j}, {off + 2 * m + 1}, 1)"
+            c2 = f"substr(m{j}, {off + 2 * m + 2}, 1)"
+            terms.append(f"(16 * {hv(c1)} + {hv(c2)})")
+        branches.append(
+            f"SELECT doc_id, k, {f_idx} AS f, {' + '.join(terms)} AS s FROM px"
+        )
+    union = "\n         UNION ALL ".join(branches)
+    return f"""WITH p AS (
+         SELECT doc_id, text,
+                greatest(1, octet_length(encode(text)) // 4) AS step
+         FROM documents),
+       fr AS (SELECT doc_id, k, substr(text, k * step + 1, step) AS fs
+              FROM p, range(4) t(k)),
+       px AS (
+         SELECT doc_id, k,
+                md5(fs || '|px|0') AS m0, md5(fs || '|px|1') AS m1,
+                md5(fs || '|px|2') AS m2, md5(fs || '|px|3') AS m3
+         FROM fr),
+       feats AS ({union})
+       SELECT doc_id, CAST(f AS BIGINT) AS feature_idx,
+              round(sum((CAST(s AS DOUBLE) / 4) / 255) / count(*), 4) AS value
+       FROM feats GROUP BY doc_id, f"""
+
+
+@q("video_frame_features", _video_feature_sql())
+def _video_frame_features(spark, sf_dir):
+    """Full video featurization pipeline through the REAL multimodal
+    operators: sample_video_frames (byte-range frame extraction) →
+    decode_images per frame (md5-chain stub — a real ffmpeg decoder
+    slots in unchanged) → extract_image_features per frame → temporal
+    mean-pool per video (pool_frame_features). Three Arrow mapInPandas
+    stages + one relational pool, payload bytes never on the driver;
+    the oracle replays every stage and the round-4 export absorbs the
+    4-element pooling sum order."""
+    from redshells_spark.multimodal.binary_ops import (
+        decode_images,
+        extract_image_features,
+        pool_frame_features,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = sample_video_frames(docs, "payload", id_column="doc_id", num_frames=4)
+    fdf = frames.select(
+        (F.col("doc_id") * 10 + F.col("frame_idx")).alias("fid"),
+        F.col("frame_payload").alias("payload"),
+    )
+    decoded = decode_images(
+        fdf, "payload", id_column="fid", height=8, width=8,
+        pixel_source="md5chain",
+    )
+    feats = extract_image_features(decoded, id_column="fid", feature_dim=16)
+    vids = feats.select(
+        F.expr("fid div 10").alias("doc_id"), "embedding"
+    )
+    pooled = pool_frame_features(vids, video_id_column="doc_id")
+    return pooled.select("doc_id", "feature_idx", _r4(F.col("value"), "value"))

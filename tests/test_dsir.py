@@ -125,3 +125,17 @@ def test_sample_video_frames_short_payload(spark):
     assert [bytes(r["frame_payload"]) for r in rows] == [
         b"a", b"b", b"\x00", b"\x00",
     ]
+
+
+def test_pool_frame_features_mean(spark):
+    from redshells_spark.multimodal.binary_ops import pool_frame_features
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (1, [3.0, 5.0]), (2, [2.0, 2.0])],
+        "video_id long, embedding array<double>",
+    )
+    out = {
+        (r["video_id"], r["feature_idx"]): r["value"]
+        for r in pool_frame_features(df).collect()
+    }
+    assert out == {(1, 0): 2.0, (1, 1): 4.0, (2, 0): 2.0, (2, 1): 2.0}
