@@ -185,3 +185,46 @@ def temperature_mix_weights(
         "n_rows",
         (F.floor(prob * 1_000_000 + F.lit(0.5))).cast("long").alias("prob_e6"),
     )
+
+
+def largest_remainder_allocation(
+    counts: DataFrame,
+    total_budget: int,
+    group_column: str = "source",
+    count_column: str = "n",
+) -> DataFrame:
+    """→ (group, n, floor_share, extra, allocation): split an integer
+    ``total_budget`` (tokens, rows, examples) across groups
+    proportionally to ``count_column`` with the largest-remainder
+    (Hamilton) method — allocations are integers, sum EXACTLY to the
+    budget, and every step is integer arithmetic (ideal share
+    B·n ÷ Σn via div/mod), so the result is engine-exact with no float
+    anywhere. The per-group relation is small (one row per group);
+    the single ordered window ranks remainders with a group tie-break.
+    """
+    tot = counts.agg(F.sum(count_column).alias("__tot"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        group_column,
+        F.col(count_column).cast("long").alias("n"),
+        F.expr(f"({total_budget} * {count_column}) div __tot").alias(
+            "floor_share"
+        ),
+        F.expr(f"({total_budget} * {count_column}) % __tot").alias("__rem"),
+    )
+    short = base.agg(
+        (F.lit(total_budget) - F.sum("floor_share")).alias("__short")
+    )
+    w = Window.orderBy(F.col("__rem").desc(), F.col(group_column).asc())
+    return (
+        base.crossJoin(F.broadcast(short))
+        .withColumn(
+            "extra", (F.row_number().over(w) <= F.col("__short")).cast("long")
+        )
+        .select(
+            group_column,
+            "n",
+            "floor_share",
+            "extra",
+            (F.col("floor_share") + F.col("extra")).alias("allocation"),
+        )
+    )

@@ -47,6 +47,8 @@ _FRONT = [
     "rag_context_pack",  # r4: NEW — chunk→BM25→context-budget composite
     "kn_perplexity",  # r4: NEW — interpolated Kneser-Ney LM filter
     "video_frame_features",  # r4: NEW — frame→decode→featurize→pool pipeline
+    "token_budget_allocation",  # r4: NEW — largest-remainder integer quotas
+    "event_value_histogram",  # r4: NEW — fixed-width profiling histogram
 ]
 
 

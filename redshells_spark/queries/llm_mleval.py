@@ -1899,3 +1899,86 @@ def _rag_context_pack(spark, sf_dir):
         F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
         "cum_tokens",
     )
+
+
+@q(
+    "token_budget_allocation",
+    """WITH c AS (
+         SELECT source,
+                CAST(sum(len(list_filter(string_split(text, ' '),
+                                         t -> t <> ''))) AS BIGINT) AS n
+         FROM documents GROUP BY source),
+       t AS (SELECT sum(n) AS tot FROM c),
+       b AS (
+         SELECT c.source, c.n,
+                (100000 * c.n) // t.tot AS floor_share,
+                (100000 * c.n) % t.tot AS rem
+         FROM c, t),
+       s AS (SELECT 100000 - sum(floor_share) AS short FROM b)
+       SELECT b.source, b.n, b.floor_share,
+              CAST(row_number() OVER (ORDER BY b.rem DESC, b.source ASC)
+                     <= s.short AS BIGINT) AS extra,
+              b.floor_share
+                + CAST(row_number() OVER (ORDER BY b.rem DESC, b.source ASC)
+                         <= s.short AS BIGINT) AS allocation
+       FROM b, s""",
+)
+def _token_budget_allocation(spark, sf_dir):
+    """Integer token-budget split across corpus sources by the
+    largest-remainder method (data/sampling.py
+    largest_remainder_allocation): allocations sum EXACTLY to the
+    100k budget, every step integer div/mod — the engine-exact way to
+    turn mixing weights into per-source token quotas for a training
+    run. One tiny per-source aggregate + one ordered window."""
+    from redshells_spark.data.sampling import largest_remainder_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    counts = (
+        docs.select("source", F.size(toks).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n"))
+    )
+    return largest_remainder_allocation(
+        counts, total_budget=100_000, count_column="n"
+    )
+
+
+@q(
+    "event_value_histogram",
+    """WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+       b AS (
+         SELECT least(CAST(floor((value - st.lo) * 20 / (st.hi - st.lo))
+                           AS BIGINT), 19) AS bucket
+         FROM events, st),
+       h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+             FROM b GROUP BY bucket)
+       SELECT h.bucket, h.n,
+              round(st.lo + h.bucket * (st.hi - st.lo) / 20, 4) AS bucket_lo,
+              round(st.lo + (h.bucket + 1) * (st.hi - st.lo) / 20, 4) AS bucket_hi
+       FROM h, st""",
+)
+def _event_value_histogram(spark, sf_dir):
+    """Fixed-width 20-bucket histogram of events.value — the profiling
+    primitive for data cards and skew diagnosis. Two passes (one tiny
+    min/max agg broadcast back, one map-combined bucket count); bucket
+    index = floor((x−lo)·20/(hi−lo)) clamped to 19 — every operand
+    identical cross-engine, so bucket assignment is exact and only the
+    display bounds are rounded."""
+    ev = _t(spark, sf_dir, "events").select("value")
+    st = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = ev.crossJoin(F.broadcast(st)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo")) * 20 / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(19),
+        ).alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return h.crossJoin(F.broadcast(st)).select(
+        "bucket",
+        "n",
+        _r4(F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / 20, "bucket_lo"),
+        _r4(F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / 20, "bucket_hi"),
+    )

@@ -60,3 +60,19 @@ def test_cross_source_overlap_counts(spark):
     r = out[("s1", "s2")]
     assert (r["n_a"], r["n_b"]) == (2, 2)
     assert r["jaccard"] == 1 / 3
+
+
+def test_largest_remainder_allocation_exact(spark):
+    from redshells_spark.data.sampling import largest_remainder_allocation
+
+    counts = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 1)], "source string, n long"
+    )
+    out = {
+        r["source"]: (r["floor_share"], r["extra"], r["allocation"])
+        for r in largest_remainder_allocation(counts, 10).collect()
+    }
+    # ideal: a=30/7=4.29, b=4.29, c=10/7=1.43 -> floors 4,4,1 sum 9;
+    # the one short unit goes to the largest remainder: c (3/7 > 2/7)
+    assert out == {"a": (4, 0, 4), "b": (4, 0, 4), "c": (1, 1, 2)}
+    assert sum(v[2] for v in out.values()) == 10
