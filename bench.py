@@ -83,6 +83,11 @@ HEADLINE = [
     "gopher_quality_rules",
     "int8_quantize_embeddings",
     "image_decode_features",
+    # round-4 session-2 late tier: retrieval, LM filter, video pipeline
+    "bm25_topk",
+    "kn_perplexity",
+    "rag_context_pack",
+    "video_frame_features",
 ]
 
 
