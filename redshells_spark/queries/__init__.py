@@ -49,6 +49,8 @@ _FRONT = [
     "video_frame_features",  # r4: NEW — frame→decode→featurize→pool pipeline
     "token_budget_allocation",  # r4: NEW — largest-remainder integer quotas
     "event_value_histogram",  # r4: NEW — fixed-width profiling histogram
+    "ctr_wilson_bounds",  # r4: NEW — bit-exact Wilson score intervals
+    "event_transition_matrix",  # r4: NEW — behavioral Markov summary
 ]
 
 

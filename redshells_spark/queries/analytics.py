@@ -699,3 +699,97 @@ def _session_paths(spark, sf_dir):
     )
 
 
+
+
+@q(
+    "ctr_wilson_bounds",
+    """WITH s AS (
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS hits
+         FROM events GROUP BY event_type),
+       w AS (
+         SELECT event_type, n, hits,
+                CAST(hits AS DOUBLE) / n AS p,
+                CAST(1.96 AS DOUBLE) AS z
+         FROM s)
+       SELECT event_type, n, hits, p AS rate,
+              (p + z * z / (2 * n)
+               - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                / (1 + z * z / n) AS wilson_lo,
+              (p + z * z / (2 * n)
+               + z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                / (1 + z * z / n) AS wilson_hi
+       FROM w""",
+)
+def _ctr_wilson_bounds(spark, sf_dir):
+    """Wilson score interval for per-event-type hit rates (value > 50
+    as the 'conversion') — the correct small-n confidence bound for
+    any rate metric on a data card. IEEE sqrt is correctly rounded, so
+    with identical operands the ENTIRE interval is cross-engine
+    bit-exact: full-precision export, no rounding anywhere. One
+    map-combined aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("value") > 50).cast("int")).cast("long").alias("hits"),
+    )
+    p = F.col("hits").cast("double") / F.col("n")
+    z = F.lit(1.96)
+    center = p + z * z / (2 * F.col("n"))
+    margin = z * F.sqrt(
+        p * (F.lit(1) - p) / F.col("n")
+        + z * z / (4 * F.col("n") * F.col("n"))
+    )
+    denom = F.lit(1) + z * z / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        "hits",
+        p.alias("rate"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+    )
+
+
+@q(
+    "event_transition_matrix",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ) AS prev_type
+         FROM events),
+       c AS (SELECT prev_type, event_type AS next_type,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT prev_type, sum(n) AS n_from FROM c GROUP BY 1)
+       SELECT c.prev_type, c.next_type, c.n,
+              CAST(c.n AS DOUBLE) / t.n_from AS prob
+       FROM c JOIN t USING (prev_type)""",
+)
+def _event_transition_matrix(spark, sf_dir):
+    """First-order behavioral transition matrix: P(next event type |
+    previous event type) over per-user event sequences — the Markov
+    summary behind funnel/assist analyses. One window (keyed on
+    user_id, (ts, event_id) tie-broken), two map-combined aggregates;
+    the probability is an identical-operand IEEE division of exact
+    longs — full-precision export."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return c.join(t, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("prob"),
+    )

@@ -40,6 +40,8 @@ DTYPE_SENSITIVE = [
     "interval_coverage_users",
     "cdc_merge_snapshot",
     "seasonal_decompose_profile",
+    # round-4 session-2 event-time consumer
+    "event_transition_matrix",
 ]
 
 
