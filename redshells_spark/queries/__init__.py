@@ -51,6 +51,7 @@ _FRONT = [
     "event_value_histogram",  # r4: NEW — fixed-width profiling histogram
     "ctr_wilson_bounds",  # r4: NEW — bit-exact Wilson score intervals
     "event_transition_matrix",  # r4: NEW — behavioral Markov summary
+    "gopher_repetition_battery",  # r4: NEW — §A1.1 char-coverage filters
 ]
 
 

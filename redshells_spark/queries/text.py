@@ -1754,3 +1754,65 @@ def _video_frame_features(spark, sf_dir):
     )
     pooled = pool_frame_features(vids, video_id_column="doc_id")
     return pooled.select("doc_id", "feature_idx", _r4(F.col("value"), "value"))
+
+
+@q(
+    "gopher_repetition_battery",
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+       b AS (SELECT doc_id, toks,
+                    CAST(length(array_to_string(toks, '')) AS BIGINT) AS total_chars
+             FROM t),
+       e AS (SELECT doc_id, total_chars, toks, n,
+                    unnest(range(1, len(toks) - n + 2)) AS i
+             FROM b, (VALUES (2), (3), (4), (5), (6)) nn(n)
+             WHERE len(toks) >= n),
+       cnt AS (SELECT doc_id, total_chars, n,
+                      array_to_string(list_slice(toks, i, i + n - 1), '␟') AS gram,
+                      count(*) AS c
+               FROM e GROUP BY 1, 2, 3, 4),
+       tops AS (SELECT doc_id, n,
+                       CAST(c * (length(gram) - (n - 1)) AS DOUBLE)
+                         / total_chars AS frac
+                FROM cnt
+                WHERE n IN (2, 3, 4)
+                QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                                           ORDER BY c DESC, gram ASC) = 1),
+       dups AS (SELECT doc_id, n + 10 AS n,
+                       least(CAST(CAST(sum(CASE WHEN c > 1
+                                             THEN c * (length(gram) - (n - 1))
+                                             ELSE 0 END) AS BIGINT) AS DOUBLE)
+                               / total_chars,
+                             CAST(1 AS DOUBLE)) AS frac
+                FROM cnt WHERE n IN (5, 6)
+                GROUP BY doc_id, n, total_chars),
+       u AS (SELECT * FROM tops UNION ALL SELECT * FROM dups),
+       pv AS (SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN frac END) AS top2_char_frac,
+                     max(CASE WHEN n = 3 THEN frac END) AS top3_char_frac,
+                     max(CASE WHEN n = 4 THEN frac END) AS top4_char_frac,
+                     max(CASE WHEN n = 15 THEN frac END) AS dup5_char_frac,
+                     max(CASE WHEN n = 16 THEN frac END) AS dup6_char_frac
+              FROM u GROUP BY doc_id)
+       SELECT b.doc_id, b.total_chars,
+              coalesce(top2_char_frac, CAST(0 AS DOUBLE)) AS top2_char_frac,
+              coalesce(top3_char_frac, CAST(0 AS DOUBLE)) AS top3_char_frac,
+              coalesce(top4_char_frac, CAST(0 AS DOUBLE)) AS top4_char_frac,
+              coalesce(dup5_char_frac, CAST(0 AS DOUBLE)) AS dup5_char_frac,
+              coalesce(dup6_char_frac, CAST(0 AS DOUBLE)) AS dup6_char_frac
+       FROM b LEFT JOIN pv ON pv.doc_id = b.doc_id""",
+)
+def _gopher_repetition_battery(spark, sf_dir):
+    """The Gopher §A1.1 repetition filters beyond repetition_signals
+    (text/analysis.py gopher_repetition_battery): character coverage
+    of the single most frequent {2,3,4}-gram and of all duplicated
+    {5,6}-grams (multiplicity approximation, capped at 1). Exact
+    integer char counts, (count desc, gram asc) tie-break, one
+    identical-operand division per fraction — full-precision export,
+    no rounding."""
+    from redshells_spark.text.analysis import gopher_repetition_battery
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_repetition_battery(docs)

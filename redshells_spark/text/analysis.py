@@ -323,3 +323,115 @@ def token_entropy_signals(
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+def gopher_repetition_battery(
+    df: DataFrame, text_column: str = "text", id_column: str = "doc_id"
+) -> DataFrame:
+    """→ (id, total_chars, top{2,3,4}_char_frac, dup{5,6}_char_frac):
+    the Gopher repetition filters (Rae et al. 2021 §A1.1) beyond the
+    two in :func:`repetition_signals` — the fraction of document
+    characters covered by the single most frequent {2,3,4}-gram, and
+    by ALL duplicated {5,6}-grams (standard multiplicity
+    approximation Σ c·len over c>1 grams, capped at 1 — exact overlap
+    union would need interval merging for a filter threshold that
+    doesn't warrant it).
+
+    Character counts exclude separators (token lengths only), the
+    top-gram tie-break is (count desc, gram asc), and every fraction
+    is one identical-operand IEEE division of exact longs — full
+    precision, no rounding. One explode per n (unioned: a single
+    shuffle stage), keyed on the doc id.
+    """
+    require_columns(df, [id_column, text_column])
+    toks = _tokens(F.col(text_column))
+    base = df.select(
+        id_column,
+        toks.alias("__t"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("total_chars"),
+    )
+
+    def ngram_rel(n: int):
+        def gram_at(i):
+            return F.array_join(F.slice(F.col("__t"), i + 1, n), "␟")
+
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("__t") - F.lit(n)), gram_at
+        )
+        return (
+            base.filter(F.size("__t") >= n)
+            .select(
+                id_column,
+                "total_chars",
+                F.lit(n).alias("n"),
+                F.explode(grams).alias("gram"),
+            )
+            .groupBy(id_column, "total_chars", "n", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "glen", (F.length("gram") - F.lit(n - 1)).cast("long")
+            )
+        )
+
+    rel = None
+    for n in (2, 3, 4, 5, 6):
+        r = ngram_rel(n)
+        rel = r if rel is None else rel.unionByName(r)
+
+    w = Window.partitionBy(id_column, "n").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    ranked = rel.withColumn("rn", F.row_number().over(w))
+    tops = (
+        ranked.filter((F.col("rn") == 1) & F.col("n").isin(2, 3, 4))
+        .select(
+            id_column,
+            "n",
+            ((F.col("c") * F.col("glen")).cast("double") / F.col("total_chars")).alias(
+                "frac"
+            ),
+        )
+    )
+    dups = (
+        rel.filter(F.col("n").isin(5, 6))
+        .groupBy(id_column, "n", "total_chars")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars")
+        )
+        .select(
+            id_column,
+            (F.col("n") + 10).alias("n"),  # keys 15/16 so one pivot serves both
+            F.least(
+                F.col("dup_chars").cast("double") / F.col("total_chars"),
+                F.lit(1.0),
+            ).alias("frac"),
+        )
+    )
+    both = tops.unionByName(dups)
+    pivoted = both.groupBy(id_column).agg(
+        F.max(F.when(F.col("n") == 2, F.col("frac"))).alias("top2_char_frac"),
+        F.max(F.when(F.col("n") == 3, F.col("frac"))).alias("top3_char_frac"),
+        F.max(F.when(F.col("n") == 4, F.col("frac"))).alias("top4_char_frac"),
+        F.max(F.when(F.col("n") == 15, F.col("frac"))).alias("dup5_char_frac"),
+        F.max(F.when(F.col("n") == 16, F.col("frac"))).alias("dup6_char_frac"),
+    )
+    return (
+        base.select(id_column, "total_chars")
+        .join(pivoted, id_column, "left")
+        .select(
+            id_column,
+            "total_chars",
+            *[
+                F.coalesce(c, F.lit(0.0)).alias(c)
+                for c in (
+                    "top2_char_frac",
+                    "top3_char_frac",
+                    "top4_char_frac",
+                    "dup5_char_frac",
+                    "dup6_char_frac",
+                )
+            ],
+        )
+    )

@@ -91,3 +91,34 @@ def test_int8_report_checksums(spark):
     # vec 2 quantizes exactly (0.5 -> 64/127*1.0 is inexact; 4.0 exact)
     d = 0.5 - 64 * 1.0 / 127
     assert r[2]["err_e8"] == math.floor(d * d * 1e8 + 0.5)
+
+
+def test_gopher_repetition_battery_hand_checked(spark):
+    from redshells_spark.text.analysis import gopher_repetition_battery
+
+    rows = [
+        (0, "a b a b a b"),      # top bigram 'a b' x3 (of 5), chars 2 ea
+        (1, "x y z w v u"),      # no repetition at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition_battery(df).collect()}
+    # doc 0: 6 tokens, total_chars=6; bigrams: 'a␟b' x3, 'b␟a' x2 ->
+    # top2 covers 3*2/6 = 1.0; 5-grams: 'a b a b a','b a b a b' unique
+    assert out[0]["total_chars"] == 6
+    assert out[0]["top2_char_frac"] == 1.0
+    assert out[0]["dup5_char_frac"] == 0.0
+    # doc 1: every bigram unique -> top bigram covers 2/6
+    assert out[1]["top2_char_frac"] == pytest.approx(2 / 6)
+    assert out[1]["dup5_char_frac"] == 0.0 and out[1]["dup6_char_frac"] == 0.0
+
+
+def test_gopher_repetition_dup_ngram_cap(spark):
+    from redshells_spark.text.analysis import gopher_repetition_battery
+
+    # the same 5-gram repeated: dup5 coverage saturates at the 1.0 cap
+    df = spark.createDataFrame(
+        [(0, "a b c d e " * 4)], "doc_id long, text string"
+    )
+    r = gopher_repetition_battery(df).collect()[0]
+    assert r["dup5_char_frac"] == 1.0
+    assert r["top2_char_frac"] > 0
