@@ -155,3 +155,89 @@ def test_blocked_pairwise_equals_cross_join_property(spark, rows, block_size):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=1_000_000),
+)
+@HSETTINGS
+def test_largest_remainder_allocation_properties(spark, counts, budget):
+    from redshells_spark.data.sampling import largest_remainder_allocation
+
+    df = spark.createDataFrame(
+        [(f"g{i}", c) for i, c in enumerate(counts)], "source string, n long"
+    )
+    rows = largest_remainder_allocation(df, budget, count_column="n").collect()
+    total = sum(c for c in counts)
+    # exactness: allocations sum to the budget, every group within 1 of
+    # its ideal share, floor/extra decomposition consistent
+    assert sum(r["allocation"] for r in rows) == budget
+    for r in rows:
+        ideal = budget * dict((f"g{i}", c) for i, c in enumerate(counts))[r["source"]] / total
+        assert r["allocation"] in (r["floor_share"], r["floor_share"] + 1)
+        assert abs(r["allocation"] - ideal) < 1.0 + 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@HSETTINGS
+def test_token_entropy_bounds(spark, docs):
+    import math
+
+    from redshells_spark.text.analysis import token_entropy_signals
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    for r in token_entropy_signals(df).collect():
+        n, nd = r["n_tokens"], r["n_distinct"]
+        assert 0.0 <= r["entropy"] <= math.log(n) + 1e-9
+        assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-9
+        if nd == 1:
+            assert r["entropy"] == 0.0 and r["norm_entropy"] == 0.0
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=10),
+        min_size=2,
+        max_size=6,
+    ),
+    terms=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3, unique=True),
+)
+@HSETTINGS
+def test_bm25_matches_pure_python(spark, docs, terms):
+    import math
+
+    from redshells_spark.text.bm25 import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, tuple(terms), k=len(docs)).collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs) / n
+    want = {}
+    for i, toks in enumerate(docs):
+        s = 0.0
+        for term in terms:
+            tf = toks.count(term)
+            if not tf:
+                continue
+            dfreq = sum(1 for t in docs if term in t)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len(toks) / avgdl))
+        if s:
+            want[i] = round(s, 4)
+    assert got == want
