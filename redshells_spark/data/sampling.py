@@ -228,3 +228,32 @@ def largest_remainder_allocation(
             (F.col("floor_share") + F.col("extra")).alias("allocation"),
         )
     )
+
+
+def negative_sampling_table(
+    tokens: DataFrame,
+    token_column: str = "token",
+    power: float = 0.75,
+    decimals: int = 4,
+) -> DataFrame:
+    """→ (token, n, prob, cum_prob): the word2vec negative-sampling
+    distribution p(w) ∝ count(w)^power (Mikolov et al. 2013 use
+    0.75 — it upweights the tail), with the running CDF for
+    inverse-transform draws. One vocabulary-sized aggregate + one
+    ordered window (vocab rows, not corpus rows); probabilities are
+    rounded for the cross-engine export, the CDF accumulates in the
+    deterministic (token asc) window order."""
+    c = tokens.groupBy(token_column).agg(F.count(F.lit(1)).alias("n"))
+    weighted = c.withColumn("w", F.pow(F.col("n").cast("double"), F.lit(power)))
+    tot = weighted.agg(F.sum("w").alias("wt"))
+    w = Window.orderBy(F.col(token_column).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn("prob", F.round(F.col("w") / F.col("wt"), decimals))
+        .withColumn(
+            "cum_prob", F.round(F.sum(F.col("w") / F.col("wt")).over(w), decimals)
+        )
+        .select(token_column, F.col("n").cast("long").alias("n"), "prob", "cum_prob")
+    )

@@ -52,6 +52,7 @@ _FRONT = [
     "ctr_wilson_bounds",  # r4: NEW — bit-exact Wilson score intervals
     "event_transition_matrix",  # r4: NEW — behavioral Markov summary
     "gopher_repetition_battery",  # r4: NEW — §A1.1 char-coverage filters
+    "negative_sampling_table",  # r4: NEW — unigram^0.75 draw table + CDF
 ]
 
 

@@ -220,12 +220,18 @@ def _rename_column(spark, sf_dir):
          SELECT item_id, row_number() OVER (ORDER BY item_id ASC) - 1 AS iidx
          FROM (SELECT DISTINCT item_id FROM pos)),
        ks AS (
-         SELECT unnest(generate_series(0, 999999)) AS k),
+         -- k = 0..3·n_pos−1 derived from the data itself (DuckDB's
+         -- range() cannot take a subquery bound): 3 rows per positive,
+         -- ranked over pos ALONE before the fan-out
+         SELECT 3 * p.rn + t.j AS k
+         FROM (SELECT row_number() OVER (ORDER BY user_id ASC, item_id ASC) - 1
+                 AS rn FROM pos) p,
+              (VALUES (0), (1), (2)) t(j)),
        cand AS (
          SELECT DISTINCT
            (k * 2654435761 + 42) % 4294967296 % (SELECT count(*) FROM users) AS uidx,
            (k * 2246822519 + 42) % 4294967296 % (SELECT count(*) FROM items) AS iidx
-         FROM ks WHERE k < 3 * (SELECT count(*) FROM pos)),
+         FROM ks),
        mapped AS (
          SELECT u.user_id, i.item_id
          FROM cand c JOIN users u ON u.uidx = c.uidx JOIN items i ON i.iidx = c.iidx),

@@ -1982,3 +1982,38 @@ def _event_value_histogram(spark, sf_dir):
         _r4(F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / 20, "bucket_lo"),
         _r4(F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / 20, "bucket_hi"),
     )
+
+
+@q(
+    "negative_sampling_table",
+    """WITH tok AS (
+         SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS token
+         FROM documents),
+       c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+       wgt AS (SELECT token, n,
+                      pow(CAST(n AS DOUBLE), CAST(0.75 AS DOUBLE)) AS w
+               FROM c),
+       t AS (SELECT sum(w) AS wt FROM wgt)
+       SELECT token, n, round(w / t.wt, 4) AS prob,
+              round(sum(w / t.wt) OVER (ORDER BY token ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    4) AS cum_prob
+       FROM wgt, t""",
+)
+def _negative_sampling_table(spark, sf_dir):
+    """word2vec negative-sampling distribution (data/sampling.py
+    negative_sampling_table; Mikolov et al. 2013): p(w) ∝ count^0.75
+    over the corpus vocabulary, with the running CDF for
+    inverse-transform draws. Vocabulary-sized relation, one ordered
+    window; the CDF accumulates in deterministic (token asc) order on
+    both engines so the round-4 export is stable."""
+    from redshells_spark.data.sampling import negative_sampling_table
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    return negative_sampling_table(toks)

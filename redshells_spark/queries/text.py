@@ -880,7 +880,9 @@ def _grouped_median_price(spark, sf_dir):
     """WITH rev AS (
          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                 n2.n_name AS supp_nation,
-                l_extendedprice * (1 - l_discount) AS volume
+                CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS vol_e4
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -890,7 +892,8 @@ def _grouped_median_price(spark, sf_dir):
          JOIN nation n2 ON s_nationkey = n2.n_nationkey
          JOIN part     ON l_partkey = p_partkey AND p_size <= 10)
        SELECT o_year, supp_nation,
-              round(sum(volume), 2) AS nation_volume,
+              CAST(CAST((sum(vol_e4) + 50) // 100 AS BIGINT) AS DOUBLE) / 100
+                AS nation_volume,
               count(*) AS n_lines
        FROM rev GROUP BY o_year, supp_nation""",
 )
@@ -900,7 +903,10 @@ def _market_share_asia(spark, sf_dir):
     Spark-first: every dimension is explicitly broadcast, so the plan
     is a chain of BroadcastHashJoins over ONE fact scan — zero fact
     shuffles until the final aggregate; Catalyst reorders/prunes the
-    rest. The oracle is the plain SQL join."""
+    rest. Revenue carries EXACT integer e4 units (2-decimal price ×
+    2-decimal discount) summed as longs — the factor-10 probe caught
+    the float-sum version crossing cent-rounding boundaries at 10×
+    term counts; integer cents are order-free at any scale."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -921,12 +927,26 @@ def _market_share_asia(spark, sf_dir):
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             "supp_nation",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                * (
+                    F.lit(100)
+                    - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+                )
+            ).alias("vol_e4"),
         )
     )
-    return rev.groupBy("o_year", "supp_nation").agg(
-        F.round(F.sum("volume"), 2).alias("nation_volume"),
-        F.count(F.lit(1)).alias("n_lines"),
+    return (
+        rev.groupBy("o_year", "supp_nation")
+        .agg(F.sum("vol_e4").alias("__s"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "o_year",
+            "supp_nation",
+            (F.expr("(__s + 50) div 100").cast("double") / 100).alias(
+                "nation_volume"
+            ),
+            "n_lines",
+        )
     )
 
 

@@ -76,3 +76,19 @@ def test_largest_remainder_allocation_exact(spark):
     # the one short unit goes to the largest remainder: c (3/7 > 2/7)
     assert out == {"a": (4, 0, 4), "b": (4, 0, 4), "c": (1, 1, 2)}
     assert sum(v[2] for v in out.values()) == 10
+
+
+def test_negative_sampling_table_distribution(spark):
+    from redshells_spark.data.sampling import negative_sampling_table
+
+    toks = spark.createDataFrame(
+        [("a",)] * 16 + [("b",)] * 1, "token string"
+    )
+    out = {r["token"]: r for r in negative_sampling_table(toks).collect()}
+    # 16^0.75 = 8, 1^0.75 = 1 -> p(a) = 8/9, p(b) = 1/9: the 0.75
+    # power upweights the tail vs raw frequency (16/17)
+    assert out["a"]["prob"] == round(8 / 9, 4)
+    assert out["b"]["prob"] == round(1 / 9, 4)
+    assert out["a"]["n"] == 16
+    # CDF is monotone in token order and ends at 1
+    assert out["a"]["cum_prob"] <= out["b"]["cum_prob"] == 1.0

@@ -11,6 +11,7 @@ Usage: python tools/verify_local.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -54,9 +55,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single files; Spark-written corpora
+        # (tools/scale_probe.py) are part-file directories
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries, oracles = get_queries(), get_oracles()
     results = {}
