@@ -131,10 +131,15 @@ def weighted_sample_priority(
         "cast(conv(substring(md5(concat_ws('|', "
         f"'{seed}', cast(`{id_column}` as string))), 1, 15), 16, 10) as bigint)"
     )
+    # validate AFTER the integer cast: a fractional weight in (0,1)
+    # passes a pre-cast `<= 0` guard, truncates to 0, and u/0 → null
+    # priority — which nulls-first asc ordering would then PREFER.
+    # Sub-1 weights must be refused, not win the sample.
+    w_long = F.col(weight_column).cast("long")
     w_ok = F.when(
-        F.col(weight_column) <= 0,
+        w_long.isNull() | (w_long <= 0),
         F.raise_error(F.lit(f"weighted_sample_priority: non-positive weight in {weight_column}")),
-    ).otherwise(F.col(weight_column).cast("long"))
+    ).otherwise(w_long)
     prio = u / w_ok  # int64 / int64 → double, IEEE-identical cross-engine
     win = (
         Window.partitionBy(group_column) if group_column else Window.partitionBy()
@@ -153,7 +158,11 @@ def temperature_mix_weights(
 ) -> DataFrame:
     """Temperature-scaled domain mixing (the multilingual-corpus
     trick: raise every domain's share to 1/T, T>1 flattens the
-    distribution toward uniform): → (group, n_rows, sample_prob).
+    distribution toward uniform): → (group, n_rows, sample_prob,
+    prob_e6). ``sample_prob`` is the double the downstream thinning
+    step (:func:`apply_mix_weights`) consumes; ``prob_e6`` is the same
+    value in 1e-6 fixed point, the order-free integer export for
+    exact cross-engine checks.
 
     The whole pipeline reduces to a closed form with NO float
     aggregation: target ∝ p^(1/T) and prob ∝ target/p = p^(1/T − 1),
@@ -183,6 +192,7 @@ def temperature_mix_weights(
     return counts.select(
         group_column,
         "n_rows",
+        prob.alias("sample_prob"),
         (F.floor(prob * 1_000_000 + F.lit(0.5))).cast("long").alias("prob_e6"),
     )
 

@@ -1,0 +1,42 @@
+"""Order-free exact aggregation of fixed-decimal ("money") columns.
+
+Double addition is non-associative, so ``round(sum(double_col), 4)``
+can flip a rounding boundary when the partition order changes — the
+factor-10 differential caught exactly this in ``market_share_asia``
+(round 4) and the class recurs wherever a float sum feeds a rounding
+function. For columns that are fixed-decimal BY CONTRACT (prices and
+event values in the test tables carry 2 decimals), the cure is exact:
+recover the integer unit count per row (``floor(x*scale + 0.5)`` —
+half-up, identical in Spark and DuckDB for the positive values money
+uses), sum as int64 (associative — any partition order gives the same
+bits), and convert back with ONE correctly-rounded double division.
+
+The result equals the true sum exactly (not a float approximation of
+it), and is bit-identical across engines, partitionings, and scales —
+int64 holds corpus-level cent sums up to ~9.2e16 dollars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def money_units(col: Column, scale: int = 100) -> Column:
+    """Per-row exact fixed-point units: floor(x*scale + 0.5) as long."""
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def exact_money_sum(col: Column, scale: int = 100) -> Column:
+    """Order-free sum of a fixed-decimal column, returned as a double
+    (integer-unit sum ÷ scale, one correctly-rounded division)."""
+    return F.sum(money_units(col, scale)).cast("double") / F.lit(float(scale))
+
+
+def exact_money_sum_sql(expr: str, scale: int = 100) -> str:
+    """The DuckDB mirror of :func:`exact_money_sum` (same expression
+    tree token-for-token, HUGEINT cast back to BIGINT)."""
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {scale} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)"
+        f"::DOUBLE / {scale}"
+    )

@@ -36,6 +36,11 @@ from redshells_spark.data.frame_ops import (
     sample_data,
 )
 from redshells_spark.dedup.exact import exact_dedup
+from redshells_spark.functions.exact import (
+    exact_money_sum,
+    exact_money_sum_sql,
+    money_units,
+)
 from redshells_spark.dedup.minhash import (
     doc_shingles,
     minhash_lsh_candidates,
@@ -132,6 +137,10 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _r4(c, name: str):
     return F.round(c, 4).alias(name)
+
+
+# short alias for oracle f-strings: order-free exact money sum (SQL side)
+_MONEY_SUM = exact_money_sum_sql
 
 
 _VOCAB_SQL = """

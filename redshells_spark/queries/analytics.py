@@ -122,7 +122,8 @@ def _unpivot_event_matrix(spark, sf_dir):
 @q(
     "customer_spend_quartiles",
     """WITH s AS (SELECT o_custkey,
-                         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+                         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS spend_c
                   FROM orders GROUP BY o_custkey)
        SELECT o_custkey, spend_c,
               CAST(ntile(4) OVER w AS BIGINT) AS quartile,

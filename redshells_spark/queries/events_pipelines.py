@@ -11,20 +11,23 @@ from redshells_spark.queries._shared import *  # noqa: F401,F403
 
 @q(
     "events_rollup",
-    """SELECT user_id,
+    f"""SELECT user_id,
          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-         round(sum(value), 4) AS sum_value
+         {_MONEY_SUM('value')} AS sum_value
        FROM events GROUP BY user_id""",
 )
 def _events_rollup(spark, sf_dir):
+    # sum_value is an order-free exact cent sum (functions/exact.py) —
+    # round(sum(double),4) can flip a boundary when partition order
+    # changes (the market_share_asia scale-bug class)
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
-        _r4(F.sum("value"), "sum_value"),
+        exact_money_sum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -42,8 +45,8 @@ def _events_json_extract(spark, sf_dir):
 
 @q(
     "windowed_event_counts",
-    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
-              event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    f"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+              event_type, count(*) AS n_events, {_MONEY_SUM('value')} AS sum_value
        FROM events GROUP BY 1, 2""",
 )
 def _windowed_event_counts(spark, sf_dir):
@@ -62,7 +65,7 @@ def _windowed_event_counts(spark, sf_dir):
 
 @q(
     "sessionize",
-    """WITH d AS (
+    f"""WITH d AS (
          SELECT user_id, ts, value,
                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) >= INTERVAL 30 MINUTE
@@ -74,7 +77,7 @@ def _windowed_event_counts(spark, sf_dir):
          FROM d)
        SELECT user_id,
               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-              count(*) AS n_events, round(sum(value), 4) AS sum_value
+              count(*) AS n_events, {_MONEY_SUM('value')} AS sum_value
        FROM s GROUP BY user_id, sid""",
 )
 def _sessionize(spark, sf_dir):
@@ -118,11 +121,11 @@ def _event_time_gaps(spark, sf_dir):
 
 @q(
     "monthly_order_rollup",
-    """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start,
+    f"""SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start,
               o_orderstatus, count(*) AS n_orders,
-              round(sum(o_totalprice), 4) AS total,
-              (2 * sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) * 100 + count(*))
-                  // (2 * count(*)) AS avg_price_e4
+              {_MONEY_SUM('o_totalprice')} AS total,
+              CAST((2 * sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) * 100 + count(*))
+                       // (2 * count(*)) AS BIGINT) AS avg_price_e4
        FROM orders GROUP BY 1, 2""",
 )
 def _monthly_order_rollup(spark, sf_dir):

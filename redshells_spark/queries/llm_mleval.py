@@ -405,7 +405,7 @@ def _scd2_user_event_type(spark, sf_dir):
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                         AS prefix
              FROM f)
-       SELECT prefix // 4000 AS bin, count(*)::BIGINT AS n_files,
+       SELECT CAST(prefix // 4000 AS BIGINT) AS bin, count(*)::BIGINT AS n_files,
               sum(bytes)::BIGINT AS total_bytes,
               min(path) AS first_path, max(path) AS last_path
        FROM p GROUP BY 1""",
@@ -1178,6 +1178,7 @@ def _weighted_shortest_paths(spark, sf_dir):
                   FROM documents GROUP BY source),
        m AS (SELECT min(n_rows) AS n_min FROM c)
        SELECT source, n_rows,
+              sqrt(m.n_min::DOUBLE / c.n_rows) AS sample_prob,
               CAST(floor(sqrt(m.n_min::DOUBLE / c.n_rows) * 1000000 + 0.5)
                    AS BIGINT) AS prob_e6
        FROM c, m""",
@@ -1209,8 +1210,8 @@ def _temperature_mix_weights(spark, sf_dir):
        SELECT h.event_type,
               sum(CASE WHEN h.value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_imputed,
               count(*)::BIGINT AS n_rows,
-              sum(CAST(round(coalesce(h.value, med.m) * 10000, 0) AS BIGINT))
-                  AS imputed_sum_e4
+              CAST(sum(CAST(round(coalesce(h.value, med.m) * 10000, 0) AS BIGINT))
+                   AS BIGINT) AS imputed_sum_e4
        FROM holey h JOIN med USING (event_type)
        GROUP BY h.event_type""",
 )
@@ -1633,8 +1634,10 @@ def _auc_by_segment(spark, sf_dir):
              FROM lv)
        SELECT s AS threshold, cum_n::BIGINT AS n_predicted,
               cum_pos::BIGINT AS n_hit,
-              (2 * cum_pos * 1000000 + cum_n) // (2 * cum_n) AS precision_e6,
-              (2 * cum_pos * 1000000 + p_total) // (2 * p_total) AS recall_e6
+              CAST((2 * cum_pos * 1000000 + cum_n) // (2 * cum_n)
+                   AS BIGINT) AS precision_e6,
+              CAST((2 * cum_pos * 1000000 + p_total) // (2 * p_total)
+                   AS BIGINT) AS recall_e6
        FROM c""",
 )
 def _pr_curve(spark, sf_dir):
@@ -1679,8 +1682,8 @@ def _pr_curve(spark, sf_dir):
                     (SELECT sum(pos) FROM lv) AS p_total
              FROM lv),
        f AS (SELECT s, cum_n::BIGINT AS n_predicted, cum_pos::BIGINT AS n_hit,
-                    (2 * (2 * cum_pos) * 1000000 + (cum_n + p_total))
-                        // (2 * (cum_n + p_total)) AS f1_e6
+                    CAST((2 * (2 * cum_pos) * 1000000 + (cum_n + p_total))
+                             // (2 * (cum_n + p_total)) AS BIGINT) AS f1_e6
              FROM c)
        SELECT s AS threshold, n_predicted, n_hit, f1_e6
        FROM f ORDER BY f1_e6 DESC, s ASC LIMIT 1""",
@@ -1911,16 +1914,16 @@ def _rag_context_pack(spark, sf_dir):
        t AS (SELECT sum(n) AS tot FROM c),
        b AS (
          SELECT c.source, c.n,
-                (100000 * c.n) // t.tot AS floor_share,
-                (100000 * c.n) % t.tot AS rem
+                CAST((100000 * c.n) // t.tot AS BIGINT) AS floor_share,
+                CAST((100000 * c.n) % t.tot AS BIGINT) AS rem
          FROM c, t),
-       s AS (SELECT 100000 - sum(floor_share) AS short FROM b)
+       s AS (SELECT CAST(100000 - sum(floor_share) AS BIGINT) AS short FROM b)
        SELECT b.source, b.n, b.floor_share,
               CAST(row_number() OVER (ORDER BY b.rem DESC, b.source ASC)
                      <= s.short AS BIGINT) AS extra,
-              b.floor_share
+              CAST(b.floor_share
                 + CAST(row_number() OVER (ORDER BY b.rem DESC, b.source ASC)
-                         <= s.short AS BIGINT) AS allocation
+                         <= s.short AS BIGINT) AS BIGINT) AS allocation
        FROM b, s""",
 )
 def _token_budget_allocation(spark, sf_dir):

@@ -275,7 +275,8 @@ _INCR_CUTOFF_DAY = 20  # day index within the 30-day event window
                            - (SELECT min(epoch_us(ts) // 86400000000) FROM events) AS day,
                          CAST(round(value * 100) AS BIGINT) AS vc
                   FROM events)
-       SELECT user_id, count(*) AS n_events, sum(vc) AS total_c
+       SELECT user_id, count(*) AS n_events,
+              CAST(sum(vc) AS BIGINT) AS total_c
        FROM e GROUP BY user_id""",
 )
 def _incremental_agg_update(spark, sf_dir):

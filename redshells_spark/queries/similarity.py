@@ -407,10 +407,11 @@ def _embedding_near_dup(spark, sf_dir):
                           THEN (code * absmax) / 127 ELSE CAST(0 AS DOUBLE) END) AS d
          FROM c)
        SELECT vec_id,
-              sum(code) AS code_sum,
-              sum(abs(code)) AS code_l1,
-              CAST(floor(sum(d * d) * CAST(100000000 AS DOUBLE)
-                         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS err_e8
+              CAST(sum(code) AS BIGINT) AS code_sum,
+              CAST(sum(abs(code)) AS BIGINT) AS code_l1,
+              CAST(sum(CAST(floor(d * d * CAST(100000000 AS DOUBLE)
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                   AS BIGINT) AS err_e8
        FROM e GROUP BY vec_id""",
 )
 def _int8_quantize_embeddings(spark, sf_dir):

@@ -292,10 +292,10 @@ def _q11_high_value_parts(spark, sf_dir):
 @q(
     "q12_late_priority_lines",
     """SELECT l_linestatus,
-              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate) + 30 * 86400000000
        GROUP BY l_linestatus""",

@@ -68,15 +68,17 @@ def int8_reconstruction_report(
 ) -> DataFrame:
     """→ (id, code_sum, code_l1, err_e8): per-vector integer code
     checksums (exact — they pin every code) and the squared
-    reconstruction error in 1e-8 fixed point (floor(err*1e8 + 0.5) —
-    the portable export for an order-dependent float sum)."""
+    reconstruction error as a sum of PER-COMPONENT 1e-8 fixed-point
+    terms (floor(e²·1e8 + 0.5) each, then an integer sum). Rounding
+    before the sum makes the export genuinely order-free: integer
+    addition is associative, so partition order can never flip a .5
+    boundary the way a floored double sum could."""
     q = int8_quantize(emb, id_column, vector_column)
     err = F.col("x") - F.col("recon")
-    per = q.select(id_column, "code", (err * err).alias("e2"))
+    e2_e8 = F.floor(err * err * F.lit(100_000_000.0) + F.lit(0.5)).cast("long")
+    per = q.select(id_column, "code", e2_e8.alias("e2_e8"))
     return per.groupBy(id_column).agg(
         F.sum("code").alias("code_sum"),
         F.sum(F.abs(F.col("code"))).alias("code_l1"),
-        F.floor(F.sum("e2") * F.lit(100_000_000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("err_e8"),
+        F.sum("e2_e8").alias("err_e8"),
     )

@@ -74,11 +74,19 @@ class DsirScoreIngest:
             num_buckets=self.num_buckets,
             alpha=self.alpha,
             ngram=self.ngram,
-        ).withColumn(
-            "keep", F.col("log_weight") >= F.lit(float(self.keep_threshold))
         )
-        out = batch_df.select(self.id_column, self.text_column).join(
-            w, self.id_column
+        # LEFT join: a doc with no grams (empty text) or whose buckets
+        # are all absent from the frozen stats produces no score rows —
+        # it must still land in scored/ with an explicit decision, not
+        # vanish from the sink and the n_docs count. No evidence either
+        # way ⇒ neutral log_weight 0.0, decided by the threshold.
+        out = (
+            batch_df.select(self.id_column, self.text_column)
+            .join(w, self.id_column, "left")
+            .withColumn("log_weight", F.coalesce("log_weight", F.lit(0.0)))
+            .withColumn(
+                "keep", F.col("log_weight") >= F.lit(float(self.keep_threshold))
+            )
         )
         out.write.mode("append").parquet(f"{self.base_path}/scored")
         kept = out.filter("keep").count()

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from redshells_spark.functions.exact import exact_money_sum
 from redshells_spark.timeutil import event_ts
 
 
@@ -68,7 +69,9 @@ def windowed_event_counts(
         with_time.groupBy(window.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # order-free exact cent sum — a float sum + round can flip
+            # a boundary when micro-batch/partition order changes
+            exact_money_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -97,7 +100,7 @@ def sessionize(
         with_time.groupBy(F.session_window("__t", gap).alias("w"), user_column)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            exact_money_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             user_column,

@@ -47,6 +47,10 @@ def bm25_topk(
     engine-independent ranking (tie-break on id). ``query_terms`` are
     matched as lowercase whole tokens."""
     require_columns(docs, [id_column, text_column])
+    # corpus tokens are lowercased by _tokens; lowercase the query the
+    # same way (matching bm25_batch_scores) so uppercase query terms
+    # don't silently match nothing
+    query_terms = tuple(t.lower() for t in query_terms)
     toks = _tokens(text_column)
     # single corpus scan: doc length + per-doc tf of the query terms
     base = docs.select(

@@ -78,3 +78,12 @@ def test_bm25_batch_matches_single(spark, corpus):
         for r in batch.filter(F.col("query_id") == "q1").collect()
     }
     assert got_q1 == {d: round(s, 4) for d, s in _ref_scores(("join",)).items()}
+
+
+def test_bm25_topk_uppercase_query_terms_match(spark, corpus):
+    # ADVICE r4: the documented contract is lowercase whole-token
+    # matching — uppercase query terms must score identically to
+    # lowercase ones, not silently match nothing.
+    lo = {r["doc_id"]: r["score"] for r in bm25_topk(corpus, ("spark", "JOIN"), k=10).collect()}
+    want = {r["doc_id"]: r["score"] for r in bm25_topk(corpus, ("spark", "join"), k=10).collect()}
+    assert lo == want and len(lo) > 0

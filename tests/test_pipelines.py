@@ -168,3 +168,18 @@ def test_weighted_sample_priority_bias_and_determinism(spark):
 
     with _pytest.raises(Exception, match="non-positive"):
         weighted_sample_priority(bad, "g", "id", "w", k=1).collect()
+
+
+def test_weighted_sample_priority_refuses_fractional_weights(spark):
+    # ADVICE r4: a weight in (0,1) used to pass the pre-cast guard,
+    # truncate to 0, and win the sample via null-priority ordering —
+    # it must be refused like any other non-positive weight.
+    import pytest as _pytest
+
+    from redshells_spark.data.sampling import weighted_sample_priority
+
+    frac = spark.createDataFrame(
+        [(1, "g", 0.7), (2, "g", 2.0)], "id long, g string, w double"
+    )
+    with _pytest.raises(Exception, match="non-positive"):
+        weighted_sample_priority(frac, "g", "id", "w", k=1).collect()

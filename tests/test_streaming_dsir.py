@@ -67,3 +67,35 @@ def test_streaming_scores_match_batch(spark, tmp_path, frozen):
     assert keeps == {d: (w >= 0.0) for d, w in want.items()}
     assert sum(s["n_docs"] for s in ingest.stats) == len(CORPUS)
     assert len(ingest.stats) == 3  # one entry per micro-batch
+
+
+def test_docs_with_no_scorable_grams_land_in_scored(spark, tmp_path, frozen):
+    # ADVICE r4: empty-text docs (no grams) used to vanish from
+    # scored/ via the inner joins — neither kept nor rejected, and
+    # n_docs undercounted. They must land with an explicit neutral
+    # decision (log_weight 0.0, keep decided by the threshold).
+    src = tmp_path / "src"
+    src.mkdir()
+    batch = [(10, "aa aa bb", True), (11, "", True), (12, "   ", False)]
+    spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    ingest = DsirScoreIngest(
+        base_path=str(tmp_path / "state"), stats_path=frozen, num_buckets=16
+    )
+    q = run_dsir_ingest(stream, ingest, "dsir_empty_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    scored = spark.read.parquet(str(tmp_path / "state" / "scored"))
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert set(rows) == {10, 11, 12}  # every batch doc present
+    assert rows[11]["log_weight"] == 0.0 and rows[11]["keep"] is True
+    assert rows[12]["log_weight"] == 0.0 and rows[12]["keep"] is True
+    assert ingest.stats[0]["n_docs"] == 3

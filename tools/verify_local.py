@@ -44,6 +44,54 @@ def canon(rows, columns):
     return out
 
 
+def _duck_family(ty):
+    t = str(ty).upper()
+    if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+        # the driver's hasher renders these as float64 while Spark
+        # emits int64 — numerically-equal values hash-mismatch. Flag
+        # them outright (round-4 driver regression class).
+        return "DRIVER-UNHASHABLE"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("VARCHAR", "TEXT"):
+        return "str"
+    return "other"
+
+
+def _spark_family(dt):
+    t = dt.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t == "boolean":
+        return "bool"
+    if t == "string":
+        return "str"
+    return "other"
+
+
+def dtype_mismatches(spark_dtypes, con, oracle_sql):
+    """Compare DuckDB declared output types (LIMIT-0 plan, no data
+    scanned) against the Spark schema, int-family vs float-family —
+    the check the fetchall()-based value compare is blind to because
+    DuckDB collapses HUGEINT to a Python int."""
+    rel = con.sql(f"SELECT * FROM ({oracle_sql}) q LIMIT 0")
+    ofam = {c: _duck_family(t) for c, t in zip(rel.columns, rel.types)}
+    sfam = dict(spark_dtypes)
+    out = []
+    for c, fam in ofam.items():
+        if fam == "DRIVER-UNHASHABLE":
+            out.append(f"{c}: oracle emits HUGEINT/DECIMAL (cast to BIGINT)")
+        elif c in sfam and fam != "other" and _spark_family(sfam[c]) != fam:
+            out.append(f"{c}: spark {sfam[c]} vs oracle {fam}")
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -71,6 +119,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK ERROR: {type(e).__name__}: {e}"
@@ -89,6 +138,12 @@ def main():
             print(f"{name:32s} ORACLE ERROR: {e}", flush=True)
             continue
         status = []
+        try:
+            dt_bad = dtype_mismatches(sdtypes, con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            dt_bad = [f"dtype-probe error: {e}"]
+        if dt_bad:
+            status.append(f"DTYPE {dt_bad}")
         if sorted(scols) != sorted(ocols):
             status.append(f"COLS spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
