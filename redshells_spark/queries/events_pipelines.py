@@ -146,7 +146,7 @@ def _monthly_order_rollup(spark, sf_dir):
         .groupBy("month_start", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _r4(F.sum("o_totalprice"), "total"),
+            exact_money_sum(F.col("o_totalprice")).alias("total"),
             F.expr("(2 * sum(__c) * 100 + count(*)) div (2 * count(*))").alias(
                 "avg_price_e4"
             ),
@@ -208,31 +208,49 @@ def _quantity_histogram(spark, sf_dir):
 
 @q(
     "pricing_summary",  # TPC-H Q1-shaped flagship aggregate
-    """SELECT l_returnflag, l_linestatus,
+    f"""SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,
-         round(sum(l_extendedprice), 4) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_discount), 4) AS avg_disc,
+         {_MONEY_SUM('l_extendedprice')} AS sum_base_price,
+         {_REV_SUM('l_extendedprice', 'l_discount')} AS sum_disc_price,
+         {_AVG_E4('sum(CAST(l_quantity AS BIGINT))', 1)} AS avg_qty,
+         {_AVG_E4("sum(CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))", 100)} AS avg_disc,
          count(*) AS count_order
        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 )
 def _pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # money sums are exact integer cents / e-4 units (functions/
+    # exact.py) and the averages exact integer half-up ratios — a
+    # float sum + round() flips boundaries when partition order
+    # changes at scale (the market_share_asia class); sum_qty stays a
+    # plain double sum because integer-valued doubles add exactly.
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__dc", money_units(F.col("l_discount"))
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _r4(F.sum("l_quantity"), "sum_qty"),
-        _r4(F.sum("l_extendedprice"), "sum_base_price"),
-        _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "sum_disc_price"),
-        _r4(F.avg("l_quantity"), "avg_qty"),
-        _r4(F.avg("l_discount"), "avg_disc"),
+        exact_money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        exact_revenue_sum(F.col("l_extendedprice"), F.col("l_discount")).alias("sum_disc_price"),
+        F.expr(
+            "(2 * sum(cast(l_quantity as bigint)) * 10000 + count(*)) div (2 * count(*))"
+        ).alias("__aq"),
+        F.expr("(2 * sum(__dc) * 100 + count(*)) div (2 * count(*))").alias("__ad"),
         F.count(F.lit(1)).alias("count_order"),
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        (F.col("__aq").cast("double") / 10000).alias("avg_qty"),
+        (F.col("__ad").cast("double") / 10000).alias("avg_disc"),
+        "count_order",
     )
 
 
 @q(
     "top_revenue_orders",  # TPC-H Q3-shaped join query
-    """SELECT o.o_orderkey, c.c_mktsegment,
-              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    f"""SELECT o.o_orderkey, c.c_mktsegment,
+              {_REV_SUM('l.l_extendedprice', 'l.l_discount')} AS revenue
        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
        WHERE c.c_mktsegment = 'BUILDING'
@@ -248,7 +266,11 @@ def _top_revenue_orders(spark, sf_dir):
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "c_mktsegment")
-        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+        .agg(
+            exact_revenue_sum(
+                F.col("l_extendedprice"), F.col("l_discount")
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )

@@ -185,9 +185,9 @@ def _value_percentiles(spark, sf_dir):
 
 @q(
     "orders_rollup",
-    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+    f"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
               coalesce(o_orderpriority, 'ALL') AS priority,
-              count(*) AS n, round(sum(o_totalprice), 4) AS total
+              count(*) AS n, {_MONEY_SUM('o_totalprice')} AS total
        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
 )
 def _orders_rollup(spark, sf_dir):
@@ -195,7 +195,10 @@ def _orders_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), _r4(F.sum("o_totalprice"), "total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_money_sum(F.col("o_totalprice")).alias("total"),
+        )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -207,21 +210,30 @@ def _orders_rollup(spark, sf_dir):
 
 @q(
     "salted_aggregate",
-    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    f"""SELECT event_type, count(*) AS n, {_MONEY_SUM('value')} AS sum_value
        FROM events GROUP BY event_type""",
 )
 def _salted_aggregate(spark, sf_dir):
     # two-phase salted aggregation produces identical results to the
-    # plain groupBy — oracle proves it; the salt spreads hot keys
+    # plain groupBy — oracle proves it; the salt spreads hot keys.
+    # The summed column is exact integer cents so the two-phase
+    # partial-sum order can never shift a rounding boundary.
     from redshells_spark.operators.skew import salted_aggregate
 
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__vc", money_units(F.col("value"))
+    )
     out = salted_aggregate(
-        _t(spark, sf_dir, "events"),
+        ev,
         ["event_type"],
-        {"n": "count", "sum_value": "sum:value"},
+        {"n": "count", "sum_c": "sum:__vc"},
         num_salts=8,
     )
-    return out.select("event_type", "n", _r4(F.col("sum_value"), "sum_value"))
+    return out.select(
+        "event_type",
+        "n",
+        (F.col("sum_c").cast("double") / 100).alias("sum_value"),
+    )
 
 
 @q(
@@ -508,7 +520,9 @@ _PRICE_BANDS = [
     )
     + """)
        SELECT b.band_id, count(*) AS n_items,
-              round(sum(l.l_extendedprice), 4) AS sum_price
+              """
+    + _MONEY_SUM("l.l_extendedprice")
+    + """ AS sum_price
        FROM lineitem l JOIN b
          ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
        GROUP BY 1""",
@@ -526,27 +540,30 @@ def _range_join_price_bands(spark, sf_dir):
     joined = range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=10000.0)
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_items"),
-        _r4(F.sum("l_extendedprice"), "sum_price"),
+        exact_money_sum(F.col("l_extendedprice")).alias("sum_price"),
     )
 
 
 @q(
     "orders_grouping_sets",
-    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+    f"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
               coalesce(o_orderpriority, 'ALL') AS priority,
-              count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+              count(*) AS n_orders, {_MONEY_SUM('o_totalprice')} AS sum_price
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                (o_orderstatus), (o_orderpriority), ())""",
 )
 def _orders_grouping_sets(spark, sf_dir):
     """GROUPING SETS — free in Catalyst (one Expand + one aggregate,
-    partial aggregation preserved), identical SQL runs on DuckDB."""
+    partial aggregation preserved), identical SQL runs on DuckDB.
+    The price sum is exact integer cents (order-free across the
+    Expand's partial aggregation)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
     return spark.sql(
         """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                   coalesce(o_orderpriority, 'ALL') AS priority,
-                  count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
            FROM __gs_orders
            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                    (o_orderstatus), (o_orderpriority), ())"""

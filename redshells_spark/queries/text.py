@@ -976,7 +976,7 @@ def _latest_by_key(spark, sf_dir):
 
 @q(
     "salted_join_revenue",
-    """SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS revenue,
+    f"""SELECT o_orderpriority, {_MONEY_SUM('l_extendedprice')} AS revenue,
               count(*) AS n_lines
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderpriority""",
@@ -996,7 +996,7 @@ def _salted_join_revenue(spark, sf_dir):
     )
     joined = salted_join(li, o, on=["l_orderkey"], num_salts=8)
     return joined.groupBy("o_orderpriority").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        exact_money_sum(F.col("l_extendedprice")).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

@@ -519,19 +519,35 @@ def lsh_pairs_above_threshold(
     )
 
 
+def sqrt_num_centroids(n_rows: int, floor: int = 16) -> int:
+    """The SemDeDup/IVF scaling rule k ≈ ⌈√N⌉ (with a small floor):
+    k ~ √N keeps the expected per-cluster population ~√N, so the
+    within-cluster quadratic work per vector grows as √N instead of N
+    — the paper's entire scalability argument. Used whenever a caller
+    doesn't pass an explicit centroid count."""
+    import math
+
+    return max(floor, math.isqrt(max(0, n_rows - 1)) + 1)
+
+
 def ivf_build_index(
     corpus: DataFrame,
-    num_centroids: int = 64,
+    num_centroids: int | None = 64,
     corpus_id: str = "vec_id",
     embedding_column: str = "embedding",
     seed: int = 42,
 ) -> tuple[DataFrame, list[list[float]]]:
     """K-means coarse quantizer → (corpus with ``centroid`` assignment,
     centroid list). MLlib KMeans fits on a sample; assignment is a
-    transform (no iteration over the full corpus beyond fit)."""
+    transform (no iteration over the full corpus beyond fit).
+    ``num_centroids=None`` derives k = max(16, ⌈√N⌉) from the corpus
+    count, so the index keeps the √N cell-population contract as the
+    corpus grows."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    if num_centroids is None:
+        num_centroids = sqrt_num_centroids(corpus.count())
     vecs = corpus.withColumn("__v", array_to_vector(F.col(embedding_column).cast("array<double>")))
     km = KMeans(k=num_centroids, seed=seed, featuresCol="__v", predictionCol="centroid")
     from redshells_spark.ml.mllib_compat import strip_training_summary
@@ -544,7 +560,7 @@ def ivf_build_index(
 
 def ivf_seed_centroids(
     corpus: DataFrame,
-    num_centroids: int,
+    num_centroids: int | None = None,
     corpus_id: str = "vec_id",
     embedding_column: str = "embedding",
 ) -> list[list[float]]:
@@ -557,9 +573,14 @@ def ivf_seed_centroids(
     the centroid index an oracle can re-derive. Use with
     :func:`assign_to_centroids` for a fully oracle-checkable IVF
     pipeline; :func:`ivf_build_index` keeps the MLlib KMeans quantizer
-    when fit quality matters more than cross-engine reproducibility."""
+    when fit quality matters more than cross-engine reproducibility.
+    ``num_centroids=None`` derives k = max(16, ⌈√N⌉) from the corpus
+    count (the explicit-count path — what the oracles pin — is
+    untouched)."""
     from redshells_spark.operators.bloom import _h60_sql
 
+    if num_centroids is None:
+        num_centroids = sqrt_num_centroids(corpus.count())
     rows = (
         corpus.select(
             F.expr(_h60_sql(f"`{corpus_id}`")).alias("__h"),
