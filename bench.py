@@ -88,6 +88,13 @@ HEADLINE = [
     "kn_perplexity",
     "rag_context_pack",
     "video_frame_features",
+    # round-5 tier: binary ANN stage, dedup eval, CCNet buckets, mixing
+    "binary_quantize_embeddings",
+    "hamming_topk",
+    "minhash_dedup_eval",
+    "ccnet_perplexity_buckets",
+    "quality_stratified_mix",
+    "matryoshka_truncation_report",
 ]
 
 

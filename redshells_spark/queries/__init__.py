@@ -21,12 +21,21 @@ from redshells_spark.queries import analytics  # noqa: F401,E402
 from redshells_spark.queries import quality_warehouse  # noqa: F401,E402
 from redshells_spark.queries import tpch  # noqa: F401,E402
 from redshells_spark.queries import llm_mleval  # noqa: F401,E402
+from redshells_spark.queries import r5_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
 # whose contract changed this round are surfaced to the front of the
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
+    # --- round 5 (newest first — the driver window reads the head) ---
+    "binary_quantize_embeddings",  # r5: NEW — 1-bit sign codes, 32x compression
+    "hamming_topk",  # r5: NEW — xor+popcount coarse ANN stage
+    "minhash_dedup_eval",  # r5: NEW — LSH precision/recall vs exact Jaccard
+    "ccnet_perplexity_buckets",  # r5: NEW — per-lang head/middle/tail terciles
+    "quality_stratified_mix",  # r5: NEW — Gopher gate × largest-remainder quotas
+    "matryoshka_truncation_report",  # r5: NEW — truncation energy/cosine report
+    # --- round 4 ---
     "dimension_reduction",  # r4: rows-only → exploded-L2 oracle
     "approx_distinct_users",  # r4: HLL → portable global KMV, exact oracle
     "ivf_topk",  # r4: KMeans RNG → md5-seeded deterministic quantizer

