@@ -91,6 +91,7 @@ HEADLINE = [
     # round-5 tier: binary ANN stage, dedup eval, CCNet buckets, mixing
     "binary_quantize_embeddings",
     "hamming_topk",
+    "binary_rerank_topk",
     "minhash_dedup_eval",
     "ccnet_perplexity_buckets",
     "quality_stratified_mix",

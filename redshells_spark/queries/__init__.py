@@ -31,6 +31,7 @@ _FRONT = [
     # --- round 5 (newest first — the driver window reads the head) ---
     "binary_quantize_embeddings",  # r5: NEW — 1-bit sign codes, 32x compression
     "hamming_topk",  # r5: NEW — xor+popcount coarse ANN stage
+    "binary_rerank_topk",  # r5: NEW — coarse Hamming -> exact cosine re-rank
     "minhash_dedup_eval",  # r5: NEW — LSH precision/recall vs exact Jaccard
     "ccnet_perplexity_buckets",  # r5: NEW — per-lang head/middle/tail terciles
     "quality_stratified_mix",  # r5: NEW — Gopher gate × largest-remainder quotas

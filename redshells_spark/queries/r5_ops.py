@@ -5,6 +5,7 @@ registers at the head of the driver window (_FRONT in __init__)."""
 
 from redshells_spark.queries._shared import *  # noqa: F401,F403
 from redshells_spark.queries.dedup import _SHINGLE_SQL  # noqa: F401
+from redshells_spark.queries.similarity import _COS_SQL  # noqa: F401
 
 EMB_DIM = 64  # driver testdata embedding width (embeddings.parquet)
 
@@ -376,4 +377,66 @@ def _matryoshka_truncation_report(spark, sf_dir):
             / F.greatest(F.col("full_norm") * F.col("full_norm"), F.lit(1e-12)),
             "energy_kept_sq",
         ),
+    )
+
+
+@q(
+    "binary_rerank_topk",
+    f"""WITH {_BINQ_SQL},
+       qs AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+              FROM codes WHERE vec_id < 10),
+       coarse AS (
+         SELECT q.query_id, c.vec_id
+         FROM codes c CROSS JOIN qs q
+         QUALIFY row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(c.w0, q.q0))
+                            + bit_count(xor(c.w1, q.q1)) ASC,
+                            c.vec_id ASC) <= 50)
+       SELECT query_id, vec_id, round(score, 4) AS score,
+              CAST(rn AS BIGINT) AS rank FROM (
+         SELECT co.query_id, co.vec_id, {_COS_SQL} AS score,
+                row_number() OVER (PARTITION BY co.query_id
+                  ORDER BY {_COS_SQL} DESC, co.vec_id ASC) AS rn
+         FROM coarse co
+         JOIN embeddings a ON a.vec_id = co.query_id
+         JOIN embeddings b ON b.vec_id = co.vec_id)
+       WHERE rn <= 5""",
+)
+def _binary_rerank_topk(spark, sf_dir):
+    """The production two-stage ANN pattern closed end-to-end: Hamming
+    coarse stage over the 32×-compressed binary codes (xor+popcount at
+    scan speed, 50 candidates/query) → EXACT cosine re-rank of the
+    survivors only → top-5. At 100 TB the float vectors are touched
+    for 50·|Q| rows instead of |corpus|·|Q| — the whole reason the
+    binary tier exists. Both stages individually oracled
+    (hamming_topk, brute_force_topk); this pins their composition."""
+    from redshells_spark.functions.vector import cosine_similarity
+    from redshells_spark.similarity.binary import binary_quantize, hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = binary_quantize(emb, dim=EMB_DIM).drop("n_pos")
+    queries = codes.filter(F.col("vec_id") < 10)
+    coarse = hamming_topk(codes, queries, n_words=EMB_DIM // 32, k=50).select(
+        "query_id", "vec_id"
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qe")
+    )
+    ce = emb.select("vec_id", F.col("embedding").alias("__ce"))
+    scored = (
+        coarse.join(F.broadcast(qe), "query_id")
+        .join(ce, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity("__qe", "__ce").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", _r4(F.col("score"), "score"), "rank")
     )

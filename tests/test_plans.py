@@ -326,3 +326,39 @@ def test_bpe_encode_plan_broadcast_joins(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_binary_quantize_is_one_codegen_projection(spark, sf_dir):
+    # 1-bit quantization must be a single whole-stage-codegen projection
+    # over the scan: no Exchange, no BatchEvalPython, no interpreted
+    # higher-order functions (the flat IF-term formulation)
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["binary_quantize_embeddings"](spark, sf_dir))
+    assert "Exchange" not in plan
+    # formatted explain marks codegen stages with a leading '*'
+    assert "* Project" in plan and "* ColumnarToRow" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hamming_topk_broadcasts_queries_and_group_limits(spark, sf_dir):
+    # the corpus must stream once against BROADCAST query codes, and the
+    # per-query top-k must group-limit BEFORE the exchange so only
+    # k * |queries| rows shuffle — the 100 TB coarse-ANN contract
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["hamming_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_stratified_mix_pushes_gate_to_scan(spark, sf_dir):
+    # the Gopher gate must evaluate AT the scan (Filter directly over
+    # FileScan reading only text+source), and the mixing window must
+    # run on the tiny per-source relation, not the corpus
+    from redshells_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["quality_stratified_mix"](spark, sf_dir))
+    assert "ReadSchema: struct<text:string,source:string>" in plan
+    assert "BatchEvalPython" not in plan
