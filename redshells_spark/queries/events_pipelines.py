@@ -414,12 +414,21 @@ def _cross_group_negative_pairs(spark, sf_dir):
        items AS (
          SELECT item_id, row_number() OVER (ORDER BY item_id ASC) - 1 AS iidx
          FROM (SELECT DISTINCT item_id FROM uf)),
-       ks AS (SELECT unnest(generate_series(0, 999999)) AS k),
+       ks AS (
+         -- k = 0..3·n_pos−1 derived from the data itself — a literal
+         -- series cap silently undersamples once 3·n_pos crosses it
+         -- (the factor-10 differential caught exactly this here in r5,
+         -- as it did for anti_join_negative_sampling in r4): 3 rows
+         -- per filtered positive, ranked over uf ALONE
+         SELECT 3 * p.rn + t.j AS k
+         FROM (SELECT row_number() OVER (ORDER BY user_id ASC, item_id ASC) - 1
+                 AS rn FROM uf) p,
+              (VALUES (0), (1), (2)) t(j)),
        cand AS (
          SELECT DISTINCT
            (k * 2654435761 + 42) % 4294967296 % (SELECT count(*) FROM users) AS uidx,
            (k * 2246822519 + 42) % 4294967296 % (SELECT count(*) FROM items) AS iidx
-         FROM ks WHERE k < 3 * (SELECT count(*) FROM uf)),
+         FROM ks),
        mapped AS (
          SELECT u.user_id, i.item_id
          FROM cand c JOIN users u ON u.uidx = c.uidx JOIN items i ON i.iidx = c.iidx),
