@@ -1533,7 +1533,8 @@ def _isotonic_calibration(spark, sf_dir):
                     sum(pos)::BIGINT AS p, sum(neg)::BIGINT AS n
              FROM c)
        SELECT p AS n_pos, n AS n_neg,
-              (2 * num2 * 1000000 + 2 * p * n) // (4 * p * n) AS auc_e6
+              CAST((2 * CAST(num2 AS HUGEINT) * 1000000 + 2 * CAST(p AS HUGEINT) * n)
+                     // (4 * CAST(p AS HUGEINT) * n) AS BIGINT) AS auc_e6
        FROM t""",
 )
 def _exact_auc(spark, sf_dir):
@@ -1560,10 +1561,18 @@ def _exact_auc(spark, sf_dir):
         F.sum("pos").alias("p"),
         F.sum("neg").alias("n"),
     )
+    # num2 ≈ 2·P·N, so 2·num2·1e6 blows int64 past ~1.5M positives ×
+    # 4.5M negatives (the factor-10 corpus found this live) — the
+    # ratio runs in exact DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+    # good to ~1e15-row corpora, and only the ≤1e6 result is BIGINT.
     return t.select(
         F.col("p").alias("n_pos"),
         F.col("n").alias("n_neg"),
-        F.expr("(2 * num2 * 1000000 + 2 * p * n) div (4 * p * n)").alias("auc_e6"),
+        F.expr(
+            "CAST((2 * CAST(num2 AS DECIMAL(38,0)) * 1000000"
+            " + 2 * CAST(p AS DECIMAL(38,0)) * n)"
+            " div (4 * CAST(p AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("auc_e6"),
     )
 
 
@@ -1583,7 +1592,9 @@ def _exact_auc(spark, sf_dir):
              FROM c GROUP BY seg)
        SELECT seg, p AS n_pos, n AS n_neg,
               CASE WHEN p > 0 AND n > 0
-                   THEN (2 * num2 * 1000000 + 2 * p * n) // (4 * p * n)
+                   THEN CAST((2 * CAST(num2 AS HUGEINT) * 1000000
+                              + 2 * CAST(p AS HUGEINT) * n)
+                             // (4 * CAST(p AS HUGEINT) * n) AS BIGINT)
               END AS auc_e6
        FROM t""",
 )
@@ -1616,7 +1627,11 @@ def _auc_by_segment(spark, sf_dir):
         F.col("n").alias("n_neg"),
         F.when(
             (F.col("p") > 0) & (F.col("n") > 0),
-            F.expr("(2 * num2 * 1000000 + 2 * p * n) div (4 * p * n)"),
+            F.expr(
+                "CAST((2 * CAST(num2 AS DECIMAL(38,0)) * 1000000"
+                " + 2 * CAST(p AS DECIMAL(38,0)) * n)"
+                " div (4 * CAST(p AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ),
         ).alias("auc_e6"),
     )
 
