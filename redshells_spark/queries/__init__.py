@@ -22,13 +22,19 @@ from redshells_spark.queries import quality_warehouse  # noqa: F401,E402
 from redshells_spark.queries import tpch  # noqa: F401,E402
 from redshells_spark.queries import llm_mleval  # noqa: F401,E402
 from redshells_spark.queries import r5_ops  # noqa: F401,E402
+from redshells_spark.queries import r5b_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
 # whose contract changed this round are surfaced to the front of the
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
-    # --- round 5 (newest first — the driver window reads the head) ---
+    # --- round 5 session 2 (newest first — driver window reads the head) ---
+    "repeated_span_dedup",  # r5b: NEW — Lee et al. repeated-substring spans
+    "phrase_search_topk",  # r5b: NEW — positional consecutive-token search
+    "lsh_parameter_plan",  # r5b: NEW — MMDS S-curve (b,r) planner
+    "doremi_domain_reweight",  # r5b: NEW — DoReMi EG mixture update
+    # --- round 5 session 1 ---
     "binary_quantize_embeddings",  # r5: NEW — 1-bit sign codes, 32x compression
     "hamming_topk",  # r5: NEW — xor+popcount coarse ANN stage
     "binary_rerank_topk",  # r5: NEW — coarse Hamming -> exact cosine re-rank

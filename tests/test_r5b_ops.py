@@ -1,0 +1,268 @@
+"""Round-5 session-2 operators: repeated-span dedup, phrase search,
+LSH parameter planning, DoReMi reweighting."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _tokens_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "tokens"])
+
+
+# ------------------------------------------------------------- spans
+
+
+def test_repeated_span_report_finds_shared_span(spark):
+    # docs 1 and 2 share the 5-token run "a b c d e" -> with k=3 every
+    # window inside it is duplicated; doc 3 is unique
+    from redshells_spark.dedup.spans import repeated_span_report
+
+    df = _tokens_df(
+        spark,
+        [
+            (1, ["x", "a", "b", "c", "d", "e", "y"]),
+            (2, ["a", "b", "c", "d", "e", "q", "r", "s"]),
+            (3, ["u", "v", "w", "m", "n", "o", "p"]),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_report(df, shingle_len=3, min_count=2).collect()
+    }
+    # doc 1: duplicated windows start at pos 1..3 -> merged span [1, 5]
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 5
+    assert out[1]["dup_fraction"] == pytest.approx(5 / 7, abs=1e-4)
+    # doc 2: span [0, 4]
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 5
+    # doc 3: clean
+    assert out[3]["n_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[3]["dup_fraction"] == 0.0
+
+
+def test_repeated_span_merges_disjoint_spans(spark):
+    from redshells_spark.dedup.spans import repeated_span_report
+
+    # two separated duplicated regions in one doc must yield 2 spans
+    shared1 = ["a", "b", "c"]
+    shared2 = ["p", "q", "r"]
+    df = _tokens_df(
+        spark,
+        [
+            (1, shared1 + ["x1", "x2", "x3", "x4"] + shared2),
+            (2, shared1 + ["y1", "y2", "y3", "y4"] + shared2),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_report(df, shingle_len=3, min_count=2).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["dup_tokens"] == 6
+
+
+def test_repeated_span_within_doc_repeat_counts(spark):
+    from redshells_spark.dedup.spans import repeated_span_report
+
+    # the same trigram twice INSIDE one doc also counts (Lee et al.)
+    df = _tokens_df(spark, [(1, ["a", "b", "c", "z", "a", "b", "c"])])
+    row = repeated_span_report(df, shingle_len=3, min_count=2).collect()[0]
+    assert row["n_spans"] == 2 and row["dup_tokens"] == 6
+
+
+def test_short_docs_start_no_shingle(spark):
+    from redshells_spark.dedup.spans import repeated_span_report
+
+    df = _tokens_df(spark, [(1, ["a", "b"]), (2, ["a", "b"])])
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_report(df, shingle_len=3, min_count=2).collect()
+    }
+    assert out[1]["n_spans"] == 0 and out[1]["n_tokens"] == 2
+
+
+def test_remove_repeated_spans_transform(spark):
+    from redshells_spark.dedup.spans import remove_repeated_spans
+
+    df = _tokens_df(
+        spark,
+        [
+            (1, ["x", "a", "b", "c", "d", "e", "y"]),
+            (2, ["a", "b", "c", "d", "e"]),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(df, shingle_len=3, min_count=2).collect()
+    }
+    assert out[1]["kept_tokens"] == ["x", "y"] and out[1]["n_removed"] == 5
+    assert out[2]["kept_tokens"] == [] and out[2]["n_removed"] == 5
+
+
+def test_xxhash_path_matches_md5_classification(spark):
+    from redshells_spark.dedup.spans import repeated_span_report
+
+    df = _tokens_df(
+        spark,
+        [
+            (1, ["x", "a", "b", "c", "d", "e", "y"]),
+            (2, ["a", "b", "c", "d", "e", "q"]),
+            (3, ["u", "v", "w", "m", "n"]),
+        ],
+    )
+    md5 = sorted(
+        repeated_span_report(df, 3, 2, use_xxhash=False).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    xx = sorted(
+        repeated_span_report(df, 3, 2, use_xxhash=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r.asDict() for r in md5] == [r.asDict() for r in xx]
+
+
+# ------------------------------------------------------------- phrase
+
+
+def test_phrase_occurrences_counts_consecutive_only(spark):
+    from redshells_spark.text.phrase import phrase_occurrences
+
+    df = _tokens_df(
+        spark,
+        [
+            (1, ["hash", "join", "then", "hash", "join"]),
+            (2, ["join", "hash"]),  # reversed -> no match
+            (3, ["hash", "x", "join"]),  # gap -> no match
+        ],
+    )
+    rows = phrase_occurrences(df, ["hash join"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["n_occurrences"] == 2
+
+
+def test_phrase_mixed_lengths_and_topk_ranking(spark):
+    from redshells_spark.text.phrase import phrase_topk
+
+    df = _tokens_df(
+        spark,
+        [
+            (1, ["sort", "merge", "join", "sort", "merge", "join"]),
+            (2, ["sort", "merge", "join"]),
+            (3, ["table", "scan"]),
+        ],
+    )
+    out = phrase_topk(df, ["sort merge join", "table scan"], k=5).collect()
+    by_phrase = {}
+    for r in out:
+        by_phrase.setdefault(r["phrase"], []).append(r)
+    smj = sorted(by_phrase["sort merge join"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in smj] == [1, 2]
+    assert smj[0]["n_occurrences"] == 2
+    assert [r["doc_id"] for r in by_phrase["table scan"]] == [3]
+
+
+def test_phrase_rejects_empty(spark):
+    from redshells_spark.text.phrase import phrase_occurrences
+
+    df = _tokens_df(spark, [(1, ["a"])])
+    with pytest.raises(ValueError):
+        phrase_occurrences(df, ["  "])
+
+
+# ------------------------------------------------------------- lsh plan
+
+
+def test_lsh_plan_math_and_selection(spark):
+    from redshells_spark.dedup.lsh_plan import lsh_parameter_plan
+
+    rows = lsh_parameter_plan(spark, 128, 0.8, 0.4).collect()
+    assert len(rows) == 8  # divisors of 128
+    by_bands = {r["bands"]: r for r in rows}
+    for b, r in ((16, 8), (32, 4), (8, 16)):
+        got = by_bands[b]
+        assert got["rows_per_band"] == r
+        assert got["threshold_est"] == pytest.approx(
+            (1 / b) ** (1 / r), abs=1e-4
+        )
+        assert got["p_at_target"] == pytest.approx(
+            1 - (1 - 0.8**r) ** b, abs=1e-4
+        )
+    # closest threshold to 0.8 among divisor pairs of 128 is (8, 16)
+    selected = [r["bands"] for r in rows if r["selected"]]
+    assert selected == [8]
+    # fn + p_at_target must be complementary
+    for r in rows:
+        assert r["fn_at_target"] == pytest.approx(
+            1 - r["p_at_target"], abs=2e-4
+        )
+
+
+def test_lsh_plan_rejects_bad_nperm(spark):
+    from redshells_spark.dedup.lsh_plan import lsh_parameter_plan
+
+    with pytest.raises(ValueError):
+        lsh_parameter_plan(spark, 0)
+
+
+# ------------------------------------------------------------- doremi
+
+
+def test_doremi_reweight_shifts_mass_to_lossy_domain(spark):
+    from redshells_spark.data.doremi import doremi_reweight
+
+    losses = spark.createDataFrame(
+        [("easy", 1.0), ("mid", 1.5), ("hard", 3.0)], ["domain", "loss"]
+    )
+    out = {r["domain"]: r for r in doremi_reweight(losses, eta=1.0).collect()}
+    # min-loss domain has zero excess
+    assert out["easy"]["excess_loss"] == 0.0
+    # exponentiated-gradient: weights ordered by excess loss
+    assert out["hard"]["weight"] > out["mid"]["weight"] > out["easy"]["weight"]
+    # weights normalize to 1 (within rounding)
+    assert math.isclose(
+        sum(r["weight"] for r in out.values()), 1.0, abs_tol=3e-4
+    )
+    # closed form: alpha = exp(excess); w = .99*a/z + .01/3
+    import math as m
+
+    a = [m.exp(0.0), m.exp(0.5), m.exp(2.0)]
+    z = sum(a)
+    assert out["hard"]["weight"] == pytest.approx(
+        0.99 * a[2] / z + 0.01 / 3, abs=1e-4
+    )
+
+
+def test_doremi_explicit_reference_and_prior(spark):
+    from redshells_spark.data.doremi import doremi_reweight
+
+    losses = spark.createDataFrame(
+        [("a", 2.0, 1.0, 0.75), ("b", 1.0, 2.0, 0.25)],
+        ["domain", "loss", "ref", "prior"],
+    )
+    out = {
+        r["domain"]: r
+        for r in doremi_reweight(
+            losses,
+            ref_loss_column="ref",
+            prior_column="prior",
+            eta=2.0,
+            smoothing=0.0,
+        ).collect()
+    }
+    # a: excess 1.0 -> alpha .75*e^2 ; b: excess 0 (loss < ref) -> .25
+    import math as m
+
+    z = 0.75 * m.exp(2.0) + 0.25
+    assert out["a"]["excess_loss"] == 1.0
+    assert out["b"]["excess_loss"] == 0.0
+    assert out["a"]["weight"] == pytest.approx(0.75 * m.exp(2.0) / z, abs=1e-4)
+
+
+def test_doremi_rejects_bad_smoothing(spark):
+    from redshells_spark.data.doremi import doremi_reweight
+
+    losses = spark.createDataFrame([("a", 1.0)], ["domain", "loss"])
+    with pytest.raises(ValueError):
+        doremi_reweight(losses, smoothing=1.5)
