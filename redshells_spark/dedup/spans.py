@@ -234,3 +234,79 @@ def remove_repeated_spans(
             F.col("n_removed").cast("long").alias("n_removed"),
         )
     )
+
+
+def contamination_spans(
+    corpus_tokens: DataFrame,
+    benchmark_tokens: DataFrame,
+    shingle_len: int = 5,
+    doc_id_column: str = "doc_id",
+    tokens_column: str = "tokens",
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """→ (doc_id, span_start, span_end, span_len): the exact token
+    ranges of ``corpus_tokens`` documents that reproduce a
+    ``shingle_len``-gram of the benchmark set — span-level
+    decontamination (GPT-3 appendix C measures membership; this
+    recovers WHERE the leak sits so the span can be masked or cut
+    instead of dropping the whole document).
+
+    The benchmark's distinct shingles are broadcast (eval sets are
+    thousands of documents, not billions), so the corpus is never
+    shuffled: one broadcast LEFT SEMI probe + the per-doc interval
+    merge. Reuses :func:`positional_shingles`/:func:`merge_spans`, so
+    batch dedup and decontamination share one fingerprint space."""
+    k = int(shingle_len)
+    c_sh = positional_shingles(
+        corpus_tokens, k, doc_id_column, tokens_column, use_xxhash
+    )
+    b_sh = (
+        positional_shingles(
+            benchmark_tokens, k, doc_id_column, tokens_column, use_xxhash
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hits = c_sh.join(F.broadcast(b_sh), on="shingle", how="leftsemi").select(
+        "doc_id", "pos"
+    )
+    return merge_spans(hits, k)
+
+
+def contamination_span_report(
+    corpus_tokens: DataFrame,
+    benchmark_tokens: DataFrame,
+    shingle_len: int = 5,
+    doc_id_column: str = "doc_id",
+    tokens_column: str = "tokens",
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """→ one row per CONTAMINATED corpus document: (doc_id, n_tokens,
+    n_spans, leaked_tokens, leaked_fraction). Clean documents are
+    absent (at corpus scale almost everything is clean — emitting only
+    offenders keeps the result eval-set-sized)."""
+    spans = contamination_spans(
+        corpus_tokens,
+        benchmark_tokens,
+        shingle_len,
+        doc_id_column,
+        tokens_column,
+        use_xxhash,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").cast("long").alias("leaked_tokens"),
+    )
+    totals = corpus_tokens.select(
+        F.col(doc_id_column).alias("doc_id"),
+        F.size(tokens_column).cast("long").alias("n_tokens"),
+    )
+    return per_doc.join(totals, on="doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "leaked_tokens",
+        F.round(
+            F.col("leaked_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+        ).alias("leaked_fraction"),
+    )

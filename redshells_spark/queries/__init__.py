@@ -30,6 +30,8 @@ from redshells_spark.queries import r5b_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 5 session 2 (newest first — driver window reads the head) ---
+    "contamination_spans",  # r5b: NEW — span-level decontamination positions
+    "mmr_diversity_rerank",  # r5b: NEW — greedy MMR on exact integer scores
     "repeated_span_dedup",  # r5b: NEW — Lee et al. repeated-substring spans
     "phrase_search_topk",  # r5b: NEW — positional consecutive-token search
     "lsh_parameter_plan",  # r5b: NEW — MMDS S-curve (b,r) planner

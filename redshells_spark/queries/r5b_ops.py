@@ -194,3 +194,154 @@ def _doremi_domain_reweight(spark, sf_dir):
         .agg(F.avg(-F.log(F.col("n") / F.col("n_total"))).alias("loss"))
     )
     return doremi_reweight(losses, eta=1.0, smoothing=0.01)
+
+
+_MMR_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 1e-12) * "
+    "greatest(sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12))"
+)
+
+# one greedy MMR stage, unrolled (DuckDB windows run after GROUP BY, so
+# the argmax-over-remaining is a row_number on the aggregated score)
+_MMR_STAGE = """
+   s{i} AS (
+     SELECT query_id, vec_id, mmr_score_e5, {i} AS rank FROM (
+       SELECT c.query_id, c.vec_id,
+              CAST(7 * c.rel_e4 - 3 * max(s.sim_e4) AS BIGINT) AS mmr_score_e5,
+              row_number() OVER (
+                PARTITION BY c.query_id
+                ORDER BY 7 * c.rel_e4 - 3 * max(s.sim_e4) DESC, c.vec_id ASC
+              ) AS rn
+       FROM cand c
+       JOIN sims s ON s.query_id = c.query_id AND s.a_id = c.vec_id
+       JOIN p{prev} p ON p.query_id = s.query_id AND p.vec_id = s.b_id
+       LEFT JOIN p{prev} px ON px.query_id = c.query_id AND px.vec_id = c.vec_id
+       WHERE px.vec_id IS NULL
+       GROUP BY c.query_id, c.vec_id, c.rel_e4
+     ) WHERE rn = 1),
+   p{i} AS (SELECT * FROM p{prev} UNION ALL SELECT query_id, vec_id FROM s{i})"""
+
+
+@q(
+    "mmr_diversity_rerank",
+    f"""WITH base AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                CAST(round({_MMR_COS} * 10000) AS BIGINT) AS rel_e4,
+                row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_MMR_COS} DESC, b.vec_id ASC) AS rn
+         FROM (SELECT * FROM embeddings WHERE vec_id < 8) a
+         CROSS JOIN embeddings b
+         WHERE b.vec_id <> a.vec_id),
+       cand AS (SELECT query_id, vec_id, rel_e4 FROM base WHERE rn <= 20),
+       ce AS (
+         SELECT c.query_id, c.vec_id, c.rel_e4, e.embedding
+         FROM cand c JOIN embeddings e USING (vec_id)),
+       sims AS (
+         SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                CAST(round({_MMR_COS} * 10000) AS BIGINT) AS sim_e4
+         FROM ce a JOIN ce b ON a.query_id = b.query_id),
+       s1 AS (
+         SELECT query_id, vec_id, CAST(7 * rel_e4 AS BIGINT) AS mmr_score_e5, 1 AS rank
+         FROM (SELECT query_id, vec_id, rel_e4,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel_e4 DESC, vec_id ASC) AS rn
+               FROM cand)
+         WHERE rn = 1),
+       p1 AS (SELECT query_id, vec_id FROM s1),
+       {_MMR_STAGE.format(i=2, prev=1)},
+       {_MMR_STAGE.format(i=3, prev=2)},
+       {_MMR_STAGE.format(i=4, prev=3)},
+       {_MMR_STAGE.format(i=5, prev=4)}
+       SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, mmr_score_e5
+       FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+             SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL
+             SELECT * FROM s5)""",
+)
+def _mmr_diversity_rerank(spark, sf_dir):
+    """Carbonell-Goldstein MMR re-rank (similarity/mmr.py:mmr_rerank):
+    top-20 cosine candidates per query (8 queries, self excluded), then
+    greedy lambda=0.7 diversity selection of 5 on exact 1e-4-unit
+    integer scores — the greedy loop runs in an Arrow applyInPandas per
+    query; the oracle unrolls the same five picks as SQL stages."""
+    from redshells_spark.similarity.allpairs import matmul_topk
+    from redshells_spark.similarity.mmr import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_ = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # BLAS matmul candidate stage (same values as the Catalyst cosine,
+    # pinned in tests/test_ann_recall.py); k=21 then drop the query
+    # itself and re-rank, matching the oracle's b <> a pre-filter
+    top = matmul_topk(q_, emb, k=21).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cand = per_group_topk(
+        top, "query_id", "score", 20, tie_break=["vec_id"]
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("score") * 10000, 0).cast("long").alias("rel_e4"),
+    )
+    with_emb = cand.join(emb.select("vec_id", "embedding"), on="vec_id")
+    return mmr_rerank(with_emb, k=5, lambda10=7)
+
+
+@q(
+    "contamination_spans",
+    f"""WITH {_TOK0_SQL},
+       srcmap AS (SELECT doc_id, source FROM documents),
+       sh AS (
+         SELECT doc_id, pos,
+                md5(token || ' ' || lead(token, 1) OVER w
+                          || ' ' || lead(token, 2) OVER w
+                          || ' ' || lead(token, 3) OVER w) AS shingle
+         FROM tok
+         WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         QUALIFY lead(token, 3) OVER w IS NOT NULL),
+       bench AS (
+         SELECT DISTINCT shingle
+         FROM sh JOIN srcmap USING (doc_id) WHERE source = 'src0'),
+       cpos AS (
+         SELECT s.doc_id, s.pos
+         FROM sh s JOIN srcmap m USING (doc_id)
+         WHERE m.source <> 'src0'
+           AND s.shingle IN (SELECT shingle FROM bench)),
+       isl AS (
+         SELECT doc_id, pos,
+                CASE WHEN max(pos + 3) OVER prev IS NULL
+                       OR pos > max(pos + 3) OVER prev + 1
+                     THEN 1 ELSE 0 END AS ni
+         FROM cpos
+         WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       isl2 AS (
+         SELECT doc_id, pos,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+       spans AS (
+         SELECT doc_id, island, min(pos) AS s, max(pos) + 3 AS e
+         FROM isl2 GROUP BY doc_id, island),
+       per AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(e - s + 1) AS BIGINT) AS leaked_tokens
+         FROM spans GROUP BY doc_id),
+       tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+               FROM tok GROUP BY doc_id)
+       SELECT p.doc_id, t.n_tokens, p.n_spans, p.leaked_tokens,
+              round(p.leaked_tokens / greatest(t.n_tokens, 1), 4) AS leaked_fraction
+       FROM per p JOIN tot t USING (doc_id)""",
+)
+def _contamination_spans(spark, sf_dir):
+    """Span-level decontamination (GPT-3 appendix C, with positions):
+    the exact token ranges where a corpus document reproduces a 4-gram
+    of the held-out benchmark (source src0 stands in), via a broadcast
+    semi-probe of the benchmark's shingles — the corpus is never
+    shuffled (dedup/spans.py:contamination_span_report)."""
+    from redshells_spark.dedup.spans import contamination_span_report
+
+    docs = _tokens(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return contamination_span_report(corpus, bench, shingle_len=4)

@@ -266,3 +266,147 @@ def test_doremi_rejects_bad_smoothing(spark):
     losses = spark.createDataFrame([("a", 1.0)], ["domain", "loss"])
     with pytest.raises(ValueError):
         doremi_reweight(losses, smoothing=1.5)
+
+
+# ------------------------------------------------------------- mmr
+
+
+def _mmr_candidates(spark, rows):
+    return spark.createDataFrame(
+        rows, ["query_id", "vec_id", "rel_e4", "embedding"]
+    )
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from redshells_spark.similarity.mmr import mmr_rerank
+
+    # candidates 1,2 are near-identical high-relevance; 3 is orthogonal
+    # with lower relevance. Pure relevance top-2 = [1, 2]; MMR lambda=.7
+    # must pick the orthogonal 3 second: score(2) = 7*9000 - 3*10000 =
+    # 33000 < score(3) = 7*8000 - 3*0 = 56000.
+    cands = _mmr_candidates(
+        spark,
+        [
+            (0, 1, 9500, [1.0, 0.0]),
+            (0, 2, 9000, [1.0, 0.0]),
+            (0, 3, 8000, [0.0, 1.0]),
+        ],
+    )
+    out = sorted(mmr_rerank(cands, k=2, lambda10=7).collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert out[0]["mmr_score_e5"] == 7 * 9500
+    assert out[1]["mmr_score_e5"] == 7 * 8000
+
+
+def test_mmr_lambda10_relevance_only(spark):
+    from redshells_spark.similarity.mmr import mmr_rerank
+
+    cands = _mmr_candidates(
+        spark,
+        [
+            (0, 1, 9500, [1.0, 0.0]),
+            (0, 2, 9000, [1.0, 0.0]),
+            (0, 3, 8000, [0.0, 1.0]),
+        ],
+    )
+    out = sorted(
+        mmr_rerank(cands, k=3, lambda10=10).collect(), key=lambda r: r["rank"]
+    )
+    # lambda = 1.0 -> pure relevance order, diversity ignored
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+
+
+def test_mmr_negative_similarity_not_clamped(spark):
+    from redshells_spark.similarity.mmr import mmr_rerank
+
+    # opposite vectors: sim = -1. The diversity term must REWARD the
+    # anti-similar candidate (-3*-10000 = +30000), not clamp to 0.
+    cands = _mmr_candidates(
+        spark,
+        [
+            (0, 1, 9000, [1.0, 0.0]),
+            (0, 2, 1000, [-1.0, 0.0]),
+        ],
+    )
+    out = sorted(mmr_rerank(cands, k=2).collect(), key=lambda r: r["rank"])
+    assert out[1]["vec_id"] == 2
+    assert out[1]["mmr_score_e5"] == 7 * 1000 + 3 * 10000
+
+
+def test_mmr_groups_isolated_and_k_capped(spark):
+    from redshells_spark.similarity.mmr import mmr_rerank
+
+    cands = _mmr_candidates(
+        spark,
+        [
+            (0, 1, 9000, [1.0, 0.0]),
+            (0, 2, 8000, [0.0, 1.0]),
+            (7, 9, 5000, [1.0, 1.0]),  # singleton group, k > N
+        ],
+    )
+    out = mmr_rerank(cands, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q[0]) == 2 and len(by_q[7]) == 1
+    assert by_q[7][0]["vec_id"] == 9 and by_q[7][0]["rank"] == 1
+
+
+def test_mmr_tie_breaks_on_vec_id(spark):
+    from redshells_spark.similarity.mmr import mmr_rerank
+
+    cands = _mmr_candidates(
+        spark,
+        [
+            (0, 5, 9000, [1.0, 0.0]),
+            (0, 3, 9000, [0.0, 1.0]),  # equal rel -> lower id first
+        ],
+    )
+    out = sorted(mmr_rerank(cands, k=2).collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in out] == [3, 5]
+
+
+def test_mmr_rejects_bad_lambda(spark):
+    from redshells_spark.similarity.mmr import mmr_rerank
+
+    cands = _mmr_candidates(spark, [(0, 1, 9000, [1.0])])
+    with pytest.raises(ValueError):
+        mmr_rerank(cands, lambda10=11)
+
+
+# ------------------------------------------------------- contamination
+
+
+def test_contamination_spans_locates_leak(spark):
+    from redshells_spark.dedup.spans import (
+        contamination_span_report,
+        contamination_spans,
+    )
+
+    bench = _tokens_df(spark, [(100, ["q1", "q2", "q3", "q4"])])
+    corpus = _tokens_df(
+        spark,
+        [
+            (1, ["x", "q1", "q2", "q3", "q4", "y"]),  # leaks the 4-gram
+            (2, ["a", "b", "c", "d", "e", "f"]),  # clean
+        ],
+    )
+    spans = contamination_spans(corpus, bench, shingle_len=4).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s["doc_id"], s["span_start"], s["span_end"], s["span_len"]) == (
+        1, 1, 4, 4,
+    )
+    rep = contamination_span_report(corpus, bench, shingle_len=4).collect()
+    assert len(rep) == 1  # clean docs absent by design
+    assert rep[0]["leaked_tokens"] == 4
+    assert rep[0]["leaked_fraction"] == pytest.approx(4 / 6, abs=1e-4)
+
+
+def test_contamination_requires_full_kgram(spark):
+    from redshells_spark.dedup.spans import contamination_spans
+
+    bench = _tokens_df(spark, [(100, ["q1", "q2", "q3", "q4"])])
+    # only a 3-token prefix of the benchmark 4-gram appears -> no span
+    corpus = _tokens_df(spark, [(1, ["q1", "q2", "q3", "z", "w"])])
+    assert contamination_spans(corpus, bench, shingle_len=4).count() == 0
