@@ -188,13 +188,27 @@ def remove_repeated_spans(
 ) -> DataFrame:
     """→ (doc_id, kept_tokens:array<string>, n_removed) — the removal
     transform: every token position inside a merged duplicated span is
-    dropped, the rest keep their original order. The exploded
-    keep-filter re-aggregates with ``sort_array(collect_list(struct))``
-    so ordering is positional, never partition-dependent."""
+    dropped, the rest keep their original order."""
     sh = positional_shingles(
         tokens_df, shingle_len, doc_id_column, tokens_column, use_xxhash
     )
     spans = merge_spans(duplicated_positions(sh, min_count), shingle_len)
+    return cut_spans(tokens_df, spans, doc_id_column, tokens_column)
+
+
+def cut_spans(
+    tokens_df: DataFrame,
+    spans: DataFrame,
+    doc_id_column: str = "doc_id",
+    tokens_column: str = "tokens",
+) -> DataFrame:
+    """→ (doc_id, kept_tokens:array<string>, n_removed): drop every
+    token position of ``tokens_df`` covered by a (doc_id, span_start,
+    span_end) row of ``spans``; the rest keep their original order.
+    The exploded keep-filter re-aggregates with
+    ``sort_array(collect_list(struct))`` so ordering is positional,
+    never partition-dependent."""
+    require_columns(spans, ["doc_id", "span_start", "span_end"])
     tok = tokens_df.select(
         F.col(doc_id_column).alias("doc_id"),
         F.posexplode(tokens_column).alias("pos", "token"),
@@ -310,3 +324,27 @@ def contamination_span_report(
             F.col("leaked_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
         ).alias("leaked_fraction"),
     )
+
+
+def decontaminate_spans(
+    corpus_tokens: DataFrame,
+    benchmark_tokens: DataFrame,
+    shingle_len: int = 5,
+    doc_id_column: str = "doc_id",
+    tokens_column: str = "tokens",
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """→ (doc_id, kept_tokens, n_removed): surgical decontamination —
+    cut exactly the leaked spans instead of dropping whole documents
+    (:func:`redshells_spark.dedup.decontaminate.decontaminate` is the
+    drop-the-document variant). Every corpus document appears in the
+    output; clean ones carry n_removed = 0."""
+    spans = contamination_spans(
+        corpus_tokens,
+        benchmark_tokens,
+        shingle_len,
+        doc_id_column,
+        tokens_column,
+        use_xxhash,
+    )
+    return cut_spans(corpus_tokens, spans, doc_id_column, tokens_column)
