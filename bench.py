@@ -96,6 +96,12 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "quality_stratified_mix",
     "matryoshka_truncation_report",
+    # round-5 session-2 tier: span dedup, phrase search, MMR, mixtures
+    "repeated_span_dedup",
+    "phrase_search_topk",
+    "contamination_spans",
+    "doremi_domain_reweight",
+    "mmr_diversity_rerank",
 ]
 
 

@@ -451,3 +451,67 @@ def _hard_negative_mining(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = hard_negatives_exact(emb, k=2)
     return out.select("id", "neg_id", "label", "neg_label", "similarity")
+
+
+@q(
+    "ann_recall_report",
+    f"""WITH {_planes_sql()},{_LSH_SIG_SQL},
+       qsig AS (SELECT vec_id AS query_id, sig FROM sig WHERE vec_id < 200),
+       qb AS (SELECT query_id, block_idx, (sig >> (block_idx * 4)) & 15 AS block_val
+              FROM qsig, blk
+              UNION
+              SELECT query_id, block_idx,
+                     xor((sig >> (block_idx * 4)) & 15, 1::BIGINT << f.b)
+              FROM qsig, blk, (SELECT unnest(range(4)) AS b) f),
+       cb AS (SELECT vec_id, block_idx, (sig >> (block_idx * 4)) & 15 AS block_val
+              FROM sig, blk),
+       cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+                FROM qb JOIN cb USING (block_idx, block_val)),
+       scored AS (SELECT c.query_id, c.vec_id, {_COS_SQL} AS score
+                  FROM cand c
+                  JOIN embeddings a ON a.vec_id = c.query_id
+                  JOIN embeddings b ON b.vec_id = c.vec_id),
+       lsh AS (SELECT query_id, vec_id
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY score DESC, vec_id ASC) AS rn
+                     FROM scored)
+               WHERE rn <= 10),
+       bf AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id
+              FROM (SELECT * FROM embeddings WHERE vec_id < 200) a
+              CROSS JOIN embeddings b
+              QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                         ORDER BY {_COS_SQL} DESC, b.vec_id ASC) <= 10)
+       SELECT b.query_id, CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+              round(count(l.vec_id) / 10.0, 4) AS recall_at_10
+       FROM bf b LEFT JOIN lsh l
+         ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+       GROUP BY b.query_id""",
+)
+def _ann_recall_report(spark, sf_dir):
+    """Offline ANN quality audit: per-query recall@10 of the
+    multiprobe-LSH stage against the exact top-10 (the number a serving
+    team monitors before trading recall for latency). Composes the two
+    already-oracled retrieval paths — the exact side on the BLAS matmul
+    route, the LSH side on the literal-hyperplane route — and counts
+    the overlap; the DuckDB oracle rebuilds both rankings in SQL."""
+    from redshells_spark.similarity.allpairs import matmul_topk
+    from redshells_spark.similarity.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = lsh_topk(
+        queries, emb, k=10, num_planes=16, num_blocks=4, dim=64, multiprobe=1
+    ).select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    exact = matmul_topk(queries, emb, k=10).select("query_id", "vec_id")
+    return (
+        exact.join(lsh, on=["query_id", "vec_id"], how="left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_10"),
+        )
+    )
