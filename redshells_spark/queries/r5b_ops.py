@@ -345,3 +345,41 @@ def _contamination_spans(spark, sf_dir):
     corpus = docs.filter(F.col("source") != "src0")
     bench = docs.filter(F.col("source") == "src0")
     return contamination_span_report(corpus, bench, shingle_len=4)
+
+
+@q(
+    "pass_at_k_by_source",
+    """WITH samp AS (
+         SELECT source AS problem,
+                (len(list_filter(string_split(lower(text), ' '), t -> t <> '')) >= 40) AS correct
+         FROM documents),
+       counts AS (
+         SELECT problem,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         FROM samp GROUP BY problem),
+       with_k AS (
+         SELECT c.*, CAST(k.k AS BIGINT) AS k
+         FROM counts c, (SELECT unnest([1, 5, 10]) AS k) k
+         WHERE k.k <= c.n_samples)
+       SELECT problem, n_samples, n_correct, k,
+              round(CASE WHEN n_samples - n_correct < k THEN 1.0
+                         ELSE 1.0 - list_reduce(
+                                list_transform(generate_series(0, CAST(k AS INTEGER) - 1),
+                                  i -> (n_samples - n_correct - i) / CAST(n_samples - i AS DOUBLE)),
+                                (a, b) -> a * b)
+                    END, 4) AS pass_at_k
+       FROM with_k""",
+)
+def _pass_at_k_by_source(spark, sf_dir):
+    """Chen et al. 2021 unbiased pass@k (ml/pass_at_k.py): sources
+    stand in for problems, docs for samples, the >= 40-token gate for
+    "correct". The telescoping-product form folds the same IEEE double
+    sequence in both engines, so values match bit-for-bit before the
+    display rounding."""
+    from redshells_spark.ml.pass_at_k import pass_at_k
+
+    docs = _tokens(spark, sf_dir).select(
+        "source", (F.size("tokens") >= 40).alias("correct")
+    )
+    return pass_at_k(docs, "source", "correct", ks=(1, 5, 10))

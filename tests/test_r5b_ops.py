@@ -410,3 +410,47 @@ def test_contamination_requires_full_kgram(spark):
     # only a 3-token prefix of the benchmark 4-gram appears -> no span
     corpus = _tokens_df(spark, [(1, ["q1", "q2", "q3", "z", "w"])])
     assert contamination_spans(corpus, bench, shingle_len=4).count() == 0
+
+
+# ------------------------------------------------------------- pass@k
+
+
+def test_pass_at_k_closed_form(spark):
+    from redshells_spark.ml.pass_at_k import pass_at_k
+
+    # problem A: n=4, c=2 -> pass@1 = 1 - C(2,1)/C(4,1) = 0.5
+    #                        pass@2 = 1 - C(2,2)/C(4,2) = 1 - 1/6
+    # problem B: n=3, c=0 -> pass@k = 0 for all k <= 3
+    rows = [("A", t) for t in (True, True, False, False)] + [
+        ("B", False)
+    ] * 3
+    df = spark.createDataFrame(rows, ["problem", "correct"])
+    out = {
+        (r["problem"], r["k"]): r["pass_at_k"]
+        for r in pass_at_k(df, "problem", "correct", ks=(1, 2, 4)).collect()
+    }
+    assert out[("A", 1)] == pytest.approx(0.5, abs=1e-4)
+    assert out[("A", 2)] == pytest.approx(1 - 1 / 6, abs=1e-4)
+    # n - c = 2 < k = 4 -> certain success
+    assert out[("A", 4)] == 1.0
+    assert out[("B", 1)] == 0.0 and out[("B", 2)] == 0.0
+    # k=4 > n=3 for B -> row absent, not extrapolated
+    assert ("B", 4) not in out
+
+
+def test_pass_at_k_drops_oversized_k_and_dedups(spark):
+    from redshells_spark.ml.pass_at_k import pass_at_k
+
+    df = spark.createDataFrame(
+        [("A", True), ("A", False)], ["problem", "correct"]
+    )
+    out = pass_at_k(df, "problem", "correct", ks=(1, 1, 2, 10)).collect()
+    assert sorted(r["k"] for r in out) == [1, 2]
+
+
+def test_pass_at_k_rejects_bad_ks(spark):
+    from redshells_spark.ml.pass_at_k import pass_at_k
+
+    df = spark.createDataFrame([("A", True)], ["problem", "correct"])
+    with pytest.raises(ValueError):
+        pass_at_k(df, "problem", "correct", ks=(0,))
