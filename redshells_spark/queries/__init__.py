@@ -30,6 +30,7 @@ from redshells_spark.queries import r5b_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 5 session 2 (newest first — driver window reads the head) ---
+    "unigram_encode",  # r5b: NEW — SentencePiece unigram-LM tokenizer
     "pass_at_k_by_source",  # r5b: NEW — Chen et al. unbiased pass@k
     "ann_recall_report",  # r5b: NEW — recall@10 of LSH vs exact, both oracled
     "contamination_spans",  # r5b: NEW — span-level decontamination positions

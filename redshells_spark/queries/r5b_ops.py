@@ -383,3 +383,119 @@ def _pass_at_k_by_source(spark, sf_dir):
         "source", (F.size("tokens") >= 40).alias("correct")
     )
     return pass_at_k(docs, "source", "correct", ks=(1, 5, 10))
+
+
+# ---- unigram-LM tokenizer oracle: Viterbi DP unrolled as CTE stages
+_UNI_N = 12  # DP positions (corpus max word length is 8; headroom)
+_UNI_L = 4  # max piece length
+_UNI_TOP = 50  # multi-char candidates kept
+
+
+def _unigram_dp_sql() -> str:
+    stages = []
+    for j in range(1, _UNI_N + 1):
+        arms = []
+        for l in range(1, min(_UNI_L, j) + 1):
+            arms.append(
+                f"""SELECT w.word,
+                       d.score + coalesce(p.logp_e6, -1000000000000000) AS score,
+                       {l} AS bp
+                FROM wf w
+                JOIN dp{j - l} d ON d.word = w.word
+                LEFT JOIN pieces p ON p.piece = substr(w.word, {j - l + 1}, {l})"""
+            )
+        union = "\n                UNION ALL\n                ".join(arms)
+        stages.append(
+            f"""dp{j} AS MATERIALIZED (
+             SELECT word, score, bp FROM (
+               SELECT c.word, c.score, c.bp,
+                      row_number() OVER (PARTITION BY c.word
+                                         ORDER BY c.score DESC, c.bp DESC) AS rn
+               FROM ({union}) c)
+             WHERE rn = 1)"""
+        )
+    dpall = " UNION ALL ".join(
+        f"SELECT word, {j} AS j, bp FROM dp{j}" for j in range(1, _UNI_N + 1)
+    )
+    stages.append(f"dpall AS MATERIALIZED ({dpall})")
+    stages.append(
+        "bt0 AS (SELECT word, length(word) AS j, []::VARCHAR[] AS parts FROM wf)"
+    )
+    for i in range(1, _UNI_N + 1):
+        stages.append(
+            f"""bt{i} AS MATERIALIZED (
+             SELECT b.word,
+                    CASE WHEN b.j > 0 THEN b.j - d.bp ELSE b.j END AS j,
+                    CASE WHEN b.j > 0
+                         THEN list_append(b.parts, substr(b.word, b.j - d.bp + 1, d.bp))
+                         ELSE b.parts END AS parts
+             FROM bt{i - 1} b
+             LEFT JOIN dpall d ON d.word = b.word AND d.j = b.j)"""
+        )
+    return ",\n       ".join(stages)
+
+
+@q(
+    "unigram_encode",
+    f"""WITH {_TOK0_SQL},
+       wf AS MATERIALIZED (SELECT token AS word, CAST(count(*) AS BIGINT) AS freq
+              FROM tok GROUP BY token),
+       subs AS (
+         SELECT substr(word, s.s, l.l) AS piece, freq
+         FROM wf
+         JOIN (SELECT unnest(generate_series(1, {_UNI_N})) AS s) s
+           ON s.s <= length(word)
+         JOIN (SELECT unnest(generate_series(1, {_UNI_L})) AS l) l
+           ON l.l <= length(word) - s.s + 1),
+       pc AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses
+              FROM subs GROUP BY piece),
+       kept AS (
+         SELECT * FROM pc WHERE length(piece) = 1
+         UNION ALL
+         SELECT * FROM (SELECT * FROM pc WHERE length(piece) > 1
+                        ORDER BY n_uses DESC, piece ASC LIMIT {_UNI_TOP})),
+       tot AS (SELECT sum(n_uses) AS t FROM kept),
+       pieces AS MATERIALIZED (
+         SELECT piece,
+                CAST(floor(ln(n_uses) * 1000000) - floor(ln(t) * 1000000)
+                     AS BIGINT) AS logp_e6
+         FROM kept CROSS JOIN tot),
+       dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS bp FROM wf),
+       {_unigram_dp_sql()},
+       seg AS (SELECT word, list_reverse(parts) AS pieces FROM bt{_UNI_N})
+       SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+              CAST(generate_subscripts(s.pieces, 1) - 1 AS BIGINT) AS sub_pos,
+              unnest(s.pieces) AS piece
+       FROM tok t JOIN seg s ON s.word = t.token""",
+)
+def _unigram_encode(spark, sf_dir):
+    """Unigram-LM (SentencePiece) tokenizer, Kudo 2018 arXiv:1804.10959
+    (text/unigram.py): substring-seeded piece table with exact-int
+    fixed-point log-probs, Viterbi best segmentation of the
+    distinct-word relation ENTIRELY in Catalyst expressions (one DP
+    column per prefix position, backtrace as an aggregate fold — no
+    UDF), then corpus encoding via one broadcast join. The oracle
+    replays the identical DP as unrolled SQL stages; ties break
+    (score desc, last-piece-length desc) on exact int64 in both
+    engines. Complements text/bpe.py — the two standard subword
+    families, both oracle-checked."""
+    from redshells_spark.text.unigram import (
+        seed_piece_table,
+        unigram_encode,
+        viterbi_segment_words,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    words = (
+        toks.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pieces = seed_piece_table(
+        words, max_piece_len=_UNI_L, keep_top=_UNI_TOP
+    )
+    seg = viterbi_segment_words(
+        words, pieces, max_piece_len=_UNI_L, max_word_len=_UNI_N
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_encode(docs, seg)

@@ -454,3 +454,123 @@ def test_pass_at_k_rejects_bad_ks(spark):
     df = spark.createDataFrame([("A", True)], ["problem", "correct"])
     with pytest.raises(ValueError):
         pass_at_k(df, "problem", "correct", ks=(0,))
+
+
+# ------------------------------------------------------------ unigram
+
+
+def _wf(spark, rows):
+    return spark.createDataFrame(rows, ["word", "freq"])
+
+
+def test_unigram_seed_pieces_and_fallback(spark):
+    from redshells_spark.text.unigram import seed_piece_table
+
+    pieces = {
+        r["piece"]: r["n_uses"]
+        for r in seed_piece_table(
+            _wf(spark, [("abab", 2), ("ab", 1)]), max_piece_len=3, keep_top=2
+        ).collect()
+    }
+    # singles always kept; "ab" counted in abab twice (x2 freq) + ab once
+    assert pieces["a"] == 2 * 2 + 1 and pieces["ab"] == 2 * 2 + 1
+    # keep_top=2 keeps the two best multi-char pieces only
+    assert sum(1 for p in pieces if len(p) > 1) == 2
+
+
+def test_unigram_viterbi_prefers_likely_pieces(spark):
+    from redshells_spark.text.unigram import (
+        seed_piece_table,
+        viterbi_segment_words,
+    )
+
+    words = _wf(spark, [("hello", 10), ("help", 5), ("lolo", 3)])
+    pieces = seed_piece_table(words, max_piece_len=3, keep_top=10)
+    seg = {
+        r["word"]: (r["pieces"], r["n_pieces"])
+        for r in viterbi_segment_words(
+            words, pieces, max_piece_len=3, max_word_len=8
+        ).collect()
+    }
+    # every segmentation reconstructs its word
+    for w, (ps, n) in seg.items():
+        assert "".join(ps) == w and n == len(ps)
+    # "lolo" must use the high-frequency "lo" piece twice
+    assert seg["lolo"][0] == ["lo", "lo"]
+
+
+def test_unigram_refuses_overlong_word(spark):
+    from redshells_spark.text.unigram import (
+        seed_piece_table,
+        viterbi_segment_words,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    words = _wf(spark, [("abcdefghij", 1)])
+    pieces = seed_piece_table(words, max_piece_len=2, keep_top=5)
+    with pytest.raises(Exception) as exc:
+        viterbi_segment_words(
+            words, pieces, max_piece_len=2, max_word_len=4
+        ).collect()
+    assert "max_word_len" in str(exc.value)
+
+
+def test_unigram_hard_em_improves_likelihood(spark):
+    from pyspark.sql import functions as F
+
+    from redshells_spark.text.unigram import (
+        hard_em_round,
+        seed_piece_table,
+        viterbi_segment_words,
+    )
+
+    words = _wf(
+        spark,
+        [("hello", 10), ("help", 5), ("lolo", 3), ("lop", 2), ("pell", 1)],
+    )
+
+    def corpus_ll(piece_table):
+        seg = viterbi_segment_words(
+            words, piece_table, max_piece_len=3, max_word_len=8
+        )
+        return (
+            seg.join(words, "word")
+            .agg(F.sum(F.col("score_e6") * F.col("freq")))
+            .collect()[0][0]
+        )
+
+    p0 = seed_piece_table(words, max_piece_len=3, keep_top=10)
+    ll0 = corpus_ll(p0)
+    p1 = hard_em_round(words, p0, max_piece_len=3, max_word_len=8)
+    ll1 = corpus_ll(p1)
+    # hard EM re-estimation must not decrease the Viterbi likelihood
+    assert ll1 >= ll0
+    # pieces unused by any segmentation are dropped (unless fallback)
+    kept = {r["piece"] for r in p1.collect()}
+    assert all(len(p) == 1 or p in kept for p in kept)
+
+
+def test_unigram_encode_round_trip(spark):
+    from redshells_spark.text.unigram import (
+        seed_piece_table,
+        unigram_encode,
+        viterbi_segment_words,
+    )
+
+    words = _wf(spark, [("hello", 2), ("help", 1)])
+    pieces = seed_piece_table(words, max_piece_len=3, keep_top=10)
+    seg = viterbi_segment_words(words, pieces, 3, 8)
+    docs = spark.createDataFrame(
+        [(1, "hello help"), (2, "HELP")], ["doc_id", "text"]
+    )
+    rows = unigram_encode(docs, seg).collect()
+    by_doc_pos = {}
+    for r in rows:
+        by_doc_pos.setdefault((r["doc_id"], r["pos"]), []).append(
+            (r["sub_pos"], r["piece"])
+        )
+    # reassembling pieces in sub_pos order reconstructs each word
+    words_in = {(1, 0): "hello", (1, 1): "help", (2, 0): "help"}
+    for key, want in words_in.items():
+        got = "".join(p for _, p in sorted(by_doc_pos[key]))
+        assert got == want
