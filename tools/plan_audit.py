@@ -1,0 +1,139 @@
+"""Physical-plan audit over the query registry.
+
+Walks every registry query's *optimized physical plan* (no execution —
+``df._jdf.queryExecution().executedPlan()`` string) and flags the
+anti-patterns that matter at 100 TB:
+
+- **python-row-udf**: ``BatchEvalPython`` — a row-at-a-time Python UDF
+  in the plan (Arrow ``ArrowEvalPython`` / ``FlatMapGroupsInPandas``
+  etc. are allowed at codec/model boundaries and reported as info).
+- **cartesian**: ``CartesianProduct`` — a non-broadcast cross join.
+  Some queries are intentionally all-pairs (their names are
+  allow-listed below with the reason); anything else is a defect.
+- **wide-scan**: a parquet scan of the big fact tables (lineitem,
+  orders, events, documents, embeddings) whose ReadSchema carries
+  every column of the table — usually a missed column prune.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Exit code 1 if any non-allow-listed flag fires — usable as a gate.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# queries whose plans legitimately contain a CartesianProduct
+CARTESIAN_OK = {
+    # the operator IS the all-pairs scoring surface (reference parity)
+    "cartesian_product_scoring",
+    # 1-row aggregate joined to every row (scalar broadcast by value);
+    # Spark plans a 1×N cross join below the broadcast threshold
+    # detection in some shapes — bounded by construction
+}
+
+# full column counts of the UNIFORM-WIDTH big tables (testdata
+# schemas): a scan that reads EVERY column of one of these is a missed
+# prune unless the query genuinely consumes the full row.
+#
+# `documents` and `embeddings` are deliberately NOT flagged: one column
+# (text / embedding) carries >99% of the bytes, so a scan that also
+# reads the narrow metadata columns costs ~nothing at 100 TB — and the
+# shared tokenized-corpus cache (queries/_shared.py:_tokens)
+# intentionally reads the full row once so 40+ text-tier queries reuse
+# a single materialization. Pruning THOSE scans would multiply the
+# expensive text read, not save it.
+_TABLE_COLS = {
+    "lineitem": 11,
+    "orders": 6,
+    "events": 6,
+}
+
+# queries that genuinely consume every column of a flagged table
+# (full-row exports / profiling reports / schema-wide dedup)
+WIDE_SCAN_OK: dict[str, set[str]] = {}
+
+
+def _count_struct_fields(body: str) -> int:
+    """Count top-level fields of a ReadSchema struct body, ignoring
+    commas nested inside parameterized types like decimal(10,2) or
+    array<struct<...>>."""
+    depth = 0
+    fields = 0
+    seen = False
+    for ch in body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields += 1
+        else:
+            seen = seen or not ch.isspace()
+    return fields + 1 if seen else 0
+
+
+def audit_plan(name: str, plan: str) -> list[tuple[str, str]]:
+    flags: list[tuple[str, str]] = []
+    if "BatchEvalPython" in plan:
+        flags.append(("python-row-udf", "BatchEvalPython in plan"))
+    if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+        flags.append(("cartesian", "non-broadcast cross join"))
+    for table, ncols in _TABLE_COLS.items():
+        if table in WIDE_SCAN_OK.get(name, set()):
+            continue
+        for m in re.finditer(
+            rf"{table}\.parquet[^\n]*ReadSchema: struct<((?:[^<>]|<[^<>]*>)*)>",
+            plan,
+        ):
+            n = _count_struct_fields(m.group(1))
+            if n >= ncols:
+                flags.append(
+                    (
+                        "wide-scan",
+                        f"{table} scan reads all {n} columns",
+                    )
+                )
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from redshells_spark import get_spark_session
+    from redshells_spark.queries import get_queries
+
+    spark = get_spark_session(
+        "plan_audit", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = get_queries()
+    names = sys.argv[2:] or list(queries)
+    n_flagged = 0
+    n_arrow = 0
+    for name in names:
+        try:
+            df = queries[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — report, keep walking
+            print(f"{name:34s} PLAN ERROR: {exc}")
+            n_flagged += 1
+            continue
+        if "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan:
+            n_arrow += 1
+        flags = audit_plan(name, plan)
+        if flags:
+            n_flagged += 1
+            for kind, detail in flags:
+                print(f"{name:34s} {kind:15s} {detail}")
+    print(
+        f"\n{len(names)} plans audited, {n_flagged} flagged, "
+        f"{n_arrow} use Arrow-batch Python (allowed)"
+    )
+    return 1 if n_flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
