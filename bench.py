@@ -102,6 +102,11 @@ HEADLINE = [
     "contamination_spans",
     "doremi_domain_reweight",
     "mmr_diversity_rerank",
+    # round-5 session-3 tier: write-path planning, canonicalization, bootstrap
+    "token_balanced_shards",
+    "curriculum_schedule",
+    "near_dup_canonical_pick",
+    "bootstrap_metric_ci",
 ]
 
 

