@@ -200,6 +200,23 @@ def _leakage_safe_split(spark, sf_dir):
     return out.select("doc_id", "component", "split")
 
 
+@q("knn_graph_nn_descent")
+def _knn_graph_nn_descent(spark, sf_dir):
+    """Approximate k-NN graph by relational NN-descent (Dong et al.
+    2011; similarity/knn_graph.py): independent hashed random init,
+    capped neighbor-of-neighbor rounds, per-node top-k, checkpoint per
+    round. No SQL oracle (iterative fixpoint) — quality is gated by
+    the recall@10-vs-brute-force threshold in tests/test_knn_graph.py
+    (0.86 at 3 rounds on the near-random synthetic embeddings)."""
+    from redshells_spark.similarity.knn_graph import knn_graph_nn_descent
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = knn_graph_nn_descent(emb, k=10, iterations=3, seed=7)
+    return g.select(
+        "src", "dst", F.round("score", 4).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _bootstrap_thresholds_sql() -> str:
     from redshells_spark.ml.bootstrap import poisson1_thresholds
 

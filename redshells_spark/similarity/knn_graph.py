@@ -1,0 +1,219 @@
+"""k-NN graph construction by relational NN-descent (Dong, Moses &
+Li 2011, "Efficient k-nearest neighbor graph construction for generic
+similarity measures", WWW'11).
+
+Graph-based ANN needs a k-NN graph first, and building one exactly is
+O(N²) — a non-starter at 100 TB. NN-descent converges to a near-exact
+graph in a handful of rounds using only the observation that *a
+neighbor of a neighbor is likely a neighbor*. This implementation is
+Spark-relational end to end:
+
+- **init**: each node's first k candidates are its successors on a
+  ring ordered by ``md5(id)`` — a deterministic random permutation, no
+  RNG, no driver state (ranks via ``data/sharding.distributed_rank``,
+  never a single-task window);
+- **iterate**: undirected neighborhood (edges ∪ reversed edges, each
+  node's list capped at ``2k`` by hash priority so a hub's reverse
+  in-degree can't blow up the self-join), then the
+  neighbor-of-neighbor equi-join on the shared middle node, score new
+  candidates, union with the current graph, keep per-node top-k
+  (WindowGroupLimit prunes map-side);
+- **bound the plans**: ``localCheckpoint`` per round, exactly like the
+  repo's connected-components and Lloyd iterations.
+
+Per round the shuffles are keyed by node id with join fan-out bounded
+by (2k)², independent of N — the property that makes NN-descent THE
+practical k-NN-graph recipe at cluster scale (Faiss/NN-descent
+lineage; same recipe behind HNSW bulk-builds and PyNNDescent).
+
+No SQL oracle (iterative fixpoint); correctness is gated by a
+recall@k-vs-brute-force threshold test (tests/test_knn_graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redshells_spark.functions.vector import cosine_similarity
+from redshells_spark.operators.topk import per_group_topk
+from redshells_spark.schema import require_columns
+
+
+def _score_edges(
+    edges: DataFrame, vectors: DataFrame, id_column: str, emb: str
+) -> DataFrame:
+    """(src, dst) -> (src, dst, score) by joining both endpoints'
+    vectors. Two hash joins keyed on node id."""
+    v_src = vectors.select(
+        F.col(id_column).alias("src"), F.col(emb).alias("__se")
+    )
+    v_dst = vectors.select(
+        F.col(id_column).alias("dst"), F.col(emb).alias("__de")
+    )
+    return (
+        edges.join(v_src, "src")
+        .join(v_dst, "dst")
+        .select(
+            "src", "dst", cosine_similarity("__se", "__de").alias("score")
+        )
+    )
+
+
+def knn_graph_nn_descent(
+    vectors: DataFrame,
+    k: int = 10,
+    iterations: int = 3,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """→ (src, dst, score, rank): the approximate k-NN graph under
+    cosine similarity after ``iterations`` NN-descent rounds."""
+    require_columns(vectors, [id_column, embedding_column])
+    if k < 1 or iterations < 0:
+        raise ValueError(f"bad k={k} / iterations={iterations}")
+    from redshells_spark.data.sharding import distributed_rank
+
+    base = vectors.select(id_column, embedding_column)
+
+    # --- init: ring over the md5(id) permutation --------------------
+    ranked = distributed_rank(
+        base.withColumn(
+            "__h",
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_column).cast("string"))),
+        ),
+        [F.col("__h").asc(), F.col(id_column).asc()],
+        out_col="__r",
+    ).select(id_column, "__r")
+    n = ranked.count()
+    if n <= k:
+        # degenerate corpus: the exact graph is the all-pairs graph
+        scored = _score_edges(
+            base.selectExpr(f"{id_column} as src")
+            .crossJoin(base.selectExpr(f"{id_column} as dst"))
+            .filter(F.col("src") != F.col("dst")),
+            base,
+            id_column,
+            embedding_column,
+        )
+        return per_group_topk(
+            scored, "src", "score", k, tie_break=["dst"], rank_column="rank"
+        )
+    id_of_rank = ranked.select(
+        F.col("__r").alias("__nr"), F.col(id_column).alias("dst")
+    )
+    # k INDEPENDENT pseudo-random neighbors per node — the offset is a
+    # fresh md5 per (node, j), NOT a shared ring step: ring-successor
+    # init makes adjacent nodes share k-1 neighbors, and then
+    # neighbor-of-neighbor only widens the ring by k per round (the
+    # graph never mixes). Independent offsets give each node ~(2k)²
+    # distinct round-1 candidates, which is what makes NN-descent
+    # converge in O(log n)-ish rounds.
+    offset = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(seed)),
+                        F.col("__j").cast("string"),
+                        F.col(id_column).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (n - 1)
+        + 1
+    )
+    edges = (
+        ranked.withColumn("__j", F.explode(F.sequence(F.lit(1), F.lit(k))))
+        .withColumn("__nr", (F.col("__r") + offset) % n)
+        .join(id_of_rank, "__nr")
+        .select(F.col(id_column).alias("src"), "dst")
+        .distinct()
+    )
+    graph = per_group_topk(
+        _score_edges(edges, base, id_column, embedding_column),
+        "src",
+        "score",
+        k,
+        tie_break=["dst"],
+        rank_column="rank",
+    ).localCheckpoint(eager=True)
+
+    # --- NN-descent rounds ------------------------------------------
+    for it in range(iterations):
+        directed = graph.select("src", "dst")
+        undirected = directed.union(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        # cap each node's neighborhood at 2k by hash priority so a
+        # high-in-degree hub can't quadratically explode the join
+        capped = per_group_topk(
+            undirected.withColumn(
+                "__p",
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"{seed}|{it}"),
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+            ),
+            "src",
+            "__p",
+            2 * k,
+            tie_break=["dst"],
+            rank_column="__pr",
+            ascending=True,
+        ).select("src", "dst")
+        # neighbor-of-neighbor: (a -> m), (m -> c) => candidate (a, c)
+        cands = (
+            capped.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+            .join(
+                capped.select(F.col("src").alias("m"), F.col("dst").alias("c")),
+                "m",
+            )
+            .filter(F.col("a") != F.col("c"))
+            .select(F.col("a").alias("src"), F.col("c").alias("dst"))
+            .distinct()
+            # don't re-score current edges
+            .join(directed, ["src", "dst"], "left_anti")
+        )
+        scored = _score_edges(cands, base, id_column, embedding_column)
+        graph = per_group_topk(
+            graph.select("src", "dst", "score").union(scored),
+            "src",
+            "score",
+            k,
+            tie_break=["dst"],
+            rank_column="rank",
+        ).localCheckpoint(eager=True)
+    return graph
+
+
+def knn_graph_recall(
+    graph: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+) -> float:
+    """Mean recall@k of ``graph`` (src, dst, rank) against the exact
+    ``exact`` (query_id/src, vec_id/dst) graph — the build-quality
+    metric NN-descent papers report. Driver returns one float."""
+    g = graph.select(F.col("src"), F.col("dst")).filter(F.col("rank") <= k)
+    cols = exact.columns
+    e = exact.select(
+        F.col(cols[0]).alias("src"), F.col("vec_id" if "vec_id" in cols else cols[1]).alias("dst")
+    )
+    hit = g.join(e, ["src", "dst"], "inner").groupBy("src").agg(F.count("*").alias("h"))
+    per = e.groupBy("src").agg(F.count("*").alias("t")).join(hit, "src", "left")
+    row = per.select(
+        F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.col("t")).alias("r")
+    ).collect()[0]
+    return float(row["r"])

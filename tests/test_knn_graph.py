@@ -1,0 +1,64 @@
+"""Quality gates for the NN-descent k-NN graph (rows-only query)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from redshells_spark.queries import get_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    from redshells_spark.similarity.ann import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return (
+        brute_force_topk(
+            emb.select(F.col("vec_id").alias("query_id"), "embedding"), emb, k=10
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .cache()
+    )
+
+
+def test_registry_query_recall_gate(spark, exact):
+    from redshells_spark.similarity.knn_graph import knn_graph_recall
+
+    g = get_queries()["knn_graph_nn_descent"](spark, SF)
+    # measured 0.8613 at 3 rounds on the near-random synthetic
+    # embeddings (the hard case — no cluster structure); margin below
+    assert knn_graph_recall(g, exact, k=10) >= 0.80
+
+
+def test_graph_shape(spark):
+    g = get_queries()["knn_graph_nn_descent"](spark, SF).cache()
+    n = g.select("src").distinct().count()
+    assert n == 500  # every node has a neighborhood
+    per = g.groupBy("src").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert per[0] == per[1] == 10  # exactly k neighbors each
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_recall_improves_with_rounds(spark, exact):
+    from redshells_spark.similarity.knn_graph import (
+        knn_graph_nn_descent,
+        knn_graph_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    r1 = knn_graph_recall(knn_graph_nn_descent(emb, k=10, iterations=1), exact)
+    r3 = knn_graph_recall(knn_graph_nn_descent(emb, k=10, iterations=3), exact)
+    assert r3 > r1 + 0.1
+
+
+def test_degenerate_small_corpus_is_exact(spark):
+    from redshells_spark.similarity.knn_graph import knn_graph_nn_descent
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 8)
+    g = knn_graph_nn_descent(emb, k=10, iterations=2)
+    rows = g.collect()
+    # 8 nodes, k >= n-1: the exact all-pairs graph
+    assert len(rows) == 8 * 7
