@@ -217,6 +217,33 @@ def _knn_graph_nn_descent(spark, sf_dir):
     )
 
 
+@q("graph_ann_search")
+def _graph_ann_search(spark, sf_dir):
+    """Graph-based ANN serving path: greedy beam search (NSW/HNSW
+    single-layer shape, Malkov & Yashunin 2018) over the NN-descent
+    graph — per-round shuffle volume O(|Q|·ef·k) independent of corpus
+    size (similarity/knn_graph.py graph_search_topk). Rows-only
+    (iterative); recall@10 vs brute force gated >= 0.90 in
+    tests/test_knn_graph.py (measured 0.98 at rounds=4, ef=40)."""
+    from redshells_spark.similarity.knn_graph import (
+        graph_search_topk,
+        knn_graph_nn_descent,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    g = knn_graph_nn_descent(emb, k=10, iterations=3, seed=7)
+    out = graph_search_topk(g, emb, qv, k=10, ef=40, rounds=4, seed=13)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _bootstrap_thresholds_sql() -> str:
     from redshells_spark.ml.bootstrap import poisson1_thresholds
 

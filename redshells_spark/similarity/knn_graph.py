@@ -8,10 +8,11 @@ graph in a handful of rounds using only the observation that *a
 neighbor of a neighbor is likely a neighbor*. This implementation is
 Spark-relational end to end:
 
-- **init**: each node's first k candidates are its successors on a
-  ring ordered by ``md5(id)`` — a deterministic random permutation, no
-  RNG, no driver state (ranks via ``data/sharding.distributed_rank``,
-  never a single-task window);
+- **init**: each node gets k INDEPENDENT pseudo-random neighbors —
+  per-(node, j) md5-hashed offsets into the md5(id) permutation
+  (ranks via ``data/sharding.distributed_rank``, never a single-task
+  window). Independence matters: a shared ring step makes adjacent
+  nodes share k-1 neighbors and the graph never mixes;
 - **iterate**: undirected neighborhood (edges ∪ reversed edges, each
   node's list capped at ``2k`` by hash priority so a hub's reverse
   in-degree can't blow up the self-join), then the
@@ -217,3 +218,106 @@ def knn_graph_recall(
         F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.col("t")).alias("r")
     ).collect()[0]
     return float(row["r"])
+
+
+def graph_search_topk(
+    graph: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 20,
+    rounds: int = 3,
+    n_entry: int = 4,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    query_id: str = "query_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Greedy beam search over a k-NN graph (the NSW/HNSW search
+    pattern, Malkov & Yashunin 2018, single layer) — the *query* half
+    of graph-based ANN; :func:`knn_graph_nn_descent` is the build half.
+
+    → (query_id, vec_id, score, rank): top-k per query after
+    ``rounds`` beam expansions with beam width ``ef``.
+
+    Relational form: the beam is a (query, node, score) frame; each
+    round joins the beam's nodes to their graph neighbors (equi-join on
+    node id, fan-out ef·k per query), scores the new candidates against
+    the query vectors, unions with the beam and keeps per-query top-ef
+    (WindowGroupLimit). Entry points are ``n_entry`` md5-hashed nodes
+    shared by all queries — no centroids to train, no driver state.
+    Per-round shuffle volume is O(|Q|·ef·k), independent of corpus
+    size: the property that makes graph ANN the low-latency serving
+    path at scale. ``localCheckpoint`` per round bounds the plans.
+    """
+    require_columns(vectors, [id_column, embedding_column])
+    require_columns(queries, [query_id, embedding_column])
+    if min(k, ef, rounds, n_entry) < 1 or ef < k:
+        raise ValueError(f"bad k={k} ef={ef} rounds={rounds} n_entry={n_entry}")
+    from redshells_spark.data.sharding import distributed_rank
+
+    corpus = vectors.select(
+        F.col(id_column).alias("__cid"), F.col(embedding_column).alias("__ce")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(embedding_column).alias("__qe")
+    )
+
+    def _score(cands: DataFrame) -> DataFrame:
+        # (query_id, __cid) -> + score; two hash joins
+        return (
+            cands.join(corpus, "__cid")
+            .join(qv, "query_id")
+            .select(
+                "query_id",
+                "__cid",
+                cosine_similarity("__qe", "__ce").alias("score"),
+            )
+        )
+
+    entries = (
+        distributed_rank(
+            vectors.select(
+                F.col(id_column).alias("__cid"),
+                F.md5(
+                    F.concat_ws("|", F.lit(str(seed)), F.col(id_column).cast("string"))
+                ).alias("__h"),
+            ),
+            [F.col("__h").asc(), F.col("__cid").asc()],
+            out_col="__r",
+        )
+        .filter(F.col("__r") < n_entry)
+        .select("__cid")
+    )
+    beam = per_group_topk(
+        _score(qv.select("query_id").crossJoin(F.broadcast(entries))),
+        "query_id",
+        "score",
+        ef,
+        tie_break=["__cid"],
+    ).localCheckpoint(eager=True)
+
+    nbrs = graph.select(F.col("src").alias("__cid"), F.col("dst"))
+    for _ in range(rounds):
+        expanded = (
+            beam.select("query_id", "__cid")
+            .join(nbrs, "__cid")
+            .select("query_id", F.col("dst").alias("__cid"))
+            .distinct()
+            .join(beam.select("query_id", "__cid"), ["query_id", "__cid"], "left_anti")
+        )
+        beam = per_group_topk(
+            beam.select("query_id", "__cid", "score").union(_score(expanded)),
+            "query_id",
+            "score",
+            ef,
+            tie_break=["__cid"],
+        ).localCheckpoint(eager=True)
+    return per_group_topk(
+        beam.select("query_id", F.col("__cid").alias(id_column), "score"),
+        "query_id",
+        "score",
+        k,
+        tie_break=[id_column],
+        rank_column="rank",
+    )

