@@ -244,6 +244,63 @@ def _graph_ann_search(spark, sf_dir):
     )
 
 
+_BT_MATCHES_CTE = """matches AS (
+    SELECT CASE WHEN prev_value >= value THEN prev_type ELSE event_type END AS winner,
+           CASE WHEN prev_value >= value THEN event_type ELSE prev_type END AS loser
+    FROM (
+      SELECT user_id, event_type, value,
+             lag(event_type) OVER w AS prev_type,
+             lag(value) OVER w AS prev_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+    WHERE prev_type IS NOT NULL AND prev_type <> event_type)"""
+
+
+def _bt_oracle() -> str:
+    from redshells_spark.ml.bradley_terry import bradley_terry_sql
+
+    return bradley_terry_sql(_BT_MATCHES_CTE, iterations=20)
+
+
+@q("bradley_terry_ratings", _bt_oracle())
+def _bradley_terry_ratings(spark, sf_dir):
+    """Bradley-Terry preference ratings by Hunter's MM algorithm
+    (ml/bradley_terry.py) — the model behind RLHF reward comparisons
+    and arena leaderboards. Matches = consecutive same-user events of
+    different types, won by the higher-valued event; the match log is
+    folded ONCE into per-pair counts, then 20 MM iterations run at
+    O(#pairs) shuffle each, independent of match volume. The oracle
+    unrolls the same 20 iterations as generated SQL stages; every
+    denominator is a bounded (< #types) float sum, so engines agree to
+    ~1e-14 against the 1e-4 rounding quantum."""
+    from redshells_spark.ml.bradley_terry import bradley_terry_ratings
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
+    )
+    matches = seq.select(
+        F.when(F.col("prev_value") >= F.col("value"), F.col("prev_type"))
+        .otherwise(F.col("event_type"))
+        .alias("winner"),
+        F.when(F.col("prev_value") >= F.col("value"), F.col("event_type"))
+        .otherwise(F.col("prev_type"))
+        .alias("loser"),
+    )
+    out = bradley_terry_ratings(matches, "winner", "loser", iterations=20)
+    return out.select(
+        "item", F.round("rating", 4).alias("rating"), "w", "n_matches"
+    )
+
+
 def _bootstrap_thresholds_sql() -> str:
     from redshells_spark.ml.bootstrap import poisson1_thresholds
 
