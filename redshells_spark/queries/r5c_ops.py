@@ -244,6 +244,42 @@ def _graph_ann_search(spark, sf_dir):
     )
 
 
+def _theil_sen_oracle() -> str:
+    from redshells_spark.ml.theil_sen import theil_sen_sql
+
+    base = theil_sen_sql(
+        "points AS (SELECT user_id, epoch_us(ts) AS tus, value AS v, event_id AS k FROM events)",
+        group="user_id",
+    )
+    return (
+        f"WITH ts_base AS ({base}) "
+        "SELECT user_id, n_points, n_slopes, round(slope, 4) AS slope FROM ts_base"
+    )
+
+
+@q("theil_sen_trend", _theil_sen_oracle())
+def _theil_sen_trend(spark, sf_dir):
+    """Per-user Theil-Sen robust trend of event value over time
+    (ml/theil_sen.py): median of all pairwise slopes — 29% breakdown
+    vs OLS's single-outlier failure. Quadratic per group BY CONTRACT
+    (bounded: a user's events), group-keyed self-join, max_points
+    exclusion guard mirrored by the oracle's HAVING; medians are exact
+    order statistics, never percentile_approx."""
+    from redshells_spark.ml.theil_sen import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        event_us(ev, "ts").alias("tus"),
+        F.col("value").alias("v"),
+        "event_id",
+    )
+    out = theil_sen_trend(pts, "user_id", "tus", "v", "event_id")
+    return out.select(
+        "user_id", "n_points", "n_slopes", F.round("slope", 4).alias("slope")
+    )
+
+
 _BT_MATCHES_CTE = """matches AS (
     SELECT CASE WHEN prev_value >= value THEN prev_type ELSE event_type END AS winner,
            CASE WHEN prev_value >= value THEN event_type ELSE prev_type END AS loser
