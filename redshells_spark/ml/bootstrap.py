@@ -58,26 +58,21 @@ def _poisson_weight(prefix, thresholds: list[str]):
     return w.cast("long")
 
 
-def poisson_bootstrap_mean_ci(
+def replica_sums(
     df: DataFrame,
     value_column: str,
     id_column: str,
     n_replicas: int = 200,
     seed: int = 3,
-    alpha: float = 0.05,
     scale: int = 100,
 ) -> DataFrame:
-    """Percentile-bootstrap CI for ``mean(value_column)``.
-
-    → one row: (n_replicas, point_mean, ci_lo, ci_hi), doubles rounded
-    to 4 decimals. ``ci_lo``/``ci_hi`` are the discrete
-    floor(alpha/2 * B) order statistics of the replica means (no
-    interpolation — engine-portable by construction).
-
-    Plan shape: one scan exploded x B (combined map-side into B
-    aggregate rows), then a B-row window — bounded by ``n_replicas``,
-    never by data size.
-    """
+    """→ (b, wu, ws): per-replica weighted sums in exact integer units
+    plus weight totals — the MERGEABLE state of the Poisson bootstrap.
+    Weights depend only on (seed, replica, row id), never on batching
+    or partitioning, and the sums are associative int64 — so replica
+    sums computed per micro-batch and folded additively equal the
+    single-pass sums EXACTLY (the streaming parity contract of
+    ``streaming/bootstrap.py``)."""
     require_columns(df, [id_column, value_column])
     if n_replicas < 4:
         raise ValueError(f"n_replicas must be >= 4, got {n_replicas}")
@@ -110,13 +105,38 @@ def poisson_bootstrap_mean_ci(
     )
     prefix = F.substring(F.col("__h"), F.col("s") * 4 + 1, 4)
     weighted = base.withColumn("__w", _poisson_weight(prefix, thresholds))
-    reps = (
-        weighted.groupBy("b")
-        .agg(
-            F.sum(F.col("__w") * F.col("__u")).alias("wu"),
-            F.sum("__w").alias("ws"),
-        )
-        .filter(F.col("ws") > 0)
+    return weighted.groupBy("b").agg(
+        F.sum(F.col("__w") * F.col("__u")).cast("long").alias("wu"),
+        F.sum("__w").cast("long").alias("ws"),
+    )
+
+
+def value_totals(
+    df: DataFrame, value_column: str, scale: int = 100
+) -> DataFrame:
+    """→ one row (su, n): exact integer-unit value sum and row count —
+    the mergeable state behind the point estimate."""
+    units = money_units(F.col(value_column), scale)
+    return df.agg(
+        F.coalesce(F.sum(units), F.lit(0)).cast("long").alias("su"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+def ci_from_sums(
+    reps: DataFrame,
+    tot: DataFrame,
+    n_replicas: int = 200,
+    alpha: float = 0.05,
+    scale: int = 100,
+) -> DataFrame:
+    """(b, wu, ws) + (su, n) → one row (n_replicas, point_mean, ci_lo,
+    ci_hi), doubles rounded to 4 decimals. ``ci_lo``/``ci_hi`` are the
+    discrete floor(alpha/2 * B) order statistics of the replica means
+    (no interpolation — engine-portable by construction). The window
+    is bounded by ``n_replicas``, never by data size."""
+    means = (
+        reps.filter(F.col("ws") > 0)
         .select(
             "b",
             (
@@ -126,13 +146,12 @@ def poisson_bootstrap_mean_ci(
             ).alias("boot_mean"),
         )
         # n_replicas rows; pin them so the ci-lo / ci-hi / count
-        # branches below don't each re-run the exploded aggregation
+        # branches below don't each re-run the upstream aggregation
         .localCheckpoint(eager=True)
     )
     k_lo = int(math.floor(alpha / 2 * n_replicas))
-    # B-row frame: the global window is bounded by n_replicas, not data
     w = Window.orderBy(F.col("boot_mean").asc(), F.col("b").asc())
-    ordered = reps.withColumn("rn", F.row_number().over(w) - 1)
+    ordered = means.withColumn("rn", F.row_number().over(w) - 1)
     cnt = ordered.groupBy().agg(F.count("*").alias("n_reps"))
     lo = ordered.filter(F.col("rn") == k_lo).select(
         F.round("boot_mean", 4).alias("ci_lo")
@@ -140,16 +159,34 @@ def poisson_bootstrap_mean_ci(
     hi = ordered.join(cnt).filter(
         F.col("rn") == F.col("n_reps") - 1 - F.lit(k_lo)
     ).select(F.round("boot_mean", 4).alias("ci_hi"))
-    point = df.select(
-        (
-            F.sum(units).cast("double")
-            / F.count("*").cast("double")
-            / F.lit(float(scale))
-        ).alias("pm"),
-    ).select(F.round("pm", 4).alias("point_mean"))
+    point = tot.select(
+        F.round(
+            F.col("su").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(scale)),
+            4,
+        ).alias("point_mean")
+    )
     return (
         cnt.select(F.col("n_reps").cast("long").alias("n_replicas"))
         .crossJoin(point)
         .crossJoin(lo)
         .crossJoin(hi)
     )
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    value_column: str,
+    id_column: str,
+    n_replicas: int = 200,
+    seed: int = 3,
+    alpha: float = 0.05,
+    scale: int = 100,
+) -> DataFrame:
+    """Percentile-bootstrap CI for ``mean(value_column)`` — one scan
+    exploded into mergeable replica sums (:func:`replica_sums`), then
+    the B-row order-statistic CI (:func:`ci_from_sums`)."""
+    reps = replica_sums(df, value_column, id_column, n_replicas, seed, scale)
+    tot = value_totals(df, value_column, scale)
+    return ci_from_sums(reps, tot, n_replicas, alpha, scale)
