@@ -244,6 +244,44 @@ def _graph_ann_search(spark, sf_dir):
     )
 
 
+@q("compression_ratio_signals")
+def _compression_ratio_signals(spark, sf_dir):
+    """zlib compression-ratio quality signal (text/compress.py) — the
+    Dolma/RedPajama-v2 'zlib filter': repetitive text compresses far
+    better than prose, binary junk barely at all. One Arrow
+    mapInPandas pass (a legitimate UDF boundary: DEFLATE has no JVM
+    expression), zero shuffles. Rows-only (DuckDB has no DEFLATE) —
+    property-gated in tests/test_compress.py."""
+    from redshells_spark.text.compress import compression_signals
+
+    return compression_signals(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "keyword_in_context",
+    """WITH tok AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         FROM documents),
+       occ AS (
+         SELECT doc_id, toks, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token
+         FROM tok)
+       SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              coalesce(array_to_string(toks[greatest(1, pos - 2) : pos], ' '), '') AS left_ctx,
+              'spark' AS keyword,
+              coalesce(array_to_string(toks[pos + 2 : pos + 4], ' '), '') AS right_ctx
+       FROM occ WHERE token = 'spark'""",
+)
+def _keyword_in_context(spark, sf_dir):
+    """KWIC concordance for 'spark' with a 3-token window each side
+    (text/kwic.py): posexplode carrying the token array, context by
+    F.slice on the same row — no self-join, shuffle-free, output
+    bounded by match count."""
+    from redshells_spark.text.kwic import keyword_in_context
+
+    return keyword_in_context(_tokens(spark, sf_dir), "spark", window=3)
+
+
 def _theil_sen_oracle() -> str:
     from redshells_spark.ml.theil_sen import theil_sen_sql
 
