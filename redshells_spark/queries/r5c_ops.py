@@ -244,6 +244,37 @@ def _graph_ann_search(spark, sf_dir):
     )
 
 
+def _changepoint_oracle() -> str:
+    from redshells_spark.operators.changepoint import mean_shift_changepoint_sql
+
+    return mean_shift_changepoint_sql(
+        "points AS (SELECT user_id, value AS x, epoch_us(ts) AS ord, event_id AS ord2 FROM events)",
+        group="user_id",
+    )
+
+
+@q("mean_shift_changepoint", _changepoint_oracle())
+def _mean_shift_changepoint(spark, sf_dir):
+    """Best single mean-shift split per user's event-value series —
+    the first step of binary segmentation (operators/changepoint.py):
+    SSE cost for every split from one pass of EXACT integer-cent
+    prefix sums (int64 window sums are order-free; double prefixes
+    aren't portable — DuckDB folds window frames via a segment tree),
+    full-precision export (round() itself diverges on half
+    boundaries). Per-group windows over bounded series; one row per
+    user."""
+    from redshells_spark.operators.changepoint import mean_shift_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "value",
+        event_us(ev, "ts").alias("ord"),
+        F.col("event_id").alias("ord2"),
+    )
+    return mean_shift_changepoint(pts, "user_id", "value", ["ord", "ord2"])
+
+
 @q("compression_ratio_signals")
 def _compression_ratio_signals(spark, sf_dir):
     """zlib compression-ratio quality signal (text/compress.py) — the

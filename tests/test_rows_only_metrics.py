@@ -227,5 +227,9 @@ def test_every_rows_only_query_is_metric_gated():
         "gcmc_feature_cold_start",
         "feature_aggregation_similarity",
         "quality_classifier_scores",
+        # round-5 session-3: gated in their own test files
+        "knn_graph_nn_descent",  # recall gate, tests/test_knn_graph.py
+        "graph_ann_search",  # recall gate, tests/test_knn_graph.py
+        "compression_ratio_signals",  # property gates, tests/test_compress.py
     }
     assert rows_only == gated, rows_only.symmetric_difference(gated)
