@@ -78,7 +78,7 @@ def knn_graph_nn_descent(
 
     base = vectors.select(id_column, embedding_column)
 
-    # --- init: ring over the md5(id) permutation --------------------
+    # --- init: hashed offsets into the md5(id) permutation -----------
     ranked = distributed_rank(
         base.withColumn(
             "__h",
@@ -319,5 +319,98 @@ def graph_search_topk(
         "score",
         k,
         tie_break=[id_column],
+        rank_column="rank",
+    )
+
+
+def knn_graph_insert(
+    graph: DataFrame,
+    vectors: DataFrame,
+    new_vectors: DataFrame,
+    k: int = 10,
+    ef: int = 20,
+    rounds: int = 3,
+    max_batch_brute: int = 10_000,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """Incremental k-NN-graph maintenance — the HNSW insert pattern
+    (Malkov & Yashunin 2018 §4): for each new vector, beam-search the
+    EXISTING graph for its neighbors, connect it to the top-k, and
+    offer the reversed edges to those neighbors (cosine is symmetric),
+    which keep their best k. New↔new edges come from a brute pass
+    within the batch (bounded by ``max_batch_brute`` — a nightly delta,
+    not a corpus).
+
+    → the updated graph (src, dst, score, rank) over
+    ``vectors ∪ new_vectors``. Cost: one beam search per new vector
+    (O(ef·k) per round, corpus-size independent) + one batch²-bounded
+    brute block — a full rebuild touches N·(2k)² per round instead;
+    at 100 TB you insert, you don't rebuild.
+
+    Drift caveat (honest): repeated incremental inserts approximate
+    the rebuilt graph; recall is gated in tests/test_knn_graph.py, and
+    a periodic NN-descent refresh (``knn_graph_nn_descent``) restores
+    build quality — the same compaction rhythm as the binary/IVF
+    streaming indexes.
+    """
+    require_columns(new_vectors, [id_column, embedding_column])
+    n_new = new_vectors.count()
+    if n_new == 0:
+        return graph
+    if n_new > max_batch_brute:
+        raise ValueError(
+            f"insert batch of {n_new} exceeds max_batch_brute="
+            f"{max_batch_brute}: split the delta or raise deliberately"
+        )
+    from redshells_spark.similarity.ann import brute_force_topk
+
+    queries = new_vectors.select(
+        F.col(id_column).alias("query_id"), F.col(embedding_column)
+    )
+    # new -> old edges via beam search over the existing graph
+    found = graph_search_topk(
+        graph,
+        vectors,
+        queries,
+        k=k,
+        ef=ef,
+        rounds=rounds,
+        id_column=id_column,
+        embedding_column=embedding_column,
+        seed=seed,
+    ).select(
+        F.col("query_id").alias("src"), F.col(id_column).alias("dst"), "score"
+    )
+    # new <-> new edges: brute within the (bounded) batch
+    batch_pairs = (
+        brute_force_topk(
+            queries,
+            new_vectors,
+            k=min(k + 1, max(2, n_new)),
+            query_id="query_id",
+            corpus_id=id_column,
+            embedding_column=embedding_column,
+        )
+        .filter(F.col("query_id") != F.col(id_column))
+        .select(
+            F.col("query_id").alias("src"), F.col(id_column).alias("dst"), "score"
+        )
+    )
+    new_out = per_group_topk(
+        found.union(batch_pairs), "src", "score", k, tie_break=["dst"]
+    ).select("src", "dst", "score")
+    # reversed offers: old (and new) nodes keep their best k among
+    # current neighbors + the newly-arrived reverse edges
+    reverse = new_out.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+    )
+    return per_group_topk(
+        graph.select("src", "dst", "score").union(new_out).union(reverse),
+        "src",
+        "score",
+        k,
+        tie_break=["dst"],
         rank_column="rank",
     )

@@ -80,3 +80,41 @@ def test_graph_search_shapes(spark):
     got = get_queries()["graph_ann_search"](spark, SF).cache()
     per = got.groupBy("query_id").count().agg(F.min("count"), F.max("count")).collect()[0]
     assert per[0] == per[1] == 10
+
+
+def test_incremental_insert_recall(spark, exact):
+    """Build on 90% of the corpus, insert the held-out 10%: searches
+    from the inserted nodes must find their true neighbors."""
+    from redshells_spark.similarity.knn_graph import (
+        graph_search_topk,
+        knn_graph_insert,
+        knn_graph_nn_descent,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    g0 = knn_graph_nn_descent(old, k=10, iterations=3)
+    g1 = knn_graph_insert(g0, old, new, k=10, ef=20, rounds=3).cache()
+    # every node (old + new) keeps exactly k neighbors
+    per = g1.groupBy("src").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert per[0] == per[1] == 10
+    assert g1.select("src").distinct().count() == 500
+    # search the UPDATED graph from the inserted vectors
+    qv = new.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = graph_search_topk(g1, emb, qv, k=10, ef=40, rounds=4)
+    truth = exact.join(qv.select("query_id"), "query_id")
+    hits = got.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"]).count()
+    assert hits / truth.count() >= 0.8
+
+
+def test_insert_refuses_oversized_batch(spark):
+    from redshells_spark.similarity.knn_graph import (
+        knn_graph_insert,
+        knn_graph_nn_descent,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    g = knn_graph_nn_descent(emb.limit(100), k=5, iterations=1)
+    with pytest.raises(ValueError):
+        knn_graph_insert(g, emb.limit(100), emb, max_batch_brute=10)
