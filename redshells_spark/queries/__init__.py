@@ -31,6 +31,7 @@ from redshells_spark.queries import r5c_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 5 session 3 (newest first — driver window reads the head) ---
+    "rrf_hybrid_search",  # r5c: NEW — reciprocal-rank fusion hybrid retrieval
     "mean_shift_changepoint",  # r5c: NEW — binary-segmentation first split
     "keyword_in_context",  # r5c: NEW — KWIC concordance, slice-based contexts
     "compression_ratio_signals",  # r5c: NEW — rows-only zlib quality filter

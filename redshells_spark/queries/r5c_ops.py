@@ -244,6 +244,67 @@ def _graph_ann_search(spark, sf_dir):
     )
 
 
+@q(
+    "rrf_hybrid_search",
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+         FROM documents),
+       tok AS (
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
+       st AS (
+         SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS tok_sum FROM tok),
+       p AS (
+         SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+         WHERE term IN ('spark', 'join', 'window', 'stream', 'hash')
+         GROUP BY 1, 2, 3),
+       dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+       scored AS (
+         SELECT p.term, p.doc_id, p.tf,
+                ln(CAST(1.0 AS DOUBLE)
+                   + (st.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                     / (dft.df + CAST(0.5 AS DOUBLE)))
+                  * p.tf
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * p.dl
+                          / (st.tok_sum / st.n_docs))) AS bm25
+         FROM p JOIN dft USING (term), st),
+       ra AS (
+         SELECT term, doc_id,
+                row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id ASC) AS r
+         FROM scored QUALIFY r <= 30),
+       rb AS (
+         SELECT term, doc_id,
+                row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS r
+         FROM scored QUALIFY r <= 30),
+       fused AS (
+         SELECT coalesce(ra.term, rb.term) AS term,
+                coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                (CASE WHEN ra.r IS NOT NULL
+                      THEN CAST(1.0 AS DOUBLE) / (60 + ra.r) ELSE CAST(0.0 AS DOUBLE) END)
+                + (CASE WHEN rb.r IS NOT NULL
+                        THEN CAST(1.0 AS DOUBLE) / (60 + rb.r) ELSE CAST(0.0 AS DOUBLE) END)
+                  AS rrf_score
+         FROM ra FULL OUTER JOIN rb
+           ON ra.term = rb.term AND ra.doc_id = rb.doc_id)
+       SELECT term, doc_id, rrf_score,
+              CAST(row_number() OVER (
+                PARTITION BY term ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM fused QUALIFY rank <= 10""",
+)
+def _rrf_hybrid_search(spark, sf_dir):
+    """Reciprocal-Rank Fusion hybrid retrieval (text/hybrid.py;
+    Cormack et al. 2009, the Elasticsearch/OpenSearch default): fuse a
+    per-term BM25 ranking with a raw-tf ranking by summing
+    1/(60+rank) — ranks only, never scores, so heterogeneous
+    retrievers (swap either side for ANN) need no calibration. Fusion
+    cost is O(#terms · depth) after the depth-capped ranker windows;
+    rrf_score is pure rank arithmetic — full-precision export."""
+    from redshells_spark.text.hybrid import hybrid_bm25_tf_search
+
+    return hybrid_bm25_tf_search(_tokens(spark, sf_dir), KEYWORDS, k=10, depth=30)
+
+
 def _changepoint_oracle() -> str:
     from redshells_spark.operators.changepoint import mean_shift_changepoint_sql
 
