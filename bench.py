@@ -107,6 +107,12 @@ HEADLINE = [
     "curriculum_schedule",
     "near_dup_canonical_pick",
     "bootstrap_metric_ci",
+    # round-5 session-3 tier 2: robust stats, preference fits, hybrid retrieval
+    "theil_sen_trend",
+    "mean_shift_changepoint",
+    "bradley_terry_ratings",
+    "rrf_hybrid_search",
+    "keyword_in_context",
 ]
 
 

@@ -71,6 +71,13 @@ def distributed_rank(
         .agg(F.count("*").alias("__n"))
         .collect()  # bounded: (#groups x #partitions) rows
     )
+    if len(sizes) > 100_000:
+        raise ValueError(
+            f"distributed_rank offset map would hold {len(sizes)} "
+            "(group, partition) entries — partition_cols cardinality is "
+            "too high for a broadcast offset map; rank within groups via "
+            "a per-group window instead"
+        )
     offsets: dict[tuple[str, int], int] = {}
     acc: dict[str, int] = {}
     for row in sorted(sizes, key=lambda r: (r["__grp"], r["__pid"])):

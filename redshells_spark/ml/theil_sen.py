@@ -44,7 +44,9 @@ def theil_sen_trend(
     kept = sized.filter(
         (F.col("n_points") >= 2) & (F.col("n_points") <= max_points)
     )
-    pts = pts.join(F.broadcast(kept.select(g)), g)
+    # no broadcast hint: the kept-group list is #groups-sized and can
+    # be huge at scale — let AQE pick broadcast vs shuffle join
+    pts = pts.join(kept.select(g), g)
     a = pts.select(
         F.col(g),
         F.col(t).alias("__ta"),
