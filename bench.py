@@ -113,6 +113,12 @@ HEADLINE = [
     "bradley_terry_ratings",
     "rrf_hybrid_search",
     "keyword_in_context",
+    # round-5 session-4 tier: generation-eval metrics + preference data
+    "corpus_bleu",
+    "rouge_by_source",
+    "chrf_by_lang",
+    "dpo_preference_pairs",
+    "model_win_rate_matrix",
 ]
 
 

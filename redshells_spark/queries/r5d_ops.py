@@ -1,0 +1,816 @@
+"""Round-5 session-4 additions: generation-eval metrics (corpus BLEU,
+ROUGE-N, chrF, distinct-n), inter-annotator agreement (majority vote,
+Fleiss/Cohen kappa, Krippendorff alpha), and preference-data
+construction (DPO pairs, best-of-n, win-rate matrix).
+
+Registered after r5c_ops; the package __init__ surfaces these at the
+head of _FRONT so they land inside the driver's 50-query window.
+
+Candidate/reference pairs for the text metrics are derived
+deterministically from ``documents``: reference = the doc's tokens,
+candidate = the same tokens with every 7th replaced by 'the' and
+every 11th dropped — a synthetic "noisy MT output" whose overlap
+statistics exercise clipping, precision<1, and a brevity gap, while
+staying a pure function of the corpus (both engines derive it with
+identical index arithmetic; Spark lambdas index from 0, DuckDB's from
+1, hence the (i+1) vs i offsets below).
+"""
+
+from __future__ import annotations
+
+from redshells_spark.queries._shared import *  # noqa: F401,F403
+
+
+# ------------------------------------------------------------------ helpers
+
+# DuckDB side of the pair derivation (1-based lambda indices)
+_PAIRS_SQL = """
+    base AS (
+        SELECT doc_id, source, lang,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ref
+        FROM documents),
+    pairs AS (
+        SELECT doc_id, source, lang, ref,
+               list_filter(
+                 list_transform(ref,
+                   (t, i) -> CASE WHEN i % 7 = 3 THEN 'the' ELSE t END),
+                 (t, i) -> i % 11 <> 5) AS cand
+        FROM base)
+"""
+
+# Spark side (0-based lambda indices -> i+1)
+_CAND_EXPR = (
+    "filter(transform(tokens, (t, i) -> "
+    "CASE WHEN (i+1) % 7 = 3 THEN 'the' ELSE t END), "
+    "(t, i) -> (i+1) % 11 != 5)"
+)
+
+
+def _pairs_df(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    return toks.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("tokens").alias("ref"),
+        F.expr(_CAND_EXPR).alias("cand"),
+    )
+
+
+def _word_grams_sql(col: str, n: int, extra_cols: str = "") -> str:
+    """Inner SELECT producing (doc_id[, extra], ngram) word n-grams of
+    a list column from the ``pairs`` CTE."""
+    return (
+        f"SELECT doc_id{extra_cols}, unnest(list_transform("
+        f"generate_series(1, len({col})-{n}+1), "
+        f"i -> array_to_string({col}[i:i+{n}-1], ' '))) AS ngram FROM pairs"
+    )
+
+
+def _char_grams_sql(col: str, n: int, extra_cols: str = "") -> str:
+    return (
+        f"SELECT doc_id{extra_cols}, unnest(list_transform("
+        f"generate_series(1, length({col})-{n}+1), "
+        f"i -> substr({col}, i, {n}))) AS ngram FROM ch"
+    )
+
+
+def _bleu_oracle() -> str:
+    parts = [f"WITH {_PAIRS_SQL},"]
+    parts.append(
+        "lens AS (SELECT CAST(sum(len(cand)) AS BIGINT) AS cand_len,"
+        " CAST(sum(len(ref)) AS BIGINT) AS ref_len FROM pairs),"
+    )
+    ss = []
+    for n in range(1, 5):
+        parts.append(
+            f"cg{n} AS (SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM ({_word_grams_sql('cand', n)}) GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"rg{n} AS (SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM ({_word_grams_sql('ref', n)}) GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"s{n} AS (SELECT CAST({n} AS BIGINT) AS n,"
+            f" CAST(coalesce((SELECT sum(least(c.cnt, r.cnt)) FROM cg{n} c"
+            f" JOIN rg{n} r ON c.doc_id = r.doc_id AND c.ngram = r.ngram), 0)"
+            f" AS BIGINT) AS clipped,"
+            f" CAST((SELECT sum(cnt) FROM cg{n}) AS BIGINT) AS total),"
+        )
+        ss.append(f"SELECT * FROM s{n}")
+    union = " UNION ALL ".join(ss)
+    parts.append(f"u AS ({union})")
+    parts.append(
+        "SELECT n, clipped, total,"
+        " CAST(clipped AS DOUBLE) / total AS precision_n, cand_len, ref_len"
+        " FROM u CROSS JOIN lens"
+    )
+    return "\n".join(parts)
+
+
+@q("corpus_bleu", _bleu_oracle())
+def _corpus_bleu(spark, sf_dir):
+    """Corpus BLEU sufficient statistics (text/geneval.py
+    bleu_corpus_stats): modified n-gram precisions for n=1..4 over
+    (candidate, reference) token pairs, plus corpus lengths for the
+    brevity penalty. n-grams are per-row array transforms (codegen,
+    zero shuffle); the clip is one co-partitioned join per order; the
+    final exp/log combine stays out of the relation so every exported
+    value is exact-int or a single IEEE division."""
+    from redshells_spark.text.geneval import bleu_corpus_stats
+
+    pairs = _pairs_df(spark, sf_dir)
+    return bleu_corpus_stats(pairs, "doc_id", "cand", "ref", max_n=4)
+
+
+def _rouge_oracle() -> str:
+    parts = [f"WITH {_PAIRS_SQL},"]
+    gs = []
+    for n in (1, 2):
+        parts.append(
+            f"cg{n} AS (SELECT doc_id, source, ngram,"
+            f" CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM ({_word_grams_sql('cand', n, ', source')}) GROUP BY 1, 2, 3),"
+        )
+        parts.append(
+            f"rg{n} AS (SELECT doc_id, source, ngram,"
+            f" CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM ({_word_grams_sql('ref', n, ', source')}) GROUP BY 1, 2, 3),"
+        )
+        parts.append(
+            f"cl{n} AS (SELECT c.source, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT)"
+            f" AS clipped FROM cg{n} c JOIN rg{n} r"
+            f" ON c.doc_id = r.doc_id AND c.ngram = r.ngram GROUP BY 1),"
+        )
+        parts.append(
+            f"ct{n} AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS cand_total"
+            f" FROM cg{n} GROUP BY 1),"
+        )
+        parts.append(
+            f"rt{n} AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ref_total"
+            f" FROM rg{n} GROUP BY 1),"
+        )
+        parts.append(
+            f"g{n} AS (SELECT ct{n}.source, CAST({n} AS BIGINT) AS n,"
+            f" CAST(coalesce(cl{n}.clipped, 0) AS BIGINT) AS clipped,"
+            f" cand_total, ref_total"
+            f" FROM ct{n} JOIN rt{n} USING (source)"
+            f" LEFT JOIN cl{n} USING (source)),"
+        )
+        gs.append(f"SELECT * FROM g{n}")
+    parts.append(f"u AS ({' UNION ALL '.join(gs)})")
+    parts.append(
+        "SELECT source, n, clipped, cand_total, ref_total,"
+        " CAST(clipped AS DOUBLE) / cand_total AS rouge_p,"
+        " CAST(clipped AS DOUBLE) / ref_total AS rouge_r,"
+        " CASE WHEN clipped = 0 THEN 0.0 ELSE"
+        " 2 * (CAST(clipped AS DOUBLE) / cand_total)"
+        " * (CAST(clipped AS DOUBLE) / ref_total)"
+        " / ((CAST(clipped AS DOUBLE) / cand_total)"
+        " + (CAST(clipped AS DOUBLE) / ref_total)) END AS rouge_f1"
+        " FROM u"
+    )
+    return "\n".join(parts)
+
+
+@q("rouge_by_source", _rouge_oracle())
+def _rouge_by_source(spark, sf_dir):
+    """ROUGE-1/2 per source (text/geneval.py rouge_n_stats): clipped
+    overlap + precision/recall/F1 of the synthetic candidate against
+    its reference, grouped by corpus source — the per-slice summary a
+    distillation pipeline tracks. Counting joins only; each ratio is
+    one exact-long IEEE division, F1 a fixed tree over the two."""
+    from redshells_spark.text.geneval import rouge_n_stats
+
+    pairs = _pairs_df(spark, sf_dir)
+    return rouge_n_stats(
+        pairs, "doc_id", "cand", "ref", orders=(1, 2), group_cols=("source",)
+    )
+
+
+def _chrf_oracle() -> str:
+    parts = [f"WITH {_PAIRS_SQL},"]
+    parts.append(
+        "ch AS (SELECT doc_id, lang, array_to_string(cand, '') AS cs,"
+        " array_to_string(ref, '') AS rs FROM pairs),"
+    )
+    gs = []
+    for n in (1, 2, 3):
+        parts.append(
+            f"ccg{n} AS (SELECT doc_id, lang, ngram,"
+            f" CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM ({_char_grams_sql('cs', n, ', lang')}) GROUP BY 1, 2, 3),"
+        )
+        parts.append(
+            f"crg{n} AS (SELECT doc_id, lang, ngram,"
+            f" CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM ({_char_grams_sql('rs', n, ', lang')}) GROUP BY 1, 2, 3),"
+        )
+        parts.append(
+            f"ccl{n} AS (SELECT c.lang, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT)"
+            f" AS clipped FROM ccg{n} c JOIN crg{n} r"
+            f" ON c.doc_id = r.doc_id AND c.ngram = r.ngram GROUP BY 1),"
+        )
+        parts.append(
+            f"cct{n} AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS cand_total"
+            f" FROM ccg{n} GROUP BY 1),"
+        )
+        parts.append(
+            f"crt{n} AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS ref_total"
+            f" FROM crg{n} GROUP BY 1),"
+        )
+        parts.append(
+            f"cgr{n} AS (SELECT cct{n}.lang, CAST({n} AS BIGINT) AS n,"
+            f" CAST(coalesce(ccl{n}.clipped, 0) AS BIGINT) AS clipped,"
+            f" cand_total, ref_total"
+            f" FROM cct{n} JOIN crt{n} USING (lang)"
+            f" LEFT JOIN ccl{n} USING (lang)),"
+        )
+        gs.append(f"SELECT * FROM cgr{n}")
+    parts.append(f"u AS ({' UNION ALL '.join(gs)})")
+    parts.append(
+        "SELECT lang, n, clipped, cand_total, ref_total,"
+        " CAST(clipped AS DOUBLE) / cand_total AS chrf_p,"
+        " CAST(clipped AS DOUBLE) / ref_total AS chrf_r,"
+        " CASE WHEN clipped = 0 THEN 0.0 ELSE"
+        " 5.0 * (CAST(clipped AS DOUBLE) / cand_total)"
+        " * (CAST(clipped AS DOUBLE) / ref_total)"
+        " / (4.0 * (CAST(clipped AS DOUBLE) / cand_total)"
+        " + (CAST(clipped AS DOUBLE) / ref_total)) END AS chrf_fbeta"
+        " FROM u"
+    )
+    return "\n".join(parts)
+
+
+@q("chrf_by_lang", _chrf_oracle())
+def _chrf_by_lang(spark, sf_dir):
+    """chrF2 per language (text/geneval.py chrf_stats): character
+    1-3-gram precision/recall/F_beta=2 of candidate vs reference —
+    the tokenizer-free MT metric, robust for morphology-rich langs.
+    Spaces are removed before gram extraction (the chrF convention);
+    tokens carry none, so both engines see identical strings."""
+    from redshells_spark.text.geneval import chrf_stats
+
+    pairs = _pairs_df(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.concat_ws("", F.col("cand")).alias("cs"),
+        F.concat_ws("", F.col("ref")).alias("rs"),
+    )
+    return chrf_stats(
+        pairs, "doc_id", "cs", "rs", orders=(1, 2, 3), beta=2.0,
+        group_cols=("lang",),
+    )
+
+
+def _distinct_n_oracle() -> str:
+    parts = [f"WITH {_PAIRS_SQL},"]
+    ss = []
+    for n in (1, 2):
+        parts.append(
+            f"dg{n} AS (SELECT source, ngram"
+            f" FROM ({_word_grams_sql('ref', n, ', source')})),"
+        )
+        parts.append(
+            f"ds{n} AS (SELECT source, CAST({n} AS BIGINT) AS n,"
+            f" CAST(count(DISTINCT ngram) AS BIGINT) AS distinct_ngrams,"
+            f" CAST(count(*) AS BIGINT) AS total_ngrams FROM dg{n} GROUP BY 1),"
+        )
+        ss.append(f"SELECT * FROM ds{n}")
+    parts.append(f"u AS ({' UNION ALL '.join(ss)})")
+    parts.append(
+        "SELECT source, n, distinct_ngrams, total_ngrams,"
+        " CAST(distinct_ngrams AS DOUBLE) / total_ngrams AS distinct_ratio"
+        " FROM u"
+    )
+    return "\n".join(parts)
+
+
+@q("distinct_ngram_diversity", _distinct_n_oracle())
+def _distinct_ngram_diversity(spark, sf_dir):
+    """distinct-1/distinct-2 generation-diversity ratios per source
+    (text/geneval.py distinct_n_diversity) — low distinct-2 flags
+    templated/degenerate text on a corpus card. Two map-combined
+    aggregates per order over per-row gram transforms."""
+    from redshells_spark.text.geneval import distinct_n_diversity
+
+    toks = _tokens(spark, sf_dir)
+    return distinct_n_diversity(
+        toks, "tokens", group_cols=("source",), orders=(1, 2)
+    )
+
+
+@q(
+    "majority_vote_labels",
+    """WITH c AS (
+         SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS votes
+         FROM events GROUP BY 1, 2),
+       t AS (SELECT user_id, CAST(sum(votes) AS BIGINT) AS total_votes
+             FROM c GROUP BY 1),
+       r AS (SELECT user_id, event_type, votes,
+                    row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY votes DESC, event_type ASC) AS rk
+             FROM c)
+       SELECT r.user_id, r.event_type, r.votes, t.total_votes,
+              CAST(r.votes AS DOUBLE) / t.total_votes AS agreement
+       FROM r JOIN t USING (user_id) WHERE rk = 1""",
+)
+def _majority_vote_labels(spark, sf_dir):
+    """Label aggregation by majority vote (ml/agreement.py
+    majority_vote): each user's events vote for an event_type; the
+    winner (count desc, label asc ties) ships with its agreement
+    ratio — the confidence a downstream label filter thresholds on.
+    One combinable count + one per-item window."""
+    from redshells_spark.ml.agreement import majority_vote
+
+    ev = _t(spark, sf_dir, "events")
+    return majority_vote(ev.select("user_id", "event_type"), "user_id", "event_type")
+
+
+_RATINGS_SQL = """
+    seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rk
+        FROM events)
+"""
+
+
+def _fleiss_oracle(n: int) -> str:
+    return f"""WITH {_RATINGS_SQL},
+       r AS (SELECT user_id, event_type FROM seq WHERE rk <= {n}),
+       ni AS (SELECT user_id FROM r GROUP BY 1 HAVING count(*) = {n}),
+       nij AS (SELECT r.user_id, r.event_type, CAST(count(*) AS BIGINT) AS nij
+               FROM r JOIN ni USING (user_id) GROUP BY 1, 2),
+       a AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_items,
+                    CAST(sum(nij * nij) AS BIGINT) AS sum_nij_sq
+             FROM nij),
+       cj AS (SELECT event_type, CAST(sum(nij) AS BIGINT) AS cj
+              FROM nij GROUP BY 1),
+       b AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS sum_cj_sq FROM cj)
+       SELECT n_items, CAST({n} AS BIGINT) AS n_per_item,
+              sum_nij_sq, sum_cj_sq,
+              CAST(sum_nij_sq - n_items * {n} AS DOUBLE)
+                / CAST(n_items * {n} * ({n} - 1) AS DOUBLE) AS p_o,
+              CAST(sum_cj_sq AS DOUBLE)
+                / CAST(n_items * {n} * (n_items * {n}) AS DOUBLE) AS p_e,
+              ((CAST(sum_nij_sq - n_items * {n} AS DOUBLE)
+                / CAST(n_items * {n} * ({n} - 1) AS DOUBLE))
+               - (CAST(sum_cj_sq AS DOUBLE)
+                / CAST(n_items * {n} * (n_items * {n}) AS DOUBLE)))
+              / (1.0 - (CAST(sum_cj_sq AS DOUBLE)
+                / CAST(n_items * {n} * (n_items * {n}) AS DOUBLE))) AS kappa
+       FROM a CROSS JOIN b"""
+
+
+@q("fleiss_kappa_ratings", _fleiss_oracle(5))
+def _fleiss_kappa_ratings(spark, sf_dir):
+    """Fleiss' kappa over each user's first 5 events treated as 5
+    ratings of the item "user" (ml/agreement.py fleiss_kappa) — the
+    multi-rater chance-corrected agreement a labeling pipeline gates
+    on before trusting labels. Numerators are exact int64 sums;
+    p_o/p_e/kappa are a fixed IEEE tree over them, so the single
+    output row is bit-identical across engines and partitionings."""
+    from redshells_spark.ml.agreement import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    first5 = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("user_id", "event_type")
+    )
+    return fleiss_kappa(first5, "user_id", "event_type", 5)
+
+
+@q(
+    "cohen_kappa_positions",
+    f"""WITH {_RATINGS_SQL},
+       r AS (SELECT user_id, rk, event_type FROM seq WHERE rk <= 3),
+       j AS (SELECT a.user_id, a.rk AS ann_a, b.rk AS ann_b,
+                    a.event_type AS la, b.event_type AS lb
+             FROM r a JOIN r b
+             ON a.user_id = b.user_id AND a.rk < b.rk),
+       agg AS (SELECT ann_a, ann_b,
+                      CAST(count(*) AS BIGINT) AS n_items,
+                      CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_agree
+               FROM j GROUP BY 1, 2),
+       ma AS (SELECT ann_a, ann_b, la, CAST(count(*) AS BIGINT) AS ca
+              FROM j GROUP BY 1, 2, 3),
+       mb AS (SELECT ann_a, ann_b, lb, CAST(count(*) AS BIGINT) AS cb
+              FROM j GROUP BY 1, 2, 3),
+       pe AS (SELECT ma.ann_a, ma.ann_b,
+                     CAST(sum(ma.ca * mb.cb) AS BIGINT) AS pe_num
+              FROM ma JOIN mb
+              ON ma.ann_a = mb.ann_a AND ma.ann_b = mb.ann_b
+                 AND ma.la = mb.lb
+              GROUP BY 1, 2)
+       SELECT CAST(agg.ann_a AS BIGINT) AS ann_a,
+              CAST(agg.ann_b AS BIGINT) AS ann_b,
+              n_items, n_agree, pe_num,
+              CAST(n_agree AS DOUBLE) / n_items AS p_o,
+              CAST(pe_num AS DOUBLE) / CAST(n_items * n_items AS DOUBLE) AS p_e,
+              ((CAST(n_agree AS DOUBLE) / n_items)
+               - (CAST(pe_num AS DOUBLE) / CAST(n_items * n_items AS DOUBLE)))
+              / (1.0 - (CAST(pe_num AS DOUBLE)
+                        / CAST(n_items * n_items AS DOUBLE))) AS kappa
+       FROM agg JOIN pe ON agg.ann_a = pe.ann_a AND agg.ann_b = pe.ann_b""",
+)
+def _cohen_kappa_positions(spark, sf_dir):
+    """Cohen's kappa between each pair of "annotators" = a user's
+    1st/2nd/3rd event positions (ml/agreement.py cohen_kappa_pairs) —
+    the two-rater agreement statistic, here measuring behavioral
+    self-consistency over time. Pair grid quadratic in annotators
+    only; items flow through one co-partitioned self-join."""
+    from redshells_spark.ml.agreement import cohen_kappa_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    seq = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "rk", "event_type")
+    )
+    out = cohen_kappa_pairs(seq, "user_id", "rk", "event_type")
+    return out.select(
+        F.col("ann_a").cast("long").alias("ann_a"),
+        F.col("ann_b").cast("long").alias("ann_b"),
+        "n_items",
+        "n_agree",
+        "pe_num",
+        "p_o",
+        "p_e",
+        "kappa",
+    )
+
+
+def _kripp_oracle(n: int) -> str:
+    return f"""WITH {_RATINGS_SQL},
+       r AS (SELECT user_id, event_type FROM seq WHERE rk <= {n}),
+       ni AS (SELECT user_id FROM r GROUP BY 1 HAVING count(*) = {n}),
+       nij AS (SELECT r.user_id, r.event_type, CAST(count(*) AS BIGINT) AS nij
+               FROM r JOIN ni USING (user_id) GROUP BY 1, 2),
+       a AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_items,
+                    CAST(sum(nij * nij) AS BIGINT) AS sum_nij_sq
+             FROM nij),
+       cj AS (SELECT event_type, CAST(sum(nij) AS BIGINT) AS cj
+              FROM nij GROUP BY 1),
+       b AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS sum_cj_sq FROM cj)
+       SELECT n_items, CAST({n} AS BIGINT) AS n_per_item,
+              CAST(n_items * {n} * {n} - sum_nij_sq AS BIGINT) AS do_num,
+              CAST(n_items * {n} * (n_items * {n}) - sum_cj_sq AS BIGINT)
+                AS de_num,
+              CAST(n_items * {n} * {n} - sum_nij_sq AS DOUBLE)
+                / CAST(n_items * {n} * ({n} - 1) AS DOUBLE) AS d_o,
+              CAST(n_items * {n} * (n_items * {n}) - sum_cj_sq AS DOUBLE)
+                / CAST(n_items * {n} * (n_items * {n} - 1) AS DOUBLE) AS d_e,
+              1.0 - (CAST(n_items * {n} * {n} - sum_nij_sq AS DOUBLE)
+                / CAST(n_items * {n} * ({n} - 1) AS DOUBLE))
+              / (CAST(n_items * {n} * (n_items * {n}) - sum_cj_sq AS DOUBLE)
+                / CAST(n_items * {n} * (n_items * {n} - 1) AS DOUBLE)) AS alpha
+       FROM a CROSS JOIN b"""
+
+
+@q("krippendorff_alpha", _kripp_oracle(4))
+def _krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha (nominal) over each user's first 4 events
+    as 4 ratings (ml/agreement.py krippendorff_alpha_nominal) —
+    Fleiss with the small-sample Nn−1 expected-disagreement
+    correction. Same exact-int + fixed-tree export discipline."""
+    from redshells_spark.ml.agreement import krippendorff_alpha_nominal
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    first4 = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .select("user_id", "event_type")
+    )
+    return krippendorff_alpha_nominal(first4, "user_id", "event_type", 4)
+
+
+@q(
+    "dpo_preference_pairs",
+    """WITH b AS (
+         SELECT o_custkey, o_orderkey,
+                CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                  AS price_c
+         FROM orders),
+       top AS (SELECT o_custkey, o_orderkey, price_c,
+                      row_number() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY price_c DESC, o_orderkey ASC) AS pr
+               FROM b),
+       bot AS (SELECT o_custkey, o_orderkey, price_c,
+                      row_number() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY price_c ASC, o_orderkey DESC) AS pr
+               FROM b)
+       SELECT t.o_custkey AS custkey,
+              t.o_orderkey AS chosen_item,
+              t.price_c AS chosen_score,
+              bt.o_orderkey AS rejected_item,
+              bt.price_c AS rejected_score,
+              CAST(t.price_c - bt.price_c AS BIGINT) AS margin,
+              CAST(t.pr AS BIGINT) AS pair_rank
+       FROM top t JOIN bot bt
+         ON t.o_custkey = bt.o_custkey AND t.pr = bt.pr
+       WHERE t.pr <= 2 AND t.o_orderkey <> bt.o_orderkey
+         AND t.price_c - bt.price_c >= 50000""",
+)
+def _dpo_preference_pairs(spark, sf_dir):
+    """DPO (chosen, rejected) pair construction (data/preference.py
+    preference_pairs): per customer, pair the i-th highest-priced
+    order with the i-th lowest for i<=2, keeping pairs whose margin
+    is >= $500 in exact cents — the margin-gated preference-pair
+    builder behind DPO/RLHF datasets. Two WindowGroupLimit windows +
+    one co-partitioned join; scores compare as exact int64 cents."""
+    from redshells_spark.data.preference import preference_pairs
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        money_units(F.col("o_totalprice")).alias("price_c"),
+    )
+    return preference_pairs(
+        o, "custkey", "o_orderkey", "price_c",
+        min_margin=50000, max_pairs_per_group=2,
+    )
+
+
+@q(
+    "best_of_n_responses",
+    """WITH b AS (
+         SELECT user_id, event_id,
+                CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                  AS score_c
+         FROM events WHERE event_type = 'purchase'),
+       r AS (SELECT user_id, event_id, score_c,
+                    row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY score_c DESC, event_id ASC) AS rk
+             FROM b),
+       n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_candidates
+             FROM b GROUP BY 1),
+       best AS (SELECT user_id, event_id AS best_item, score_c AS best_score
+                FROM r WHERE rk = 1),
+       second AS (SELECT user_id, score_c AS second_score FROM r WHERE rk = 2)
+       SELECT best.user_id, best_item, best_score, second_score,
+              CAST(best_score - second_score AS BIGINT) AS margin,
+              n_candidates
+       FROM best LEFT JOIN second USING (user_id) JOIN n USING (user_id)""",
+)
+def _best_of_n_responses(spark, sf_dir):
+    """Best-of-n / rejection-sampling selection (data/preference.py
+    best_of_n): per user, the top-valued purchase, the runner-up
+    score, and the exact-cents win margin — the selection step of a
+    reward-ranked pipeline. One window partitioned by the group key,
+    no global sort."""
+    from redshells_spark.data.preference import best_of_n
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        money_units(F.col("value")).alias("score_c"),
+    )
+    return best_of_n(b, "user_id", "event_id", "score_c")
+
+
+_BT_MATCHES_CTE_LOCAL = """matches AS (
+    SELECT CASE WHEN prev_value >= value THEN prev_type ELSE event_type END AS winner,
+           CASE WHEN prev_value >= value THEN event_type ELSE prev_type END AS loser
+    FROM (
+      SELECT user_id, event_type, value,
+             lag(event_type) OVER w AS prev_type,
+             lag(value) OVER w AS prev_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+    WHERE prev_type IS NOT NULL AND prev_type <> event_type)"""
+
+
+@q(
+    "model_win_rate_matrix",
+    f"""WITH {_BT_MATCHES_CTE_LOCAL},
+       m AS (SELECT least(winner, loser) AS model_a,
+                    greatest(winner, loser) AS model_b,
+                    CASE WHEN winner < loser THEN 1 ELSE 0 END AS a_won
+             FROM matches),
+       s AS (SELECT model_a, model_b,
+                    CAST(count(*) AS BIGINT) AS games,
+                    CAST(sum(a_won) AS BIGINT) AS wins_a
+             FROM m GROUP BY 1, 2),
+       w AS (SELECT model_a, model_b, games, wins_a,
+                    CAST(wins_a AS DOUBLE) / games AS p,
+                    CAST(1.96 AS DOUBLE) AS z
+             FROM s)
+       SELECT model_a, model_b, games, wins_a, p AS win_rate_a,
+              (p + z * z / (2 * games)
+               - z * sqrt(p * (1 - p) / games
+                          + z * z / (4 * games * games)))
+                / (1 + z * z / games) AS wilson_lo,
+              (p + z * z / (2 * games)
+               + z * sqrt(p * (1 - p) / games
+                          + z * z / (4 * games * games)))
+                / (1 + z * z / games) AS wilson_hi
+       FROM w""",
+)
+def _model_win_rate_matrix(spark, sf_dir):
+    """Pairwise win-rate matrix with Wilson bounds (data/preference.py
+    win_rate_matrix) over the SAME match log Bradley-Terry rates
+    globally (queries/r5c_ops.py) — the leaderboard cell statistic.
+    One map-combined aggregate; the interval is the identical fixed
+    IEEE tree as ctr_wilson_bounds, so full-precision export is
+    bit-exact."""
+    from redshells_spark.data.preference import win_rate_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
+    )
+    matches = seq.select(
+        F.when(F.col("prev_value") >= F.col("value"), F.col("prev_type"))
+        .otherwise(F.col("event_type"))
+        .alias("winner"),
+        F.when(F.col("prev_value") >= F.col("value"), F.col("event_type"))
+        .otherwise(F.col("prev_type"))
+        .alias("loser"),
+    )
+    return win_rate_matrix(matches, "winner", "loser", z=1.96)
+
+
+@q(
+    "expected_calibration_error",
+    """WITH tr AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                  count(*)::BIGINT AS n_q,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos_q
+           FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+       te AS (SELECT CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                     CAST(floor(tr.pos_q::DOUBLE * 1000000000 / tr.n_q + 0.5)
+                          AS BIGINT) AS score_e9
+              FROM lineitem l JOIN tr ON tr.q = CAST(l.l_quantity AS BIGINT)
+              WHERE l.l_orderkey % 2 = 1),
+       g AS (SELECT least(score_e9 // 10000000, 99) AS bin,
+                    count(*)::BIGINT AS n,
+                    sum(y)::BIGINT AS n_pos,
+                    sum(score_e9)::BIGINT AS sum_score_e9
+             FROM te GROUP BY 1),
+       gb AS (SELECT bin, n, n_pos, sum_score_e9,
+                     CAST(abs(1000000000 * n_pos - sum_score_e9) AS BIGINT)
+                       AS gap_e9
+              FROM g),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                      CAST(sum(gap_e9) AS BIGINT) AS gap_total,
+                      CAST(max((2 * gap_e9 + 1000 * n) // (2000 * n)) AS BIGINT)
+                        AS mce_e6
+               FROM gb)
+       SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, sum_score_e9,
+              (2 * n_pos * 1000000 + n) // (2 * n) AS acc_e6,
+              (2 * (sum_score_e9 // 1000) + n) // (2 * n) AS conf_e6,
+              (2 * gap_e9 + 1000 * n) // (2000 * n) AS gap_e6,
+              (2 * gap_total + 1000 * n_total) // (2000 * n_total) AS ece_e6,
+              mce_e6
+       FROM gb CROSS JOIN tot""",
+)
+def _expected_calibration_error(spark, sf_dir):
+    """Expected / maximum calibration error over the same empirical
+    per-quantity scorer as calibration_lift_table, in ENTIRELY exact
+    integer arithmetic: per fixed-width confidence bin, the gap
+    |accuracy - confidence| folds to |1e9*hits - sum(score_e9)| — an
+    exact int64 numerator — so ECE = sum(gaps)/(1e9*N) needs no float
+    aggregation anywhere (the usual ECE implementation averages
+    doubles per bin; this one is bit-stable under any partition
+    order, and at 1e12-row eval sets the numerators move to
+    decimal(38,0) loudly, never silently). Reliability-diagram bins
+    export alongside the two scalars."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    tr = (
+        li.filter(F.col("l_orderkey") % 2 == 0)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_q"), F.sum("y").alias("pos_q"))
+    )
+    te = (
+        li.filter(F.col("l_orderkey") % 2 == 1)
+        .join(F.broadcast(tr), on="q")
+        .select(
+            "y",
+            F.floor(
+                F.col("pos_q").cast("double") * 1_000_000_000 / F.col("n_q")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("score_e9"),
+        )
+    )
+    g = (
+        te.groupBy(
+            F.least(F.expr("score_e9 div 10000000"), F.lit(99))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("score_e9").cast("long").alias("sum_score_e9"),
+        )
+        .withColumn(
+            "gap_e9",
+            F.abs(F.lit(1_000_000_000) * F.col("n_pos") - F.col("sum_score_e9"))
+            .cast("long"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("gap_e9").cast("long").alias("gap_total"),
+        F.max(F.expr("(2 * gap_e9 + 1000 * n) div (2000 * n)"))
+        .cast("long")
+        .alias("mce_e6"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(  # 1-row aggregate join
+        "bin",
+        "n",
+        "n_pos",
+        "sum_score_e9",
+        F.expr("(2 * n_pos * 1000000 + n) div (2 * n)").alias("acc_e6"),
+        F.expr("(2 * (sum_score_e9 div 1000) + n) div (2 * n)").alias("conf_e6"),
+        F.expr("(2 * gap_e9 + 1000 * n) div (2000 * n)").alias("gap_e6"),
+        F.expr("(2 * gap_total + 1000 * n_total) div (2000 * n_total)").alias(
+            "ece_e6"
+        ),
+        "mce_e6",
+    )
+
+
+def _bucket_ladder_sql(bounds: tuple[int, ...]) -> str:
+    expr = "0"
+    for b in sorted(bounds, reverse=True):
+        expr = f"CASE WHEN n_tokens <= {b} THEN {b} ELSE {expr} END"
+    return f"CAST({expr} AS BIGINT)"
+
+
+@q(
+    "length_bucketed_batches",
+    f"""WITH ntok AS (
+         SELECT doc_id,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                                     t -> t <> '')) AS BIGINT) AS n_tokens
+         FROM documents),
+       bk AS (SELECT doc_id, n_tokens,
+                     {_bucket_ladder_sql((16, 32, 64, 128, 256, 512, 1024))}
+                       AS bucket
+              FROM ntok),
+       rk AS (SELECT bucket, doc_id, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY n_tokens DESC, doc_id ASC) AS r
+              FROM bk),
+       bt AS (SELECT bucket, (r - 1) // 8 AS batch_id, n_tokens FROM rk)
+       SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+              CAST(count(*) AS BIGINT) AS n_seqs,
+              CAST(max(n_tokens) AS BIGINT) AS max_len,
+              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              CAST(count(*) * bucket - sum(n_tokens) AS BIGINT) AS pad_to_bucket,
+              CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+                AS pad_to_max
+       FROM bt GROUP BY bucket, batch_id""",
+)
+def _length_bucketed_batches(spark, sf_dir):
+    """Length-bucketed batch planning (text/packing.py
+    length_bucketed_batches): sequences bucket to the smallest
+    power-of-two bound >= their token count, batches of 8 cut inside
+    each bucket by length-descending order, exact int64 padding waste
+    reported per batch both to the bucket bound (static shapes) and
+    to the batch max (dynamic shapes) — the serving/training
+    dynamic-batching layout. Fixed CASE ladder, per-bucket windows,
+    zero floats."""
+    from redshells_spark.text.packing import length_bucketed_batches
+
+    toks = _tokens(spark, sf_dir)
+    docs = toks.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return length_bucketed_batches(
+        docs, "doc_id", "n_tokens", batch_size=8,
+        bucket_bounds=(16, 32, 64, 128, 256, 512, 1024),
+    )

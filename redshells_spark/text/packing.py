@@ -65,3 +65,82 @@ def chunk_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_column).cast("long").alias("total_tokens"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int,
+    bucket_bounds: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
+) -> DataFrame:
+    """Length-bucketed batching for training/inference: assign each
+    sequence to the smallest bucket bound >= its length, order within
+    the bucket by length descending (id ascending ties), and cut
+    batches of ``batch_size`` — the dynamic-batching layout that
+    minimizes padding waste while keeping tensor shapes per-bucket
+    static (the XLA/TPU-friendly convention).
+
+    Returns one row per (bucket, batch_id) with exact int64 padding
+    accounting::
+
+        n_seqs        sequences in the batch
+        max_len       longest sequence in the batch
+        sum_tokens    real tokens
+        pad_to_bucket n_seqs * bucket - sum_tokens  (static shapes)
+        pad_to_max    n_seqs * max_len - sum_tokens (dynamic shapes)
+
+    Sequences longer than the last bound land in bucket 0 = REFUSED
+    (callers chunk them first; silent truncation would corrupt the
+    padding stats). The bucket ladder is a fixed CASE expression —
+    identical integer arithmetic in any engine, no log2/floats.
+
+    Scale: the within-bucket ranking is a per-bucket total order —
+    fine for the bounded ladder because each bucket's window sorts in
+    parallel by range partitioning on the (bucket, length) prefix. At
+    extreme skew (one bucket >> memory), production packers switch to
+    per-partition local batching after a repartition on (bucket,
+    hash) — statistically identical padding, no global order; this
+    exact form is kept because the oracle contract pins tie
+    semantics."""
+    require_columns(df, [id_col, len_col])
+    bucket = F.lit(0).cast("long")
+    for b in sorted(bucket_bounds, reverse=True):
+        bucket = F.when(F.col(len_col) <= b, F.lit(b).cast("long")).otherwise(
+            bucket
+        )
+    bucket = F.when(F.col(len_col) > sorted(bucket_bounds)[-1], F.lit(0)).otherwise(
+        bucket
+    )
+    ranked = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("long").alias("__len"),
+        bucket.alias("bucket"),
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(
+                F.col("__len").desc(), F.col("__id").asc()
+            )
+        ),
+    )
+    batched = ranked.withColumn(
+        "batch_id", F.expr(f"(__rk - 1) div {int(batch_size)}").cast("long")
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.max("__len").cast("long").alias("max_len"),
+        F.sum("__len").cast("long").alias("sum_tokens"),
+    ).select(
+        "bucket",
+        "batch_id",
+        "n_seqs",
+        "max_len",
+        "sum_tokens",
+        (F.col("n_seqs") * F.col("bucket") - F.col("sum_tokens"))
+        .cast("long")
+        .alias("pad_to_bucket"),
+        (F.col("n_seqs") * F.col("max_len") - F.col("sum_tokens"))
+        .cast("long")
+        .alias("pad_to_max"),
+    )
