@@ -47,7 +47,15 @@ _CAND_EXPR = (
 
 
 def _pairs_df(spark, sf_dir):
-    toks = _tokens(spark, sf_dir)
+    # repartition BEFORE the n-gram explosion: the source is one small
+    # parquet file (a single input split), and without this the entire
+    # multi-order gram explode — the heavy leg, ~300 gram rows per doc
+    # per side — runs in one task. Shuffling the compact doc rows is
+    # ~1% of the exploded volume; at production scale the input is
+    # already many splits and Catalyst elides nothing here it needs.
+    toks = _tokens(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return toks.select(
         "doc_id",
         "source",

@@ -50,6 +50,110 @@ def word_ngrams(
     return df.withColumn(out_col, F.explode(grams))
 
 
+def _multi_order_grams(col: str, orders: tuple[int, ...], kind: str):
+    """One array expression yielding (n, ngram) structs for EVERY
+    requested order — so a multi-order metric explodes/aggregates/
+    joins ONCE instead of once per order (4x fewer shuffles for
+    BLEU-4; the difference between 4 shuffle rounds and 1 at 100 TB).
+    ``kind='word'`` reads an array<string> column, ``'char'`` a
+    string column."""
+    parts = []
+    for n in orders:
+        if kind == "word":
+            src = (
+                f"CASE WHEN size({col}) >= {n} "
+                f"THEN sequence(1, size({col})-{n}+1) "
+                f"ELSE CAST(array() AS array<int>) END"
+            )
+            gram = f"concat_ws(' ', slice({col}, i, {n}))"
+        else:
+            src = (
+                f"CASE WHEN length({col}) >= {n} "
+                f"THEN sequence(1, length({col})-{n}+1) "
+                f"ELSE CAST(array() AS array<int>) END"
+            )
+            gram = f"substring({col}, i, {n})"
+        parts.append(
+            f"transform({src}, i -> struct(CAST({n} AS BIGINT) AS n, "
+            f"{gram} AS ngram))"
+        )
+    return F.explode(F.concat(*[F.expr(p) for p in parts])).alias("g")
+
+
+def _multi_order_counts(
+    pairs: DataFrame,
+    id_col: str,
+    col: str,
+    orders: tuple[int, ...],
+    kind: str,
+) -> DataFrame:
+    """(id, n, ngram) -> count for all orders in ONE explode+groupBy."""
+    src = pairs.select(id_col, col)
+    if kind == "char":
+        src = src.withColumn(col, F.regexp_replace(F.col(col), r"\s+", ""))
+    return (
+        src.select(id_col, _multi_order_grams(col, orders, kind))
+        .select(id_col, F.col("g.n").alias("n"), F.col("g.ngram").alias("ngram"))
+        .groupBy(id_col, "n", "ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def multi_order_overlap_stats(
+    pairs: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    orders: tuple[int, ...],
+    kind: str = "word",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Clipped-overlap statistics for ALL n-gram orders in one shuffle
+    round: per (group, n) exact int64 (clipped, cand_total,
+    ref_total). Semantically identical to per-order
+    :func:`overlap_stats` unioned over ``orders`` — same counts, same
+    coalesce-to-zero on empty groups — but the candidate and
+    reference sides each shuffle once on (id, n, ngram) and the clip
+    is a single co-partitioned join."""
+    keys = list(group_cols)
+    key_src = pairs.select(id_col, *keys).dropDuplicates([id_col]) if keys else None
+
+    c = _multi_order_counts(pairs, id_col, cand_col, orders, kind)
+    r = _multi_order_counts(pairs, id_col, ref_col, orders, kind)
+    # pin the clip join to a shuffle join: both gram-count sides grow
+    # with the corpus (equally), so a broadcast here is never the
+    # 100 TB plan — and AQE's post-shuffle size estimate flaps on the
+    # highly-compressible gram strings, turning runs bimodal when it
+    # picks a driver-built broadcast of ~1M rows
+    clipped = (
+        c.hint("shuffle_merge")
+        .join(r.withColumnRenamed("cnt", "ref_cnt"), [id_col, "n", "ngram"])
+        .select(id_col, "n", F.least("cnt", "ref_cnt").alias("m"))
+        .groupBy(id_col, "n")
+        .agg(F.sum("m").cast("long").alias("clipped"))
+    )
+    ct = c.groupBy(id_col, "n").agg(F.sum("cnt").cast("long").alias("cand_total"))
+    rt = r.groupBy(id_col, "n").agg(F.sum("cnt").cast("long").alias("ref_total"))
+    per_id = (
+        ct.join(rt, [id_col, "n"], "full")
+        .join(clipped, [id_col, "n"], "left")
+        .select(
+            id_col,
+            "n",
+            F.coalesce("clipped", F.lit(0)).alias("clipped"),
+            F.coalesce("cand_total", F.lit(0)).alias("cand_total"),
+            F.coalesce("ref_total", F.lit(0)).alias("ref_total"),
+        )
+    )
+    if keys:
+        per_id = per_id.join(key_src, id_col)
+    return per_id.groupBy(*keys, "n").agg(
+        F.sum("clipped").cast("long").alias("clipped"),
+        F.sum("cand_total").cast("long").alias("cand_total"),
+        F.sum("ref_total").cast("long").alias("ref_total"),
+    )
+
+
 def char_ngrams(
     df: DataFrame,
     text_col: str,
@@ -174,14 +278,9 @@ def bleu_corpus_stats(
         F.sum(F.size("__cand")).cast("long").alias("cand_len"),
         F.sum(F.size("__ref")).cast("long").alias("ref_len"),
     )
-    parts = []
-    for n in range(1, max_n + 1):
-        s = overlap_stats(p, id_col, "__cand", "__ref", n, kind="word")
-        parts.append(s.select(F.lit(n).cast("long").alias("n"), "clipped",
-                              F.col("cand_total").alias("total")))
-    stats = parts[0]
-    for extra in parts[1:]:
-        stats = stats.unionByName(extra)
+    stats = multi_order_overlap_stats(
+        p, id_col, "__cand", "__ref", tuple(range(1, max_n + 1)), kind="word"
+    ).select("n", "clipped", F.col("cand_total").alias("total"))
     return (
         stats.crossJoin(F.broadcast(lens))  # 1-row aggregate join
         .select(
@@ -231,16 +330,10 @@ def rouge_n_stats(
         F.col(cand_tokens).alias("__cand"),
         F.col(ref_tokens).alias("__ref"),
     )
-    parts = []
-    for n in orders:
-        s = overlap_stats(
-            p, id_col, "__cand", "__ref", n, kind="word", group_cols=group_cols
-        )
-        parts.append(s.select(*group_cols, F.lit(n).cast("long").alias("n"),
-                              "clipped", "cand_total", "ref_total"))
-    stats = parts[0]
-    for extra in parts[1:]:
-        stats = stats.unionByName(extra)
+    stats = multi_order_overlap_stats(
+        p, id_col, "__cand", "__ref", tuple(orders), kind="word",
+        group_cols=group_cols,
+    )
     prec = F.col("clipped").cast("double") / F.col("cand_total")
     rec = F.col("clipped").cast("double") / F.col("ref_total")
     return stats.select(
@@ -275,16 +368,10 @@ def chrf_stats(
         F.col(cand_text).alias("__cand"),
         F.col(ref_text).alias("__ref"),
     )
-    parts = []
-    for n in orders:
-        s = overlap_stats(
-            p, id_col, "__cand", "__ref", n, kind="char", group_cols=group_cols
-        )
-        parts.append(s.select(*group_cols, F.lit(n).cast("long").alias("n"),
-                              "clipped", "cand_total", "ref_total"))
-    stats = parts[0]
-    for extra in parts[1:]:
-        stats = stats.unionByName(extra)
+    stats = multi_order_overlap_stats(
+        p, id_col, "__cand", "__ref", tuple(orders), kind="char",
+        group_cols=group_cols,
+    )
     prec = F.col("clipped").cast("double") / F.col("cand_total")
     rec = F.col("clipped").cast("double") / F.col("ref_total")
     b2 = float(beta) * float(beta)
@@ -313,20 +400,13 @@ def distinct_n_diversity(
     degenerate/templated text — a corpus-card staple. Two
     map-combined aggregates per order; the ratio is one exact-long
     IEEE division."""
-    parts = []
-    for n in orders:
-        g = word_ngrams(df.select(*group_cols, tokens_col), tokens_col, n)
-        s = g.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
-            F.countDistinct("ngram").cast("long").alias("distinct_ngrams"),
-        )
-        parts.append(
-            s.select(*group_cols, F.lit(n).cast("long").alias("n"),
-                     "distinct_ngrams", "total_ngrams")
-        )
-    stats = parts[0]
-    for extra in parts[1:]:
-        stats = stats.unionByName(extra)
+    grams = df.select(
+        *group_cols, _multi_order_grams(tokens_col, tuple(orders), "word")
+    ).select(*group_cols, F.col("g.n").alias("n"), F.col("g.ngram").alias("ngram"))
+    stats = grams.groupBy(*group_cols, "n").agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+        F.countDistinct("ngram").cast("long").alias("distinct_ngrams"),
+    )
     return stats.select(
         *group_cols,
         "n",
