@@ -119,6 +119,10 @@ HEADLINE = [
     "chrf_by_lang",
     "dpo_preference_pairs",
     "model_win_rate_matrix",
+    "expected_calibration_error",
+    "length_bucketed_batches",
+    "ngram_novelty_curve",
+    "judge_position_bias",
 ]
 
 

@@ -137,27 +137,30 @@ def best_of_n(
     )
 
 
-def win_rate_matrix(
+def pair_win_counts(
     matches: DataFrame,
     winner_col: str,
     loser_col: str,
-    z: float = 1.96,
 ) -> DataFrame:
-    """Per unordered pair (model_a < model_b): games, wins_a,
-    win_rate_a, and the Wilson score interval on it — the
-    leaderboard-cell statistic that Bradley-Terry ratings summarize
-    globally. One map-combined aggregate over the match log; the
-    interval is the same fixed-tree IEEE export as
-    ``ctr_wilson_bounds``."""
+    """Fold a match log to per-unordered-pair exact counts
+    (model_a < model_b, games, wins_a) — the associative int64 state
+    a streaming ingest can merge across micro-batches with no drift."""
     m = matches.select(
         F.least(winner_col, loser_col).alias("model_a"),
         F.greatest(winner_col, loser_col).alias("model_b"),
         (F.col(winner_col) < F.col(loser_col)).cast("int").alias("a_won"),
     )
-    s = m.groupBy("model_a", "model_b").agg(
+    return m.groupBy("model_a", "model_b").agg(
         F.count(F.lit(1)).cast("long").alias("games"),
         F.sum("a_won").cast("long").alias("wins_a"),
     )
+
+
+def win_rate_from_counts(s: DataFrame, z: float = 1.96) -> DataFrame:
+    """Wilson-bounded win rates from a (model_a, model_b, games,
+    wins_a) counts relation — the derivation half of
+    :func:`win_rate_matrix`, shared with the streaming state so
+    stream == batch bit-for-bit."""
     p = F.col("wins_a").cast("double") / F.col("games")
     zl = F.lit(float(z))
     n = F.col("games")
@@ -172,4 +175,21 @@ def win_rate_matrix(
         p.alias("win_rate_a"),
         ((center - margin) / denom).alias("wilson_lo"),
         ((center + margin) / denom).alias("wilson_hi"),
+    )
+
+
+def win_rate_matrix(
+    matches: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per unordered pair (model_a < model_b): games, wins_a,
+    win_rate_a, and the Wilson score interval on it — the
+    leaderboard-cell statistic that Bradley-Terry ratings summarize
+    globally. One map-combined aggregate over the match log; the
+    interval is the same fixed-tree IEEE export as
+    ``ctr_wilson_bounds``."""
+    return win_rate_from_counts(
+        pair_win_counts(matches, winner_col, loser_col), z=z
     )

@@ -822,3 +822,182 @@ def _length_bucketed_batches(spark, sf_dir):
         docs, "doc_id", "n_tokens", batch_size=8,
         bucket_bounds=(16, 32, 64, 128, 256, 512, 1024),
     )
+
+
+@q(
+    "judge_position_bias",
+    f"""WITH pos AS (
+        SELECT prev_type AS first_item, event_type AS second_item,
+               CASE WHEN prev_value >= value THEN 1 ELSE 0 END AS first_won
+        FROM (
+          SELECT user_id, event_type, value,
+                 lag(event_type) OVER w AS prev_type,
+                 lag(value) OVER w AS prev_value
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+       per AS (SELECT first_item, second_item,
+                      CAST(count(*) AS BIGINT) AS games,
+                      CAST(sum(first_won) AS BIGINT) AS first_wins
+               FROM pos GROUP BY 1, 2),
+       allr AS (SELECT '__all__' AS first_item, '__all__' AS second_item,
+                       CAST(sum(games) AS BIGINT) AS games,
+                       CAST(sum(first_wins) AS BIGINT) AS first_wins
+                FROM per),
+       u AS (SELECT * FROM per UNION ALL SELECT * FROM allr),
+       w AS (SELECT first_item, second_item, games, first_wins,
+                    CAST(first_wins AS DOUBLE) / games AS p,
+                    CAST(1.96 AS DOUBLE) AS z
+             FROM u)
+       SELECT first_item, second_item, games, first_wins,
+              p AS first_win_rate,
+              (p + z * z / (2 * games)
+               - z * sqrt(p * (1 - p) / games
+                          + z * z / (4 * games * games)))
+                / (1 + z * z / games) AS wilson_lo,
+              (p + z * z / (2 * games)
+               + z * sqrt(p * (1 - p) / games
+                          + z * z / (4 * games * games)))
+                / (1 + z * z / games) AS wilson_hi
+       FROM w""",
+)
+def _judge_position_bias(spark, sf_dir):
+    """Position-bias audit over the SAME sequential match log the
+    Bradley-Terry / win-rate queries consume: how often the
+    FIRST-presented item wins, per ordered pair and overall
+    ('__all__' row) with Wilson bounds — the standard sanity check on
+    pairwise LLM-judge data, where a first-position rate far from 1/2
+    (beyond its interval) flags presentation bias contaminating the
+    preference labels. Ties count for the first position, mirroring
+    the match derivation. One window + label-bounded aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
+    )
+    pos = seq.select(
+        F.col("prev_type").alias("first_item"),
+        F.col("event_type").alias("second_item"),
+        (F.col("prev_value") >= F.col("value")).cast("int").alias("first_won"),
+    )
+    per = pos.groupBy("first_item", "second_item").agg(
+        F.count(F.lit(1)).cast("long").alias("games"),
+        F.sum("first_won").cast("long").alias("first_wins"),
+    )
+    allr = per.agg(
+        F.sum("games").cast("long").alias("games"),
+        F.sum("first_wins").cast("long").alias("first_wins"),
+    ).select(
+        F.lit("__all__").alias("first_item"),
+        F.lit("__all__").alias("second_item"),
+        "games",
+        "first_wins",
+    )
+    u = per.unionByName(allr)
+    p = F.col("first_wins").cast("double") / F.col("games")
+    z = F.lit(1.96)
+    n = F.col("games")
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (F.lit(1) - p) / n + z * z / (4 * n * n))
+    denom = F.lit(1) + z * z / n
+    return u.select(
+        "first_item",
+        "second_item",
+        "games",
+        "first_wins",
+        p.alias("first_win_rate"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+    )
+
+
+@q(
+    "ngram_novelty_curve",
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '') AS t
+         FROM documents),
+       g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, len(t)-2),
+                           i -> array_to_string(t[i:i+2], ' '))) AS ngram
+             FROM toks),
+       fs AS (SELECT ngram, CAST(min(doc_id) AS BIGINT) AS first_doc
+              FROM g GROUP BY 1),
+       per AS (SELECT g.doc_id,
+                      CAST(count(*) AS BIGINT) AS total_grams,
+                      CAST(sum(CASE WHEN fs.first_doc = g.doc_id
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams
+               FROM g JOIN fs USING (ngram) GROUP BY 1),
+       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       SELECT CAST(per.doc_id * 20 // nd.n_docs AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs_in_bucket,
+              CAST(sum(novel_grams) AS BIGINT) AS novel_grams,
+              CAST(sum(total_grams) AS BIGINT) AS total_grams,
+              CAST(sum(novel_grams) AS DOUBLE) / sum(total_grams)
+                AS novelty_rate
+       FROM per CROSS JOIN nd
+       GROUP BY 1""",
+)
+def _ngram_novelty_curve(spark, sf_dir):
+    """Corpus novelty profile (Lee et al. 2022's memorization lens):
+    for each 5%-of-corpus bucket in doc_id order, the fraction of a
+    doc's distinct word trigrams whose FIRST corpus occurrence is that
+    doc — the declining curve that quantifies how much of a growing
+    corpus is new text vs repetition, i.e. the marginal value of more
+    data before/after dedup. min-per-gram + one co-partitioned join
+    back; nothing quadratic, no windows."""
+    toks = _tokens(spark, sf_dir)
+    g = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("tokens") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(tokens)-2), "
+                        "i -> concat_ws(' ', slice(tokens, i, 3)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("ngram"),
+        )
+        .dropDuplicates(["doc_id", "ngram"])
+    )
+    fs = g.groupBy("ngram").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    per = (
+        g.join(fs, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+    )
+    nd = toks.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        per.crossJoin(F.broadcast(nd))  # 1-row aggregate join
+        .groupBy(
+            F.expr("doc_id * 20 div n_docs").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_in_bucket"),
+            F.sum("novel_grams").cast("long").alias("novel_grams"),
+            F.sum("total_grams").cast("long").alias("total_grams"),
+        )
+        .select(
+            "bucket",
+            "n_docs_in_bucket",
+            "novel_grams",
+            "total_grams",
+            (F.col("novel_grams").cast("double") / F.col("total_grams")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
