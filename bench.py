@@ -123,6 +123,8 @@ HEADLINE = [
     "length_bucketed_batches",
     "ngram_novelty_curve",
     "judge_position_bias",
+    "unimax_allocation",
+    "fim_transform",
 ]
 
 

@@ -267,3 +267,82 @@ def negative_sampling_table(
         )
         .select(token_column, F.col("n").cast("long").alias("n"), "prob", "cum_prob")
     )
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    group_column: str,
+    tokens_column: str,
+    budget: int,
+    epoch_cap: int,
+) -> DataFrame:
+    """UniMax budget water-filling (Chung et al. 2023): allocate
+    ``budget`` tokens over groups (languages/domains) so no group is
+    sampled more than ``epoch_cap`` epochs, the freed budget spreading
+    uniformly over the rest — closed relational form, no iteration.
+
+    A group (ascending by capacity, j = 1..L) is epoch-capped iff
+    cap_j * (L - j + 1) <= budget - prefix_{j-1}; survivors split the
+    remainder by exact integer division with a largest-remainder
+    top-up (cap-descending, then group ascending — deterministic).
+    All int64: allocations sum to exactly ``budget`` whenever total
+    capacity covers it, else every group gets its full cap.
+
+    Output: (group, tokens_available, cap, allocation, capped). The
+    relation is group-cardinality-bounded — corpus-scale work is
+    whatever aggregate produced ``counts``."""
+    caps = counts.select(
+        F.col(group_column).alias("group"),
+        F.col(tokens_column).cast("long").alias("tokens_available"),
+        (F.col(tokens_column).cast("long") * int(epoch_cap)).alias("cap"),
+    )
+    wj = Window.orderBy(F.col("cap").asc(), F.col("group").asc())
+    caps = caps.withColumn("j", F.row_number().over(wj)).withColumn(
+        "l", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+    )
+    wp = Window.orderBy(F.col("j").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fl = caps.withColumn(
+        "prefix", F.coalesce(F.sum("cap").over(wp), F.lit(0)).cast("long")
+    ).withColumn(
+        "capped",
+        (
+            F.col("cap") * (F.col("l") - F.col("j") + 1)
+            <= F.lit(int(budget)) - F.col("prefix")
+        ).cast("int"),
+    )
+    rem = fl.agg(
+        (
+            F.lit(int(budget))
+            - F.coalesce(
+                F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+        F.coalesce(F.sum(F.lit(1) - F.col("capped")), F.lit(0))
+        .cast("long")
+        .alias("m"),
+    )
+    wu = Window.partitionBy("capped").orderBy(
+        F.col("cap").desc(), F.col("group").asc()
+    )
+    shared = fl.crossJoin(F.broadcast(rem)).withColumn(  # 1-row agg join
+        "uncapped_rank",
+        F.when(F.col("capped") == 0, F.row_number().over(wu)),
+    )
+    return shared.select(
+        F.col("group").alias(group_column),
+        "tokens_available",
+        "cap",
+        F.when(F.col("capped") == 1, F.col("cap"))
+        .otherwise(
+            F.expr("r div m")
+            + F.when(F.col("uncapped_rank") <= F.col("r") % F.col("m"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("allocation"),
+        F.col("capped").cast("long").alias("capped"),
+    )

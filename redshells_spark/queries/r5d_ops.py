@@ -1001,3 +1001,133 @@ def _ngram_novelty_curve(spark, sf_dir):
             ),
         )
     )
+
+
+@q(
+    "unimax_allocation",
+    """WITH c AS (
+         SELECT lang, CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                               t -> t <> ''))) AS BIGINT)
+                        AS tokens_available
+         FROM documents GROUP BY 1),
+       caps AS (SELECT lang, tokens_available,
+                       CAST(tokens_available * 3 AS BIGINT) AS cap,
+                       row_number() OVER (
+                         ORDER BY tokens_available * 3 ASC, lang ASC) AS j,
+                       CAST(count(*) OVER () AS BIGINT) AS l
+                FROM c),
+       pf AS (SELECT *, CAST(coalesce(sum(cap) OVER (
+                          ORDER BY j ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+              FROM caps),
+       fl AS (SELECT *, CASE WHEN cap * (l - j + 1) <= 80000 - prefix
+                             THEN 1 ELSE 0 END AS capped
+              FROM pf),
+       rem AS (SELECT CAST(80000 - coalesce(sum(CASE WHEN capped = 1
+                                                     THEN cap END), 0)
+                        AS BIGINT) AS r,
+                      CAST(coalesce(sum(1 - capped), 0) AS BIGINT) AS m
+               FROM fl),
+       shared AS (SELECT fl.*, rem.r, rem.m,
+                         CASE WHEN fl.capped = 0
+                              THEN row_number() OVER (
+                                     PARTITION BY fl.capped
+                                     ORDER BY fl.cap DESC, fl.lang ASC)
+                              END AS uncapped_rank
+                  FROM fl CROSS JOIN rem)
+       SELECT lang, tokens_available, cap,
+              CAST(CASE WHEN capped = 1 THEN cap
+                        ELSE r // m + CASE WHEN uncapped_rank <= r % m
+                                           THEN 1 ELSE 0 END
+                   END AS BIGINT) AS allocation,
+              CAST(capped AS BIGINT) AS capped
+       FROM shared""",
+)
+def _unimax_allocation(spark, sf_dir):
+    """UniMax language sampling (Chung et al. 2023): allocate a token
+    budget (80k here) across languages by water-filling — every
+    language gets at most ``epoch_cap``=3 passes over its data, the
+    freed budget spreads UNIFORMLY over the rest — the multilingual
+    mixing rule that beats temperature sampling on tail languages.
+
+    Closed relational form: languages sorted by capacity ascending; a
+    language is budget-capped iff cap_j*(L-j+1) <= B - prefix_{j-1}
+    (its cap fits the uniform share at its turn — a window prefix
+    sum, no iteration); survivors split the remainder by exact
+    integer division with largest-remainder top-up (deterministic
+    cap-desc order). All exact int64: allocations sum to B whenever
+    total capacity >= B. Language-cardinality-bounded relation; the
+    only corpus-scale work is the one map-combined token count."""
+    from redshells_spark.data.sampling import unimax_allocation
+
+    toks = _tokens(spark, sf_dir)
+    c = toks.groupBy("lang").agg(
+        F.sum(F.size("tokens")).cast("long").alias("tokens_available")
+    )
+    return unimax_allocation(
+        c, "lang", "tokens_available", budget=80000, epoch_cap=3
+    )
+
+
+@q(
+    "fim_transform",
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         FROM documents),
+       cuts AS (SELECT doc_id, tk,
+                       CAST(len(tk) AS BIGINT) AS n,
+                       CAST(len(tk) // 3 AS BIGINT) AS p_end,
+                       CAST((2 * len(tk)) // 3 AS BIGINT) AS m_end
+                FROM t)
+       SELECT doc_id, n AS n_tokens,
+              CASE WHEN doc_id % 2 = 1 THEN 'ar' ELSE 'fim' END AS mode,
+              CASE WHEN doc_id % 2 = 1 THEN array_to_string(tk, ' ')
+                   ELSE '<PRE> ' || array_to_string(tk[1:p_end], ' ')
+                        || ' <SUF> ' || array_to_string(tk[m_end+1:n], ' ')
+                        || ' <MID> ' || array_to_string(tk[p_end+1:m_end], ' ')
+              END AS text_out
+       FROM cuts""",
+)
+def _fim_transform(spark, sf_dir):
+    """Fill-in-the-middle pretraining transform (Bavarian et al.
+    2022): half the corpus (odd doc_ids) stays autoregressive, the
+    other half is rearranged PSM — <PRE> prefix <SUF> suffix <MID>
+    middle — with deterministic third-point cuts, teaching infilling
+    at zero architecture cost. Pure per-row array slicing in codegen;
+    the 50% FIM rate and sentinel layout follow the paper's
+    recommended defaults."""
+    toks = _tokens(spark, sf_dir)
+    cuts = toks.select(
+        "doc_id",
+        F.col("tokens").alias("tk"),
+        F.size("tokens").cast("long").alias("n"),
+        (F.size("tokens").cast("long") / 3).cast("long").alias("p_end"),
+        (F.size("tokens").cast("long") * 2 / 3).cast("long").alias("m_end"),
+    )
+    fim = F.concat(
+        F.lit("<PRE> "),
+        F.expr("concat_ws(' ', slice(tk, 1, CAST(p_end AS INT)))"),
+        F.lit(" <SUF> "),
+        F.expr(
+            "concat_ws(' ', slice(tk, CAST(m_end + 1 AS INT), "
+            "CAST(n - m_end AS INT)))"
+        ),
+        F.lit(" <MID> "),
+        F.expr(
+            "concat_ws(' ', slice(tk, CAST(p_end + 1 AS INT), "
+            "CAST(m_end - p_end AS INT)))"
+        ),
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("ar"))
+        .otherwise(F.lit("fim"))
+        .alias("mode"),
+        F.when(
+            F.col("doc_id") % 2 == 1, F.expr("concat_ws(' ', tk)")
+        )
+        .otherwise(fim)
+        .alias("text_out"),
+    )

@@ -284,3 +284,50 @@ def test_ece_exact_integer_identity(spark, sf_dir):
     assert max(r["gap_e6"] for r in rows) == rows[0]["mce_e6"]
     # bins live on the confidence axis
     assert all(0 <= r["bin"] <= 99 for r in rows)
+
+
+def test_unimax_waterfill_edges(spark):
+    from redshells_spark.data.sampling import unimax_allocation
+
+    # tail groups epoch-capped, big group budget-limited; sums to B
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 110), ("c", 500)], "g string, toks long"
+    )
+    out = {r["g"]: r for r in
+           unimax_allocation(df, "g", "toks", budget=1000, epoch_cap=3).collect()}
+    assert out["a"]["allocation"] == 300 and out["a"]["capped"] == 1
+    assert out["b"]["allocation"] == 330 and out["b"]["capped"] == 1
+    assert out["c"]["allocation"] == 370 and out["c"]["capped"] == 0
+    assert sum(r["allocation"] for r in out.values()) == 1000
+
+    # budget exceeds total capacity: everyone fully capped, no crash
+    small = unimax_allocation(df, "g", "toks", budget=10**6, epoch_cap=2)
+    rows = {r["g"]: r for r in small.collect()}
+    assert all(r["allocation"] == r["cap"] for r in rows.values())
+
+    # largest-remainder top-up: 2 uncapped groups splitting 1001
+    df2 = spark.createDataFrame(
+        [("x", 400), ("y", 500)], "g string, toks long"
+    )
+    o2 = {r["g"]: r for r in
+          unimax_allocation(df2, "g", "toks", budget=1001, epoch_cap=2).collect()}
+    assert o2["y"]["allocation"] == 501 and o2["x"]["allocation"] == 500
+
+
+def test_fim_transform_layout(spark, sf_dir):
+    from redshells_spark.queries import get_queries
+
+    rows = get_queries()["fim_transform"](spark, sf_dir).collect()
+    by_mode = {}
+    for r in rows:
+        by_mode.setdefault(r["mode"], []).append(r)
+    assert set(by_mode) == {"ar", "fim"}
+    f = by_mode["fim"][0]
+    assert f["text_out"].startswith("<PRE> ")
+    assert " <SUF> " in f["text_out"] and " <MID> " in f["text_out"]
+    # token-preserving: rearrangement keeps every token exactly once
+    body = (
+        f["text_out"].replace("<PRE> ", "").replace(" <SUF> ", " ")
+        .replace(" <MID> ", " ")
+    )
+    assert len(body.split()) == f["n_tokens"]
