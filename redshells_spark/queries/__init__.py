@@ -32,6 +32,7 @@ from redshells_spark.queries import r5d_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 5 session 4 (newest first — driver window reads the head) ---
+    "rbo_rank_agreement",  # r5d: NEW — rank-biased overlap of two rankers
     "unimax_allocation",  # r5d: NEW — UniMax epoch-capped budget water-fill
     "fim_transform",  # r5d: NEW — fill-in-middle PSM rearrangement
     "judge_position_bias",  # r5d: NEW — first-position win rate audit

@@ -1131,3 +1131,176 @@ def _fim_transform(spark, sf_dir):
         .otherwise(fim)
         .alias("text_out"),
     )
+
+
+def _rbo_suffix_weights(p: float = 0.9, k: int = 10, lcm: int = 2520):
+    """Driver-precomputed RBO suffix weights (the NDCG-discount idiom
+    from ranking_eval_metrics): a doc common to both top-d lists for
+    every d >= m contributes W_m = sum_{d=m..k} w_d * (lcm // d) with
+    w_d = round((1-p) p^(d-1) 1e9) — integer nano-units, so the
+    distributed sum is exact int64 and both engines fold identical
+    literals."""
+    w = [round((1.0 - p) * p ** (d - 1) * 1e9) for d in range(1, k + 1)]
+    return [sum(w[d - 1] * (lcm // d) for d in range(m, k + 1))
+            for m in range(1, k + 1)]
+
+
+def _rbo_case_sql(col: str) -> str:
+    ws = _rbo_suffix_weights()
+    arms = " ".join(
+        f"WHEN {m} THEN {ws[m-1]}" for m in range(1, len(ws) + 1)
+    )
+    return f"CASE {col} {arms} ELSE 0 END"
+
+
+_RBO_RANKERS_SQL = """
+    toks AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+         FROM documents),
+    tok AS (
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
+    st AS (
+         SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS tok_sum FROM tok),
+    p AS (
+         SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+         WHERE term IN ('spark', 'join', 'window', 'stream', 'hash')
+         GROUP BY 1, 2, 3),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+    scored AS (
+         SELECT p.term, p.doc_id, p.tf,
+                ln(CAST(1.0 AS DOUBLE)
+                   + (st.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                     / (dft.df + CAST(0.5 AS DOUBLE)))
+                  * p.tf
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * p.dl
+                          / (st.tok_sum / st.n_docs))) AS bm25
+         FROM p JOIN dft USING (term), st),
+    ra AS (
+         SELECT term, doc_id,
+                row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id ASC) AS r
+         FROM scored QUALIFY r <= 10),
+    rb AS (
+         SELECT term, doc_id,
+                row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS r
+         FROM scored QUALIFY r <= 10)
+"""
+
+
+@q(
+    "rbo_rank_agreement",
+    f"""WITH {_RBO_RANKERS_SQL},
+       common AS (
+         SELECT ra.term, greatest(ra.r, rb.r) AS m
+         FROM ra JOIN rb ON ra.term = rb.term AND ra.doc_id = rb.doc_id),
+       agg AS (
+         SELECT term,
+                CAST(sum({_rbo_case_sql('m')}) AS BIGINT) AS rbo_units,
+                CAST(count(*) AS BIGINT) AS overlap_at_k
+         FROM common GROUP BY 1),
+       terms AS (SELECT DISTINCT term FROM ra)
+       SELECT terms.term,
+              CAST(coalesce(agg.overlap_at_k, 0) AS BIGINT) AS overlap_at_k,
+              CAST(coalesce(agg.rbo_units, 0) AS BIGINT) AS rbo_units,
+              CAST(coalesce(agg.rbo_units, 0) AS DOUBLE)
+                / (2520 * CAST(1000000000 AS BIGINT)) AS rbo
+       FROM terms LEFT JOIN agg USING (term)""",
+)
+def _rbo_rank_agreement(spark, sf_dir):
+    """Rank-Biased Overlap @10, p=0.9 (Webber et al. 2010) between
+    the SAME two rankers rrf_hybrid_search fuses (per-term BM25 vs
+    raw tf): the top-weighted agreement measure for comparing ranking
+    systems where disagreement near rank 1 matters most. Closed
+    integer form: a doc in both top-d for all d >= m := max(ra, rb)
+    contributes the precomputed suffix weight W_m (nano-unit x
+    lcm(1..10) literals — identical in both engines), so per-term RBO
+    is ONE exact int64 sum over the top-10 x top-10 join; the double
+    is a single final division. Depth-capped windows keep shuffle
+    O(#terms · 10)."""
+    from redshells_spark.text.hybrid import hybrid_bm25_tf_search
+
+    # reuse the module's rankers via its fused-search internals: build
+    # both depth-10 rank lists exactly as hybrid_bm25_tf_search does
+    toks = _tokens(spark, sf_dir)
+    tok = toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("dl"),
+        F.explode("tokens").alias("term"),
+    )
+    stats = tok.groupBy().agg(
+        F.count_distinct("doc_id").alias("n_docs"), F.count("*").alias("tok_sum")
+    )
+    p = (
+        tok.filter(F.col("term").isin(list(KEYWORDS)))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = p.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        p.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(0.75)
+                        + F.lit(0.75)
+                        * F.col("dl")
+                        / (F.col("tok_sum") / F.col("n_docs"))
+                    )
+                )
+            ).alias("bm25"),
+        )
+    )
+    wa = Window.partitionBy("term").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    wb = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    ra = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= 10)
+        .select("term", "doc_id", F.col("r").alias("ra"))
+    )
+    rb = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= 10)
+        .select("term", "doc_id", F.col("r").alias("rb"))
+    )
+    ws = _rbo_suffix_weights()
+    wexpr = F.lit(0).cast("long")
+    for m in range(len(ws), 0, -1):
+        wexpr = F.when(
+            F.greatest("ra", "rb") == m, F.lit(ws[m - 1]).cast("long")
+        ).otherwise(wexpr)
+    common = ra.join(rb, ["term", "doc_id"]).select(
+        "term", wexpr.alias("wm")
+    )
+    agg = common.groupBy("term").agg(
+        F.sum("wm").cast("long").alias("rbo_units"),
+        F.count(F.lit(1)).cast("long").alias("overlap_at_k"),
+    )
+    terms = ra.select("term").distinct()
+    return terms.join(agg, "term", "left").select(
+        "term",
+        F.coalesce("overlap_at_k", F.lit(0)).cast("long").alias("overlap_at_k"),
+        F.coalesce("rbo_units", F.lit(0)).cast("long").alias("rbo_units"),
+        (
+            F.coalesce("rbo_units", F.lit(0)).cast("double")
+            / (F.lit(2520) * F.lit(1_000_000_000).cast("long"))
+        ).alias("rbo"),
+    )

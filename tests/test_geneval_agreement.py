@@ -331,3 +331,18 @@ def test_fim_transform_layout(spark, sf_dir):
         .replace(" <MID> ", " ")
     )
     assert len(body.split()) == f["n_tokens"]
+
+
+def test_rbo_suffix_weights_identity():
+    """Identical top-10 rankings must score RBO@10 = (1-p) * sum
+    p^(d-1) = 1 - p^10 (up to the documented nano-unit weight
+    quantization)."""
+    from redshells_spark.queries.r5d_ops import _rbo_suffix_weights
+
+    ws = _rbo_suffix_weights(p=0.9, k=10, lcm=2520)
+    # identical lists: the doc at rank r has m = r
+    total = sum(ws)
+    rbo = total / (2520 * 1e9)
+    assert abs(rbo - (1 - 0.9**10)) < 1e-6
+    # weights strictly decreasing in m and positive
+    assert all(a > b > 0 for a, b in zip(ws, ws[1:]))
