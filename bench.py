@@ -125,6 +125,9 @@ HEADLINE = [
     "judge_position_bias",
     "unimax_allocation",
     "fim_transform",
+    "rbo_rank_agreement",
+    "winrate_bootstrap_ci",
+    "ks_two_sample",
 ]
 
 

@@ -1304,3 +1304,176 @@ def _rbo_rank_agreement(spark, sf_dir):
             / (F.lit(2520) * F.lit(1_000_000_000).cast("long"))
         ).alias("rbo"),
     )
+
+
+def _winrate_boot_oracle() -> str:
+    from redshells_spark.queries.r5c_ops import _bootstrap_thresholds_sql
+
+    base_cte = _BT_MATCHES_CTE_LOCAL.replace(
+        "SELECT CASE WHEN prev_value >= value THEN prev_type ELSE event_type END AS winner",
+        "SELECT event_id AS id, CASE WHEN prev_value >= value THEN 1 ELSE 0 END AS u,"
+        " CASE WHEN prev_value >= value THEN prev_type ELSE event_type END AS winner"
+    ).replace(
+        "SELECT user_id, event_type, value,",
+        "SELECT user_id, event_id, event_type, value,"
+    ).replace("matches AS (", "base AS (")
+    # the .replace chain must actually have rewritten the CTE — a
+    # silent no-op here would produce a matches/base mismatch
+    assert "base AS (" in base_cte and "AS id," in base_cte
+    return f"""WITH {base_cte},
+       hs AS (
+         SELECT base.id, base.u, g.g,
+                md5('3|' || CAST(g.g AS VARCHAR) || '|' || CAST(base.id AS VARCHAR)) AS h
+         FROM base, (SELECT unnest(generate_series(0, 12)) AS g) g),
+       wts AS (
+         SELECT hs.g * 8 + s.s AS b, hs.u,
+                {_bootstrap_thresholds_sql().replace(
+                    "pfx", "substr(hs.h, s.s * 4 + 1, 4)"
+                )} AS w
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS s) s
+         WHERE hs.g * 8 + s.s < 100),
+       reps AS (
+         SELECT b, CAST(sum(w * u) AS BIGINT) AS wu, CAST(sum(w) AS BIGINT) AS ws
+         FROM wts GROUP BY b HAVING sum(w) > 0),
+       means AS (
+         SELECT b, CAST(wu AS DOUBLE) / CAST(ws AS DOUBLE) / 1.0 AS boot_mean
+         FROM reps),
+       ord AS (
+         SELECT b, boot_mean,
+                row_number() OVER (ORDER BY boot_mean ASC, b ASC) - 1 AS rn
+         FROM means),
+       cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_replicas FROM means),
+       lo AS (SELECT round(boot_mean, 4) AS ci_lo FROM ord WHERE rn = 2),
+       hi AS (SELECT round(boot_mean, 4) AS ci_hi
+              FROM ord, cnt WHERE rn = n_replicas - 3),
+       pt AS (SELECT round(CAST(sum(u) AS DOUBLE) / count(*) / 1.0, 4)
+                AS point_mean FROM base)
+       SELECT n_replicas, point_mean, ci_lo, ci_hi FROM cnt, pt, lo, hi"""
+
+
+@q("winrate_bootstrap_ci", _winrate_boot_oracle())
+def _winrate_bootstrap_ci(spark, sf_dir):
+    """95% Poisson-bootstrap CI on the FIRST-POSITION win rate over
+    the sequential match log — 'is the position bias significant?'
+    answered with the same replica machinery as bootstrap_metric_ci
+    (ml/bootstrap.py; Chamandy et al. 2012). The outcome is 0/1 so
+    scale=1: replica win rates are exact-int ratios, bit-identical
+    across engines and partitionings; a CI excluding 0.5 is the
+    rigorous version of judge_position_bias's Wilson flag."""
+    from redshells_spark.ml.bootstrap import ci_from_sums, replica_sums
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
+    )
+    base = seq.select(
+        F.col("event_id").alias("id"),
+        (F.col("prev_value") >= F.col("value")).cast("long").alias("u"),
+    )
+    reps = replica_sums(base, "u", "id", n_replicas=100, seed=3, scale=1)
+    tot = base.agg(
+        F.sum("u").cast("long").alias("su"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return ci_from_sums(reps, tot, n_replicas=100, alpha=0.05, scale=1)
+
+
+@q(
+    "ks_two_sample",
+    """WITH b AS (
+         SELECT CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       pv AS (SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+                     CAST(sum(1 - is1) AS BIGINT) AS c2
+              FROM b GROUP BY 1),
+       cum AS (SELECT v,
+                      CAST(sum(c1) OVER (ORDER BY v ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                      CAST(sum(c2) OVER (ORDER BY v ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+               FROM pv),
+       n AS (SELECT CAST(sum(is1) AS BIGINT) AS n1,
+                    CAST(sum(1 - is1) AS BIGINT) AS n2
+             FROM b),
+       d AS (SELECT CAST(max(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT)
+                      AS d_num
+             FROM cum, n)
+       SELECT n.n1, n.n2, d.d_num,
+              CAST(d.d_num AS DOUBLE) / (n.n1 * n.n2) AS d_stat,
+              CAST(1.358 AS DOUBLE)
+                * sqrt((n.n1 + n.n2) / (CAST(n.n1 AS DOUBLE) * n.n2))
+                AS critical_005,
+              CAST(CASE WHEN CAST(d.d_num AS DOUBLE) / (n.n1 * n.n2)
+                        > CAST(1.358 AS DOUBLE)
+                          * sqrt((n.n1 + n.n2)
+                                 / (CAST(n.n1 AS DOUBLE) * n.n2))
+                        THEN 1 ELSE 0 END AS BIGINT) AS reject_005
+       FROM n, d""",
+)
+def _ks_two_sample(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov test between the click and
+    purchase value distributions — the standard drift check between
+    two data slices. The supremum gap folds to max|cum1*n2 - cum2*n1|
+    — an exact int64 over one value-ordered window (missing values in
+    either sample carry forward automatically because the cumsum runs
+    over the UNION of distinct values) — and D, the alpha=0.05
+    critical value, and the reject flag are one fixed IEEE tree over
+    those ints (identical operands -> identical comparison in both
+    engines). No p-value series expansion: the decision threshold is
+    the closed Smirnov large-sample form."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        money_units(F.col("value")).alias("v"),
+        (F.col("event_type") == "click").cast("long").alias("is1"),
+    )
+    pv = b.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("c2"),
+    )
+    wc = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pv.select(
+        "v",
+        F.sum("c1").over(wc).cast("long").alias("cum1"),
+        F.sum("c2").over(wc).cast("long").alias("cum2"),
+    )
+    n = b.agg(
+        F.sum("is1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(n))  # 1-row aggregate join
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    d_stat = F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2"))
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return (
+        n.crossJoin(F.broadcast(d))  # two 1-row aggregates
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            d_stat.alias("d_stat"),
+            crit.alias("critical_005"),
+            (d_stat > crit).cast("long").alias("reject_005"),
+        )
+    )

@@ -346,3 +346,41 @@ def test_rbo_suffix_weights_identity():
     assert abs(rbo - (1 - 0.9**10)) < 1e-6
     # weights strictly decreasing in m and positive
     assert all(a > b > 0 for a, b in zip(ws, ws[1:]))
+
+
+def test_ks_two_sample_hand_case(spark, sf_dir):
+    """KS on identical samples -> D = 0; on disjoint ranges -> D = 1;
+    the registry query's exact integer numerator agrees with a
+    recomputation from raw values."""
+    from redshells_spark.queries import get_queries
+    import duckdb
+
+    r = get_queries()["ks_two_sample"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["d_stat"] <= 1.0
+    assert r["reject_005"] in (0, 1)
+    # recompute D exactly from the raw parquet with numpy-free logic
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(floor(value*100 + CAST(0.5 AS DOUBLE)) AS BIGINT) v,
+                   event_type FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('click','purchase')"""
+    ).fetchall()
+    ones = sorted(v for v, t in rows if t == "click")
+    twos = sorted(v for v, t in rows if t == "purchase")
+    n1, n2 = len(ones), len(twos)
+    values = sorted(set(ones) | set(twos))
+    import bisect
+    d_num = max(
+        abs(bisect.bisect_right(ones, v) * n2 - bisect.bisect_right(twos, v) * n1)
+        for v in values
+    )
+    assert (r["n1"], r["n2"], r["d_num"]) == (n1, n2, d_num)
+
+
+def test_winrate_bootstrap_ci_brackets_point(spark, sf_dir):
+    from redshells_spark.queries import get_queries
+
+    r = get_queries()["winrate_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r["n_replicas"] == 100
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    assert 0.0 <= r["ci_lo"] and r["ci_hi"] <= 1.0
