@@ -1429,51 +1429,13 @@ def _ks_two_sample(spark, sf_dir):
     critical value, and the reject flag are one fixed IEEE tree over
     those ints (identical operands -> identical comparison in both
     engines). No p-value series expansion: the decision threshold is
-    the closed Smirnov large-sample form."""
+    the closed Smirnov large-sample form. The per-value count relation
+    is also the mergeable state of streaming/drift.py's monitor."""
+    from redshells_spark.operators.drift import ks_two_sample
+
     ev = _t(spark, sf_dir, "events")
     b = ev.filter(F.col("event_type").isin("click", "purchase")).select(
-        money_units(F.col("value")).alias("v"),
+        "value",
         (F.col("event_type") == "click").cast("long").alias("is1"),
     )
-    pv = b.groupBy("v").agg(
-        F.sum("is1").cast("long").alias("c1"),
-        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("c2"),
-    )
-    wc = Window.orderBy(F.col("v").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = pv.select(
-        "v",
-        F.sum("c1").over(wc).cast("long").alias("cum1"),
-        F.sum("c2").over(wc).cast("long").alias("cum2"),
-    )
-    n = b.agg(
-        F.sum("is1").cast("long").alias("n1"),
-        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("n2"),
-    )
-    d = (
-        cum.crossJoin(F.broadcast(n))  # 1-row aggregate join
-        .agg(
-            F.max(
-                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
-            )
-            .cast("long")
-            .alias("d_num")
-        )
-    )
-    d_stat = F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))
-    crit = F.lit(1.358) * F.sqrt(
-        (F.col("n1") + F.col("n2"))
-        / (F.col("n1").cast("double") * F.col("n2"))
-    )
-    return (
-        n.crossJoin(F.broadcast(d))  # two 1-row aggregates
-        .select(
-            "n1",
-            "n2",
-            "d_num",
-            d_stat.alias("d_stat"),
-            crit.alias("critical_005"),
-            (d_stat > crit).cast("long").alias("reject_005"),
-        )
-    )
+    return ks_two_sample(b, "value", "is1", scale=100)

@@ -1,0 +1,94 @@
+"""Streaming preference-pair and KS-drift state == their batch
+operators, exactly, under any micro-batching."""
+
+from __future__ import annotations
+
+from redshells_spark.data.preference import preference_pairs
+from redshells_spark.operators.drift import ks_two_sample
+from redshells_spark.streaming.drift import DriftIngest, run_drift_ingest
+from redshells_spark.streaming.preference import (
+    PreferencePairIngest,
+    run_preference_ingest,
+)
+
+P_SCHEMA = "grp long, item long, score long"
+P_ROWS = [
+    (i % 40, i, ((i * 131) % 997) * 100)  # unique items, exact "cents"
+    for i in range(800)
+]
+P_BATCHES = [P_ROWS[:200], P_ROWS[200:550], P_ROWS[550:]]
+
+D_SCHEMA = "value double, is1 long"
+D_ROWS = [
+    # sample 2 (is1=0) shifted +20 units over a 0..99 base range:
+    # D ~ 0.2 > the 0.128 critical value at these sizes
+    (float((i * 37) % 100) + (0.0 if i % 2 else 20.0), i % 2)
+    for i in range(900)
+]
+D_BATCHES = [D_ROWS[:100], D_ROWS[100:600], D_ROWS[600:]]
+
+
+def _write_batches(spark, src, batches, schema):
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+
+
+def test_streamed_pairs_match_batch_exactly(spark, tmp_path):
+    stream = _write_batches(spark, tmp_path / "psrc", P_BATCHES, P_SCHEMA)
+    ingest = PreferencePairIngest(
+        base_path=str(tmp_path / "pstate"),
+        group_column="grp",
+        item_column="item",
+        score_column="score",
+        min_margin=5000,
+        max_pairs_per_group=2,
+    )
+    q = run_preference_ingest(stream, ingest, "pref_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(ingest.stats) == 3
+    # state bounded by 2k rows per group, not by response volume
+    assert ingest.stats[-1]["state_rows"] <= 40 * 4
+
+    key = lambda r: (r["grp"], r["pair_rank"])
+    got = sorted(ingest.pairs_from_state(spark).collect(), key=key)
+    want = sorted(
+        preference_pairs(
+            spark.createDataFrame(P_ROWS, P_SCHEMA),
+            "grp", "item", "score",
+            min_margin=5000, max_pairs_per_group=2,
+        ).collect(),
+        key=key,
+    )
+    assert got == want  # extremes are sufficient statistics
+
+
+def test_streamed_ks_matches_batch_exactly(spark, tmp_path):
+    stream = _write_batches(spark, tmp_path / "dsrc", D_BATCHES, D_SCHEMA)
+    ingest = DriftIngest(base_path=str(tmp_path / "dstate"))
+    q = run_drift_ingest(stream, ingest, "drift_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(ingest.stats) == 3
+    # state bounded by the value DOMAIN (200 distinct cents here)
+    assert ingest.stats[-1]["state_rows"] <= 200
+
+    got = ingest.ks_from_state(spark).collect()[0]
+    want = ks_two_sample(
+        spark.createDataFrame(D_ROWS, D_SCHEMA), "value", "is1"
+    ).collect()[0]
+    assert got == want  # additive counts + shared derivation
+    # the fixture's two samples are shifted by 0.5 -> drift is real
+    assert got["reject_005"] == 1
