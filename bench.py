@@ -128,6 +128,7 @@ HEADLINE = [
     "rbo_rank_agreement",
     "winrate_bootstrap_ci",
     "ks_two_sample",
+    "chat_loss_mask_spans",
 ]
 
 

@@ -1439,3 +1439,70 @@ def _ks_two_sample(spark, sf_dir):
         (F.col("event_type") == "click").cast("long").alias("is1"),
     )
     return ks_two_sample(b, "value", "is1", scale=100)
+
+
+@q(
+    "chat_loss_mask_spans",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS turn_idx
+         FROM events),
+       turns AS (
+         SELECT user_id, turn_idx, event_type,
+                CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END
+                  AS role,
+                CAST(2 + length(event_type) AS BIGINT) AS turn_tokens
+         FROM seq WHERE turn_idx <= 6),
+       ofs AS (
+         SELECT user_id, turn_idx, role, turn_tokens,
+                CAST(coalesce(sum(turn_tokens) OVER (
+                  PARTITION BY user_id ORDER BY turn_idx ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_tok
+         FROM turns)
+       SELECT user_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+              start_tok + 1 AS mask_start,
+              start_tok + turn_tokens AS mask_end,
+              turn_tokens - 1 AS n_masked
+       FROM ofs WHERE role = 'assistant'""",
+)
+def _chat_loss_mask_spans(spark, sf_dir):
+    """SFT loss-mask computation: each user's first 6 events become
+    alternating user/assistant chat turns rendered with a 2-sentinel
+    template (<|role|> ... <|end|>, content tokens = the label
+    length); the training pipeline needs the TOKEN SPANS of
+    assistant content (+ end sentinel) to mask the loss to — the
+    standard assistant-only SFT convention. One per-conversation
+    window cumulative sum gives every span offset exactly; spans are
+    half-open-free inclusive [mask_start, mask_end] in exact int64
+    token positions. Zero joins beyond the window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    turns = (
+        ev.withColumn("turn_idx", F.row_number().over(w))
+        .filter(F.col("turn_idx") <= 6)
+        .select(
+            "user_id",
+            "turn_idx",
+            F.when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            (F.lit(2) + F.length("event_type")).cast("long").alias("turn_tokens"),
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy(F.col("turn_idx").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ofs = turns.withColumn(
+        "start_tok", F.coalesce(F.sum("turn_tokens").over(wo), F.lit(0)).cast("long")
+    )
+    return ofs.filter(F.col("role") == "assistant").select(
+        "user_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        (F.col("start_tok") + 1).alias("mask_start"),
+        (F.col("start_tok") + F.col("turn_tokens")).alias("mask_end"),
+        (F.col("turn_tokens") - 1).alias("n_masked"),
+    )
