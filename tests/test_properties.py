@@ -241,3 +241,88 @@ def test_bm25_matches_pure_python(spark, docs, terms):
         if s:
             want[i] = round(s, 4)
     assert got == want
+
+
+@given(
+    caps=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 500)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=1, max_value=3000),
+    epochs=st.integers(min_value=1, max_value=4),
+)
+@HSETTINGS
+def test_unimax_allocation_invariants(spark, caps, budget, epochs):
+    """Water-fill invariants on generated group sizes: every group's
+    allocation is within [0, cap]; capped groups get exactly cap;
+    allocations sum to min(budget, total capacity)."""
+    from redshells_spark.data.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [(str(g), t) for g, t in caps], "g string, toks long"
+    )
+    rows = unimax_allocation(df, "g", "toks", budget=budget, epoch_cap=epochs).collect()
+    total_cap = sum(t * epochs for _, t in caps)
+    assert all(0 <= r["allocation"] <= r["cap"] for r in rows)
+    assert all(
+        r["allocation"] == r["cap"] for r in rows if r["capped"] == 1
+    )
+    assert sum(r["allocation"] for r in rows) == min(budget, total_cap)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(-50, 50)),
+        min_size=2, max_size=30, unique_by=lambda t: t[1],
+    ),
+    margin=st.integers(min_value=0, max_value=40),
+)
+@HSETTINGS
+def test_preference_pairs_invariants(spark, rows, margin):
+    """Every emitted pair respects the margin gate, orders chosen
+    over rejected, never pairs an item with itself, and emits at most
+    max_pairs per group."""
+    from redshells_spark.data.preference import preference_pairs
+
+    df = spark.createDataFrame(rows, "grp long, item long, score long")
+    out = preference_pairs(df, "grp", "item", "score", int(margin), 2).collect()
+    per_group: dict[int, int] = {}
+    for r in out:
+        assert r["chosen_item"] != r["rejected_item"]
+        assert r["chosen_score"] - r["rejected_score"] == r["margin"] >= margin
+        per_group[r["grp"]] = per_group.get(r["grp"], 0) + 1
+    assert all(v <= 2 for v in per_group.values())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.booleans()),
+        min_size=4, max_size=60,
+    ),
+)
+@HSETTINGS
+def test_ks_two_sample_invariants(spark, rows):
+    """0 <= D <= 1; swapping the sample labels leaves D unchanged
+    (the statistic is symmetric); D = 0 when both samples are
+    identical multisets."""
+    from pyspark.sql import functions as F
+    from redshells_spark.operators.drift import ks_two_sample
+
+    # ensure both samples non-empty
+    rows = rows + [(1, True), (1, False)]
+    df = spark.createDataFrame(
+        [(float(v), int(b)) for v, b in rows], "value double, is1 long"
+    )
+    r = ks_two_sample(df, "value", "is1", scale=1).collect()[0]
+    assert 0.0 <= r["d_stat"] <= 1.0
+    swapped = ks_two_sample(
+        df.select("value", (F.lit(1) - F.col("is1")).alias("is1")),
+        "value", "is1", scale=1,
+    ).collect()[0]
+    assert swapped["d_num"] == r["d_num"]
+    assert (swapped["n1"], swapped["n2"]) == (r["n2"], r["n1"])
+    # identical samples -> D = 0
+    both = spark.createDataFrame(
+        [(float(v), f) for v, _ in rows for f in (0, 1)], "value double, is1 long"
+    )
+    assert ks_two_sample(both, "value", "is1", scale=1).collect()[0]["d_num"] == 0
