@@ -129,6 +129,7 @@ HEADLINE = [
     "winrate_bootstrap_ci",
     "ks_two_sample",
     "chat_loss_mask_spans",
+    "conformal_threshold",
 ]
 
 

@@ -594,6 +594,28 @@ def _best_of_n_responses(spark, sf_dir):
     return best_of_n(b, "user_id", "event_id", "score_c")
 
 
+
+def _event_seq_pairs(spark, sf_dir):
+    """Consecutive same-user event pairs of different types — the
+    shared match-log base of model_win_rate_matrix,
+    judge_position_bias, and winrate_bootstrap_ci (and, in SQL form,
+    _BT_MATCHES_CTE_LOCAL / bradley_terry_ratings). Columns:
+    event_id, event_type, value, prev_type, prev_value."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_us(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
+    )
+
+
 _BT_MATCHES_CTE_LOCAL = """matches AS (
     SELECT CASE WHEN prev_value >= value THEN prev_type ELSE event_type END AS winner,
            CASE WHEN prev_value >= value THEN event_type ELSE prev_type END AS loser
@@ -641,19 +663,7 @@ def _model_win_rate_matrix(spark, sf_dir):
     bit-exact."""
     from redshells_spark.data.preference import win_rate_matrix
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        event_us(ev, "ts").asc(), F.col("event_id").asc()
-    )
-    seq = ev.select(
-        "event_type",
-        "value",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("value").over(w).alias("prev_value"),
-    ).filter(
-        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
-    )
-    matches = seq.select(
+    matches = _event_seq_pairs(spark, sf_dir).select(
         F.when(F.col("prev_value") >= F.col("value"), F.col("prev_type"))
         .otherwise(F.col("event_type"))
         .alias("winner"),
@@ -870,19 +880,7 @@ def _judge_position_bias(spark, sf_dir):
     (beyond its interval) flags presentation bias contaminating the
     preference labels. Ties count for the first position, mirroring
     the match derivation. One window + label-bounded aggregates."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        event_us(ev, "ts").asc(), F.col("event_id").asc()
-    )
-    seq = ev.select(
-        "event_type",
-        "value",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("value").over(w).alias("prev_value"),
-    ).filter(
-        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
-    )
-    pos = seq.select(
+    pos = _event_seq_pairs(spark, sf_dir).select(
         F.col("prev_type").alias("first_item"),
         F.col("event_type").alias("second_item"),
         (F.col("prev_value") >= F.col("value")).cast("int").alias("first_won"),
@@ -1362,20 +1360,7 @@ def _winrate_bootstrap_ci(spark, sf_dir):
     rigorous version of judge_position_bias's Wilson flag."""
     from redshells_spark.ml.bootstrap import ci_from_sums, replica_sums
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        event_us(ev, "ts").asc(), F.col("event_id").asc()
-    )
-    seq = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("value").over(w).alias("prev_value"),
-    ).filter(
-        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
-    )
-    base = seq.select(
+    base = _event_seq_pairs(spark, sf_dir).select(
         F.col("event_id").alias("id"),
         (F.col("prev_value") >= F.col("value")).cast("long").alias("u"),
     )
@@ -1505,4 +1490,115 @@ def _chat_loss_mask_spans(spark, sf_dir):
         (F.col("start_tok") + 1).alias("mask_start"),
         (F.col("start_tok") + F.col("turn_tokens")).alias("mask_end"),
         (F.col("turn_tokens") - 1).alias("n_masked"),
+    )
+
+
+@q(
+    "conformal_threshold",
+    """WITH b AS (
+         SELECT event_type, event_id,
+                CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS s,
+                event_id % 2 AS odd
+         FROM events),
+       cal AS (SELECT event_type, event_id, s,
+                      row_number() OVER (
+                        PARTITION BY event_type
+                        ORDER BY s ASC, event_id ASC) AS rn
+               FROM b WHERE odd = 0),
+       ncal AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+                FROM cal GROUP BY 1),
+       kidx AS (SELECT event_type, n_cal,
+                       CAST(least((9 * (n_cal + 1) + 9) // 10, n_cal)
+                         AS BIGINT) AS k
+                FROM ncal),
+       thr AS (SELECT cal.event_type, kidx.n_cal, kidx.k,
+                      CAST(cal.s AS BIGINT) AS threshold_c
+               FROM cal JOIN kidx
+               ON cal.event_type = kidx.event_type AND cal.rn = kidx.k),
+       test AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_test FROM b
+                WHERE odd = 1 GROUP BY 1),
+       cov AS (SELECT b.event_type,
+                      CAST(sum(CASE WHEN b.s <= thr.threshold_c
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+               FROM b JOIN thr ON b.event_type = thr.event_type
+               WHERE b.odd = 1 GROUP BY 1)
+       SELECT thr.event_type, thr.n_cal, thr.k, thr.threshold_c,
+              test.n_test, cov.n_covered,
+              CAST(cov.n_covered AS DOUBLE) / test.n_test AS coverage
+       FROM thr JOIN test ON thr.event_type = test.event_type
+       JOIN cov ON thr.event_type = cov.event_type""",
+)
+def _conformal_threshold(spark, sf_dir):
+    """Split-conformal prediction thresholds per group (Vovk et al.;
+    Angelopoulos & Bates 2023 tutorial form): the calibration half's
+    ceil(0.9*(n+1))-th smallest nonconformity score — computed with
+    EXACT integer index arithmetic ((9(n+1)+9) div 10; a float
+    0.9*(n+1) ceil flips at binary boundaries) — plus empirical
+    coverage on the held-out half, whose exchangeability guarantee
+    (coverage >= 90% in expectation) the test suite checks at data
+    level. One per-group rank window on the calibration half and two
+    map-combined aggregates; scores compare as exact cents."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "event_id",
+        money_units(F.col("value")).alias("s"),
+        (F.col("event_id") % 2).alias("odd"),
+    )
+    cal = b.filter(F.col("odd") == 0).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("s").asc(), F.col("event_id").asc()
+            )
+        ),
+    )
+    ncal = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    )
+    kidx = ncal.select(
+        F.col("event_type").alias("__et"),
+        "n_cal",
+        F.least(
+            F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    thr = cal.join(
+        F.broadcast(kidx),
+        (cal["event_type"] == kidx["__et"]) & (cal["rn"] == kidx["k"]),
+    ).select(
+        "event_type", "n_cal", "k", F.col("s").cast("long").alias("threshold_c")
+    )
+    test = (
+        b.filter(F.col("odd") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+    )
+    cov = (
+        b.filter(F.col("odd") == 1)
+        .join(F.broadcast(thr.select("event_type", "threshold_c")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("s") <= F.col("threshold_c")).cast("int"))
+            .cast("long")
+            .alias("n_covered")
+        )
+    )
+    return (
+        thr.join(test, "event_type")
+        .join(cov, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "k",
+            "threshold_c",
+            "n_test",
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+        )
     )

@@ -384,3 +384,25 @@ def test_winrate_bootstrap_ci_brackets_point(spark, sf_dir):
     assert r["n_replicas"] == 100
     assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
     assert 0.0 <= r["ci_lo"] and r["ci_hi"] <= 1.0
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """Split-conformal marginal validity: coverage on the held-out
+    half should be ~>= 90% per group (exchangeable halves; allow a
+    small finite-sample slack below the target)."""
+    from redshells_spark.queries import get_queries
+
+    rows = get_queries()["conformal_threshold"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["k"] <= r["n_cal"]
+        # per-group realized coverage fluctuates at small n (the
+        # guarantee is in expectation) — bound the dip loosely and
+        # hold the cross-group mean near the target
+        assert r["coverage"] >= 0.78, (r["event_type"], r["coverage"])
+    mean_cov = sum(r["coverage"] for r in rows) / len(rows)
+    assert mean_cov >= 0.87, mean_cov
+    # k is the exact ceil(0.9*(n+1)) index, never the float ceil
+    for r in rows:
+        n = r["n_cal"]
+        assert r["k"] == min((9 * (n + 1) + 9) // 10, n)
