@@ -130,6 +130,7 @@ HEADLINE = [
     "ks_two_sample",
     "chat_loss_mask_spans",
     "conformal_threshold",
+    "packed_attention_boundaries",
 ]
 
 

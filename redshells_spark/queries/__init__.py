@@ -32,6 +32,7 @@ from redshells_spark.queries import r5d_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 5 session 4 (newest first — driver window reads the head) ---
+    "packed_attention_boundaries",  # r5d: NEW — block-diagonal packing map
     "conformal_threshold",  # r5d: NEW — split-conformal quantile + coverage
     "chat_loss_mask_spans",  # r5d: NEW — assistant-turn SFT mask offsets
     "winrate_bootstrap_ci",  # r5d: NEW — bootstrap CI on first-position rate

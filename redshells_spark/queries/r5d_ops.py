@@ -1602,3 +1602,49 @@ def _conformal_threshold(spark, sf_dir):
             ),
         )
     )
+
+
+@q(
+    "packed_attention_boundaries",
+    """WITH ntok AS (
+         SELECT doc_id, source,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                                     t -> t <> '')) AS BIGINT) AS n_tokens
+         FROM documents),
+       packed AS (
+         SELECT doc_id, source, n_tokens,
+                CAST((sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
+                  AS BIGINT) AS chunk_id
+         FROM ntok),
+       spans AS (
+         SELECT source, chunk_id, doc_id, n_tokens,
+                CAST(sum(n_tokens) OVER (
+                       PARTITION BY source, chunk_id ORDER BY doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         FROM packed)
+       SELECT source, chunk_id, doc_id,
+              CAST(cum - n_tokens AS BIGINT) AS start_tok,
+              CAST(cum - 1 AS BIGINT) AS end_tok, n_tokens
+       FROM spans""",
+)
+def _packed_attention_boundaries(spark, sf_dir):
+    """Block-diagonal attention map for packed training sequences
+    (text/packing.py packed_attention_boundaries over pack_sequences
+    at budget 256 per source shard): each doc's exact chunk-local
+    token span, so a trainer masks cross-document attention inside a
+    packed context. Two shard-keyed windows, zero joins; the same
+    doc-id order the packer used makes the spans a pure function of
+    the corpus."""
+    from redshells_spark.text.packing import (
+        pack_sequences,
+        packed_attention_boundaries,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    docs = toks.select(
+        "doc_id", "source", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=256, partition_column="source")
+    return packed_attention_boundaries(packed, "source")

@@ -47,8 +47,12 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tokens_before = F.sum(token_count_column).over(w) - F.col(token_count_column)
-    return docs.withColumn(
-        "chunk_id", F.floor(tokens_before / F.lit(float(budget))).cast("long")
+    # exact int64 division (floor(x / float(budget)) drifts once a
+    # shard's running token count passes 2^53 — real at 100 TB)
+    return (
+        docs.withColumn("__before", tokens_before.cast("long"))
+        .withColumn("chunk_id", F.expr(f"__before div {int(budget)}").cast("long"))
+        .drop("__before")
     )
 
 
@@ -143,4 +147,36 @@ def length_bucketed_batches(
         (F.col("n_seqs") * F.col("max_len") - F.col("sum_tokens"))
         .cast("long")
         .alias("pad_to_max"),
+    )
+
+
+def packed_attention_boundaries(
+    packed: DataFrame,
+    partition_column: str,
+    doc_id_column: str = "doc_id",
+    token_count_column: str = "n_tokens",
+) -> DataFrame:
+    """→ (shard, chunk_id, doc, start_tok, end_tok, n_tokens): each
+    document's token span INSIDE its packed chunk — the block-diagonal
+    attention-mask map a trainer needs so packed documents don't
+    attend across their boundaries (the packing counterpart of the SFT
+    loss-mask spans). Spans are chunk-local, inclusive, and exact:
+    one within-chunk window cumulative sum over the same doc-id order
+    :func:`pack_sequences` packed with."""
+    require_columns(
+        packed, [partition_column, "chunk_id", doc_id_column, token_count_column]
+    )
+    w = (
+        Window.partitionBy(partition_column, "chunk_id")
+        .orderBy(doc_id_column)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count_column).over(w).cast("long")
+    return packed.select(
+        partition_column,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        doc_id_column,
+        (cum - F.col(token_count_column)).cast("long").alias("start_tok"),
+        (cum - F.lit(1)).cast("long").alias("end_tok"),
+        F.col(token_count_column).cast("long").alias("n_tokens"),
     )
