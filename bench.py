@@ -131,6 +131,7 @@ HEADLINE = [
     "chat_loss_mask_spans",
     "conformal_threshold",
     "packed_attention_boundaries",
+    "crossmodal_alignment_filter",
 ]
 
 

@@ -32,6 +32,7 @@ from redshells_spark.queries import r5d_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 5 session 4 (newest first — driver window reads the head) ---
+    "crossmodal_alignment_filter",  # r5d: NEW — LAION-style cosine gate, all-int
     "packed_attention_boundaries",  # r5d: NEW — block-diagonal packing map
     "conformal_threshold",  # r5d: NEW — split-conformal quantile + coverage
     "chat_loss_mask_spans",  # r5d: NEW — assistant-turn SFT mask offsets

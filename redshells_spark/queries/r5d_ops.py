@@ -1648,3 +1648,112 @@ def _packed_attention_boundaries(spark, sf_dir):
     )
     packed = pack_sequences(docs, budget=256, partition_column="source")
     return packed_attention_boundaries(packed, "source")
+
+
+def _crossmodal_oracle() -> str:
+    from redshells_spark.queries.text import _duck_h60
+
+    return f"""WITH iv AS (
+         SELECT vec_id AS id, d - 1 AS d,
+                CAST(floor(x * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vi
+         FROM (SELECT vec_id, unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS d
+               FROM embeddings)),
+       tok AS (
+         SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                           t -> t <> '')) AS token
+         FROM documents),
+       tv AS (SELECT doc_id, {_duck_h60("token")} % 64 AS d,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY 1, 2),
+       dt AS (SELECT tv.doc_id, CAST(sum(iv.vi * tv.cnt) AS BIGINT) AS dot_e3
+              FROM tv JOIN iv ON iv.id = tv.doc_id AND iv.d = tv.d
+              GROUP BY 1),
+       ni AS (SELECT id, CAST(sum(vi * vi) AS BIGINT) AS normi2 FROM iv
+              GROUP BY 1),
+       nt AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS normt2 FROM tv
+              GROUP BY 1),
+       k AS (SELECT d.doc_id, d.source,
+                    CASE WHEN dt.dot_e3 > 0
+                         AND 100 * dt.dot_e3 * dt.dot_e3
+                             >= ni.normi2 * nt.normt2
+                         THEN 1 ELSE 0 END AS kept
+             FROM documents d
+             LEFT JOIN dt ON dt.doc_id = d.doc_id
+             LEFT JOIN ni ON ni.id = d.doc_id
+             LEFT JOIN nt ON nt.doc_id = d.doc_id)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(kept) AS BIGINT) AS n_aligned,
+              CAST(sum(kept) AS DOUBLE) / count(*) AS align_rate
+       FROM k GROUP BY 1"""
+
+
+@q("crossmodal_alignment_filter", _crossmodal_oracle())
+def _crossmodal_alignment_filter(spark, sf_dir):
+    """LAION-style cross-modal alignment filtering (Schuhmann et al.
+    2021: keep pairs whose CLIP image-text cosine clears a
+    threshold), with the real Spark plumbing and a deterministic
+    stand-in text encoder (hashed bag-of-words into the embedding's
+    64 dims — the DSIR feature hash): per source, how many
+    (image-embedding, text) pairs clear cosine >= 0.1 (data-scaled;
+    production uses ~0.28 on real encoders).
+
+    The whole decision is EXACT integers: image vectors e3-quantized
+    per component, dot and both squared norms are int64 sums over the
+    sparse (id, dim) join, and the cosine test folds to
+    100*dot^2 >= normi2*normt2 with dot > 0 — no float ever
+    aggregates, so the filter bit-matches any partitioning. One
+    corpus shuffle per side + a co-partitioned sparse join."""
+    from redshells_spark.dedup.simhash import portable_token_hash
+
+    emb = _t(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "id", "d", money_units(F.col("x"), 1000).alias("vi")
+    )
+    toks = _tokens(spark, sf_dir)
+    tv = (
+        toks.select("doc_id", F.explode("tokens").alias("token"))
+        .select(
+            "doc_id", (portable_token_hash(F.col("token")) % 64).alias("d")
+        )
+        .groupBy("doc_id", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    dt = (
+        tv.join(iv, (iv["id"] == tv["doc_id"]) & (iv["d"] == tv["d"]))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("vi") * F.col("cnt")).cast("long").alias("dot_e3"))
+    )
+    ni = iv.groupBy("id").agg(
+        F.sum(F.col("vi") * F.col("vi")).cast("long").alias("normi2")
+    )
+    nt = tv.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("normt2")
+    )
+    docs = toks.select("doc_id", "source")
+    k = (
+        docs.join(dt, "doc_id", "left")
+        .join(ni, docs["doc_id"] == ni["id"], "left")
+        .join(nt, "doc_id", "left")
+        .select(
+            "source",
+            F.when(
+                (F.col("dot_e3") > 0)
+                & (
+                    F.lit(100) * F.col("dot_e3") * F.col("dot_e3")
+                    >= F.col("normi2") * F.col("normt2")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("kept"),
+        )
+    )
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_aligned"),
+        (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("align_rate"),
+    )
