@@ -90,5 +90,37 @@ def test_streamed_ks_matches_batch_exactly(spark, tmp_path):
         spark.createDataFrame(D_ROWS, D_SCHEMA), "value", "is1"
     ).collect()[0]
     assert got == want  # additive counts + shared derivation
-    # the fixture's two samples are shifted by 0.5 -> drift is real
+    # the fixture's sample 2 is shifted +20 units -> drift is real
     assert got["reject_005"] == 1
+
+
+def test_streamed_bleu_stats_match_batch_exactly(spark, tmp_path):
+    from redshells_spark.streaming.geneval import BleuStatsIngest, run_bleu_ingest
+    from redshells_spark.text.geneval import bleu_corpus_stats
+
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = []
+    for i in range(120):
+        ref = [vocab[(i * 7 + j) % 5] for j in range(8 + i % 5)]
+        cand = [t if (j + i) % 4 else "x" for j, t in enumerate(ref[: len(ref) - i % 3])]
+        rows.append((i, cand, ref))
+    schema = "id long, cand array<string>, ref array<string>"
+    batches = [rows[:30], rows[30:90], rows[90:]]
+    src = tmp_path / "bsrc"
+    stream = _write_batches(spark, src, batches, schema)
+    ingest = BleuStatsIngest(base_path=str(tmp_path / "bstate"), max_n=3)
+    q = run_bleu_ingest(stream, ingest, "bleu_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(ingest.stats) == 3
+
+    got = sorted(ingest.stats_from_state(spark).collect(), key=lambda r: r["n"])
+    want = sorted(
+        bleu_corpus_stats(
+            spark.createDataFrame(rows, schema), "id", "cand", "ref", max_n=3
+        ).collect(),
+        key=lambda r: r["n"],
+    )
+    assert got == want  # per-pair stats fold additively
