@@ -1216,10 +1216,8 @@ def _rbo_rank_agreement(spark, sf_dir):
     is ONE exact int64 sum over the top-10 x top-10 join; the double
     is a single final division. Depth-capped windows keep shuffle
     O(#terms · 10)."""
-    from redshells_spark.text.hybrid import hybrid_bm25_tf_search
-
-    # reuse the module's rankers via its fused-search internals: build
-    # both depth-10 rank lists exactly as hybrid_bm25_tf_search does
+    # build both depth-10 rank lists exactly as
+    # text/hybrid.py hybrid_bm25_tf_search's rankers do
     toks = _tokens(spark, sf_dir)
     tok = toks.select(
         "doc_id",
