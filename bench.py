@@ -1,7 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line to stdout:
+  {"metric": "...", "value": N, "unit": "sec", "n": ..., "n_err": ..., "sf": ...}
+
+The driver captures only the last ~2000 chars of stdout, so the final
+line must stay small (round 5 lost its bench artifact to a 119-entry
+per-query map on this line). The full per-query map goes to stderr AND
+to BENCH_DETAIL.json next to this file, which the repo commits.
 
 Run: python bench.py  (defaults: /root/testdata/sf0.1, local[$SPARK_GRAFT_CPUS])
 """
@@ -173,15 +178,25 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     timed = [v for v in timings.values() if isinstance(v, float)]
-    out = {
+    summary = {
         "metric": "headline_queries_total",
         "value": round(sum(timed), 3),
         "unit": "sec",
-        "queries": timings,
+        "n": len(timings),
         "n_err": len(timings) - len(timed),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    detail = dict(summary)
+    detail["queries"] = timings
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # read-only checkout must not kill the bench
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+    # the compact summary is the ONLY stdout line — keep it that way
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -44,7 +44,17 @@ def preference_pairs(
 
     Ties break on the item id ascending, so the pair set is a pure
     function of the data. Output: (group, chosen_item, chosen_score,
-    rejected_item, rejected_score, margin, pair_rank)."""
+    rejected_item, rejected_score, margin, pair_rank).
+
+    ``min_margin`` must be >= 1: at margin 0 the top-i/bottom-i pairing
+    emits mirrored duplicates ((A,B) at rank 1 and (B,A) at rank 2 for a
+    tied 2-item group) — contradictory DPO rows — and a negative margin
+    admits crossed pairs where rejected outranks chosen."""
+    if int(min_margin) < 1:
+        raise ValueError(
+            f"min_margin must be >= 1 (got {min_margin}): margin<=0 admits "
+            "mirrored/crossed chosen-rejected pairs"
+        )
     top_w = Window.partitionBy(group_col).orderBy(
         F.col(score_col).desc(), F.col(item_col).asc()
     )

@@ -52,9 +52,15 @@ class BleuStatsIngest:
             batch_df, self.id_column, self.cand_column, self.ref_column,
             orders, kind="word",
         ).select("n", "clipped", F.col("cand_total").alias("total"))
+        # coalesce to 0: an empty micro-batch sums to NULL, which would
+        # write an all-NULL row into the lens state and poison later sums
         batch_lens = batch_df.agg(
-            F.sum(F.size(self.cand_column)).cast("long").alias("cand_len"),
-            F.sum(F.size(self.ref_column)).cast("long").alias("ref_len"),
+            F.coalesce(F.sum(F.size(self.cand_column)), F.lit(0))
+            .cast("long")
+            .alias("cand_len"),
+            F.coalesce(F.sum(F.size(self.ref_column)), F.lit(0))
+            .cast("long")
+            .alias("ref_len"),
         )
         prev_s = _read_or_empty(spark, self._p("order_stats"), _STATS_SCHEMA)
         merged_s = (
@@ -77,8 +83,13 @@ class BleuStatsIngest:
         )
         merged_s.write.mode("overwrite").parquet(self._p("order_stats"))
         merged_l.write.mode("overwrite").parquet(self._p("lens"))
+        lens_row = merged_l.collect()[0]
         self.stats.append(
-            {"batch_id": batch_id, "pairs_len": merged_l.collect()[0]["ref_len"]}
+            {
+                "batch_id": batch_id,
+                "cand_len": lens_row["cand_len"],
+                "ref_len": lens_row["ref_len"],
+            }
         )
 
     def stats_from_state(self, spark: SparkSession) -> DataFrame:

@@ -41,16 +41,27 @@ class PreferencePairIngest:
     score_column: str
     min_margin: int
     max_pairs_per_group: int = 1
+    # DDL types for the state columns; None derives them from the first
+    # micro-batch, so string group/item ids work without configuration
+    state_schema: str | None = None
     stats: list[dict] = field(default_factory=list)
 
     def _p(self) -> str:
         return f"{self.base_path}/extremes"
 
-    def _schema(self) -> str:
-        return (
-            f"{self.group_column} long, {self.item_column} long, "
-            f"{self.score_column} long"
-        )
+    def _schema(self, batch_df: DataFrame | None = None) -> str:
+        if self.state_schema is None and batch_df is not None:
+            cols = [self.group_column, self.item_column, self.score_column]
+            self.state_schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in batch_df.select(*cols).schema.fields
+            )
+        if self.state_schema is None:
+            raise ValueError(
+                "state_schema unset and no batch ingested yet — pass "
+                "state_schema or run the ingest before reading state"
+            )
+        return self.state_schema
 
     def _prune(self, df: DataFrame) -> DataFrame:
         """Keep each group's top-k and bottom-k under the SAME total
@@ -73,7 +84,7 @@ class PreferencePairIngest:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cols = [self.group_column, self.item_column, self.score_column]
-        prev = _read_or_empty(spark, self._p(), self._schema())
+        prev = _read_or_empty(spark, self._p(), self._schema(batch_df))
         merged = self._prune(
             prev.unionByName(self._prune(batch_df.select(*cols)))
         ).localCheckpoint(eager=True)  # cut lineage before overwrite

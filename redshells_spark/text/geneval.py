@@ -300,15 +300,25 @@ def bleu_score_from_stats(rows: list[dict]) -> float:
     """Driver-side final combine: geometric mean of the modified
     precisions x brevity penalty. Test/report helper — the exp/log
     here is exactly why the distributed relation exports raw
-    sufficient statistics instead."""
+    sufficient statistics instead.
+
+    An empty candidate corpus (cand_len == 0) scores 0.0, and a
+    missing n-gram order counts as precision 0 (bleu_corpus_stats
+    emits no row for order n when no pair reaches n tokens — same
+    thing as a zero clipped count for BLEU purposes)."""
     import math
 
-    ps = sorted((r["n"], r["precision_n"]) for r in rows)
-    if any(p == 0 for _, p in ps):
+    if not rows:
         return 0.0
+    ps = {r["n"]: r["precision_n"] for r in rows}
+    max_n = max(ps)
     cand_len = rows[0]["cand_len"]
     ref_len = rows[0]["ref_len"]
-    log_mean = sum(math.log(p) for _, p in ps) / len(ps)
+    if not cand_len:  # empty candidate corpus (also guards None)
+        return 0.0
+    if any(ps.get(n) in (None, 0) or ps[n] != ps[n] for n in range(1, max_n + 1)):
+        return 0.0  # missing order == zero precision; NaN (total=0) too
+    log_mean = sum(math.log(ps[n]) for n in range(1, max_n + 1)) / max_n
     bp = 1.0 if cand_len >= ref_len else math.exp(1.0 - ref_len / cand_len)
     return bp * math.exp(log_mean)
 

@@ -51,6 +51,25 @@ def test_bleu_score_from_stats_perfect_match():
     assert bleu_score_from_stats(short) == pytest.approx(math.exp(-1.0))
 
 
+def test_bleu_score_from_stats_degenerate_inputs():
+    from redshells_spark.text.geneval import bleu_score_from_stats
+
+    # empty stats / empty candidate corpus -> 0.0, never a crash
+    assert bleu_score_from_stats([]) == 0.0
+    empty = [
+        {"n": n, "precision_n": float("nan"), "cand_len": 0, "ref_len": 10}
+        for n in (1, 2)
+    ]
+    assert bleu_score_from_stats(empty) == 0.0
+    # a missing order (no pair reached n tokens -> no row emitted)
+    # counts as zero precision, matching the oracle's NULL-total row
+    missing = [
+        {"n": n, "precision_n": 0.8, "cand_len": 10, "ref_len": 10}
+        for n in (1, 3)  # order 2 absent
+    ]
+    assert bleu_score_from_stats(missing) == 0.0
+
+
 def test_rouge_and_chrf_stats(spark):
     from redshells_spark.text.geneval import chrf_stats, rouge_n_stats
 
@@ -219,8 +238,11 @@ def test_preference_pairs_margin_and_middle(spark):
         [(3, "x", 50), (3, "y", 50)], "grp long, item string, score long"
     )
     assert preference_pairs(tie, "grp", "item", "score", 1, 1).count() == 0
-    got = preference_pairs(tie, "grp", "item", "score", 0, 1).collect()
-    assert len(got) == 1 and got[0]["chosen_item"] == "x"
+    # margin<=0 admits mirrored/crossed pairs -> contract rejects it loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="min_margin"):
+        preference_pairs(tie, "grp", "item", "score", 0, 1)
 
 
 def test_best_of_n_and_win_rate(spark):

@@ -275,7 +275,7 @@ def test_unimax_allocation_invariants(spark, caps, budget, epochs):
         st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(-50, 50)),
         min_size=2, max_size=30, unique_by=lambda t: t[1],
     ),
-    margin=st.integers(min_value=0, max_value=40),
+    margin=st.integers(min_value=1, max_value=40),
 )
 @HSETTINGS
 def test_preference_pairs_invariants(spark, rows, margin):

@@ -94,6 +94,66 @@ def test_streamed_ks_matches_batch_exactly(spark, tmp_path):
     assert got["reject_005"] == 1
 
 
+def test_streamed_pairs_string_ids(spark, tmp_path):
+    """State schema derives from the first batch, so string group/item
+    ids work without configuration (r5 advice: the hardcoded-long
+    schema failed at the first unionByName)."""
+    rows = [(f"g{i % 3}", f"it{i}", ((i * 37) % 211) * 100) for i in range(60)]
+    schema = "grp string, item string, score long"
+    stream = _write_batches(
+        spark, tmp_path / "pssrc", [rows[:20], rows[20:]], schema
+    )
+    ingest = PreferencePairIngest(
+        base_path=str(tmp_path / "psstate"),
+        group_column="grp",
+        item_column="item",
+        score_column="score",
+        min_margin=100,
+        max_pairs_per_group=1,
+    )
+    q = run_preference_ingest(stream, ingest, "pref_str_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    key = lambda r: (r["grp"], r["pair_rank"])
+    got = sorted(ingest.pairs_from_state(spark).collect(), key=key)
+    want = sorted(
+        preference_pairs(
+            spark.createDataFrame(rows, schema), "grp", "item", "score",
+            min_margin=100, max_pairs_per_group=1,
+        ).collect(),
+        key=key,
+    )
+    assert got == want and len(got) == 3
+
+
+def test_streamed_bleu_empty_first_batch(spark, tmp_path):
+    """An empty micro-batch must fold as zeros, not write NULL lens."""
+    from redshells_spark.streaming.geneval import BleuStatsIngest, run_bleu_ingest
+    from redshells_spark.text.geneval import bleu_corpus_stats
+
+    schema = "id long, cand array<string>, ref array<string>"
+    rows = [(0, ["a", "b", "c"], ["a", "b", "d"])]
+    # batch 0 is EMPTY (schema-only parquet), batch 1 holds the pair
+    stream = _write_batches(spark, tmp_path / "ebsrc", [[], rows], schema)
+    ingest = BleuStatsIngest(base_path=str(tmp_path / "ebstate"), max_n=2)
+    q = run_bleu_ingest(stream, ingest, "bleu_empty_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert ingest.stats[0] == {"batch_id": 0, "cand_len": 0, "ref_len": 0}
+    got = sorted(ingest.stats_from_state(spark).collect(), key=lambda r: r["n"])
+    want = sorted(
+        bleu_corpus_stats(
+            spark.createDataFrame(rows, schema), "id", "cand", "ref", max_n=2
+        ).collect(),
+        key=lambda r: r["n"],
+    )
+    assert got == want
+
+
 def test_streamed_bleu_stats_match_batch_exactly(spark, tmp_path):
     from redshells_spark.streaming.geneval import BleuStatsIngest, run_bleu_ingest
     from redshells_spark.text.geneval import bleu_corpus_stats
