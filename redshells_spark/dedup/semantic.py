@@ -44,6 +44,23 @@ from redshells_spark.schema import require_columns
 from redshells_spark.similarity.ann import assign_to_centroids
 
 
+def _assigned_checkpoint(
+    df: DataFrame,
+    centroids: list[list[float]],
+    embedding_col: str,
+) -> DataFrame:
+    """df + ``cid``, checkpointed: the assignment feeds the size
+    guard, both pair-join sides, AND the final anti-join — without the
+    checkpoint the argmin-over-centroids projection re-runs per
+    consumer (bench cold run: 36s — the multi-consumer pattern from
+    NOTES.md)."""
+    return (
+        assign_to_centroids(df, centroids, embedding_col)
+        .withColumnRenamed("centroid", "cid")
+        .localCheckpoint(eager=True)
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     centroids: list[list[float]] | None = None,
@@ -65,15 +82,21 @@ def semantic_dedup_pairs(
         centroids = ivf_seed_centroids(
             df, None, corpus_id=id_col, embedding_column=embedding_col
         )
-    # checkpoint the assignment: it feeds the size guard AND both join
-    # sides (and the caller's anti-join) — without this the argmin-
-    # over-centroids projection re-runs per consumer (bench cold run:
-    # 36s -> the multi-consumer pattern from NOTES.md)
-    assigned = (
-        assign_to_centroids(df, centroids, embedding_col)
-        .select(F.col(id_col), F.col(embedding_col), F.col("centroid").alias("cid"))
-        .localCheckpoint(eager=True)
+    assigned = _assigned_checkpoint(
+        df.select(id_col, embedding_col), centroids, embedding_col
     )
+    return _pairs_from_assigned(
+        assigned, threshold, id_col, embedding_col, max_cluster_size
+    )
+
+
+def _pairs_from_assigned(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    embedding_col: str,
+    max_cluster_size: int,
+) -> DataFrame:
     big = (
         assigned.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -132,17 +155,20 @@ def semantic_dedup(
     assignment column. Lowest id per duplicate pair survives.
     ``centroids=None`` derives the √N centroid count from the corpus
     (see :func:`semantic_dedup_pairs`)."""
+    require_columns(df, [id_col, embedding_col])
     if centroids is None:
         from redshells_spark.similarity.ann import ivf_seed_centroids
 
         centroids = ivf_seed_centroids(
             df, None, corpus_id=id_col, embedding_column=embedding_col
         )
-    pairs = semantic_dedup_pairs(
-        df, centroids, threshold, id_col, embedding_col, max_cluster_size
+    # ONE assignment pass serves the pair join and the anti-join (the
+    # old form recomputed the argmin projection for the anti-join side
+    # — the bench's 2.5s final_antijoin stage at sf0.1)
+    assigned = _assigned_checkpoint(df, centroids, embedding_col)
+    pairs = _pairs_from_assigned(
+        assigned.select(id_col, embedding_col, "cid"),
+        threshold, id_col, embedding_col, max_cluster_size,
     )
     dropped = pairs.select(F.col("id1").alias(id_col)).distinct()
-    assigned = assign_to_centroids(df, centroids, embedding_col).withColumnRenamed(
-        "centroid", "cid"
-    )
     return assigned.join(dropped, id_col, "left_anti")

@@ -607,11 +607,21 @@ def assign_to_centroids(
     order). Use instead of :func:`ivf_build_index` when centroids are
     fixed/deterministic (e.g. strided corpus vectors) and cross-engine
     verifiability matters more than quantizer quality."""
-    cent = F.array(
-        *[F.array(*[F.lit(x) for x in c]).cast("array<double>") for c in centroids]
+    # The centroid matrix arrives as a broadcast 1-row VALUE, not as
+    # k*d codegen literals: with the sqrt(N) rule k grows with the
+    # corpus, and a literal form made Janino compile an O(k*d)
+    # expression tree per consumer (1.5s at k=16,d=64; unbounded at
+    # scale). The arithmetic below is unchanged — the same
+    # transform/zip_with/left-fold float64 tree an ANSI oracle
+    # reproduces bit-for-bit — only the centroid constants moved from
+    # the instruction stream to a column.
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "__cents array<array<double>>",
     )
     dists = F.transform(
-        cent,
+        F.col("__cents"),
         lambda c, i: F.struct(
             F.aggregate(
                 F.zip_with(
@@ -625,8 +635,10 @@ def assign_to_centroids(
             i.alias("centroid"),
         ),
     )
-    return corpus.withColumn(
-        "centroid", F.array_sort(dists)[0]["centroid"]
+    return (
+        corpus.crossJoin(F.broadcast(cent_df))  # 1-row constant join
+        .withColumn("centroid", F.array_sort(dists)[0]["centroid"])
+        .drop("__cents")
     )
 
 
