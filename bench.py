@@ -137,6 +137,9 @@ HEADLINE = [
     "conformal_threshold",
     "packed_attention_boundaries",
     "crossmodal_alignment_filter",
+    # round-6 tier: graph ANN build + search (now exactly oracled)
+    "knn_graph_nn_descent",
+    "graph_ann_search",
 ]
 
 

@@ -200,13 +200,44 @@ def _leakage_safe_split(spark, sf_dir):
     return out.select("doc_id", "component", "split")
 
 
-@q("knn_graph_nn_descent")
+def _knn_graph_oracle() -> str:
+    from redshells_spark.similarity.knn_graph import knn_graph_sql
+
+    return (
+        "WITH "
+        + ",\n".join(knn_graph_sql(k=10, iterations=3, seed=7))
+        + "\nSELECT src, dst, round(score, 4) AS score, rank FROM g3"
+    )
+
+
+def _graph_search_oracle() -> str:
+    from redshells_spark.similarity.knn_graph import (
+        graph_search_sql,
+        knn_graph_sql,
+    )
+
+    ctes = knn_graph_sql(k=10, iterations=3, seed=7) + graph_search_sql(
+        graph_cte="g3", query_pred="vec_id % 25 = 0",
+        k=10, ef=40, rounds=4, n_entry=4, seed=13,
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT query_id, vec_id, round(score, 4) AS score, rank"
+        + " FROM search_out"
+    )
+
+
+@q("knn_graph_nn_descent", _knn_graph_oracle())
 def _knn_graph_nn_descent(spark, sf_dir):
     """Approximate k-NN graph by relational NN-descent (Dong et al.
     2011; similarity/knn_graph.py): independent hashed random init,
     capped neighbor-of-neighbor rounds, per-node top-k, checkpoint per
-    round. No SQL oracle (iterative fixpoint) — quality is gated by
-    the recall@10-vs-brute-force threshold in tests/test_knn_graph.py
+    round. Deterministic by construction (hashed init, fixed rounds,
+    total-order tie-breaks), so the oracle unrolls the rounds as
+    MATERIALIZED CTE stages (knn_graph_sql — the bradley_terry/Lloyd
+    recipe); build quality is additionally gated by the
+    recall@10-vs-brute-force threshold in tests/test_knn_graph.py
     (0.86 at 3 rounds on the near-random synthetic embeddings)."""
     from redshells_spark.similarity.knn_graph import knn_graph_nn_descent
 
@@ -217,14 +248,16 @@ def _knn_graph_nn_descent(spark, sf_dir):
     )
 
 
-@q("graph_ann_search")
+@q("graph_ann_search", _graph_search_oracle())
 def _graph_ann_search(spark, sf_dir):
     """Graph-based ANN serving path: greedy beam search (NSW/HNSW
     single-layer shape, Malkov & Yashunin 2018) over the NN-descent
     graph — per-round shuffle volume O(|Q|·ef·k) independent of corpus
-    size (similarity/knn_graph.py graph_search_topk). Rows-only
-    (iterative); recall@10 vs brute force gated >= 0.90 in
-    tests/test_knn_graph.py (measured 0.98 at rounds=4, ef=40)."""
+    size (similarity/knn_graph.py graph_search_topk). Deterministic
+    (hashed entry points, fixed rounds), so the oracle unrolls build +
+    search as MATERIALIZED CTE stages (graph_search_sql); recall@10 vs
+    brute force additionally gated >= 0.90 in tests/test_knn_graph.py
+    (measured 0.98 at rounds=4, ef=40)."""
     from redshells_spark.similarity.knn_graph import (
         graph_search_topk,
         knn_graph_nn_descent,

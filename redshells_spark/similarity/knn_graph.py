@@ -27,7 +27,12 @@ by (2k)², independent of N — the property that makes NN-descent THE
 practical k-NN-graph recipe at cluster scale (Faiss/NN-descent
 lineage; same recipe behind HNSW bulk-builds and PyNNDescent).
 
-No SQL oracle (iterative fixpoint); correctness is gated by a
+Both the build and the search are deterministic (md5-hashed init,
+fixed round counts, total-order tie-breaks), so despite being
+iterative they DO have exact SQL oracles: ``knn_graph_sql`` /
+``graph_search_sql`` unroll the rounds as MATERIALIZED CTE stages —
+the same recipe as ``ml/bradley_terry.py:bradley_terry_sql`` and the
+Lloyd-iteration oracle. Build quality is additionally gated by a
 recall@k-vs-brute-force threshold test (tests/test_knn_graph.py).
 """
 
@@ -197,6 +202,191 @@ def knn_graph_nn_descent(
             rank_column="rank",
         ).localCheckpoint(eager=True)
     return graph
+
+
+def _duck_cos(a: str, b: str, emb: str = "embedding") -> str:
+    """DuckDB cosine between two aliases' embedding columns — the same
+    dot/(greatest(norm,eps)*greatest(norm,eps)) tree as
+    functions/vector.py:cosine_similarity (cf. queries/similarity.py
+    _COS_SQL, already hash-MATCH-proven on unrounded comparisons)."""
+
+    def dot(x: str, y: str) -> str:
+        return f"list_dot_product({x}.{emb}::DOUBLE[], {y}.{emb}::DOUBLE[])"
+
+    return (
+        f"({dot(a, b)} / (greatest(sqrt({dot(a, a)}), 1e-12)"
+        f" * greatest(sqrt({dot(b, b)}), 1e-12)))"
+    )
+
+
+def _duck_hex8(md5_arg: str) -> str:
+    """DuckDB: decimal value of the first 8 hex digits of
+    ``md5(md5_arg)`` — mirrors Spark's
+    ``conv(substring(md5(...), 1, 8), 16, 10)`` (cf. _duck_h60)."""
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substr(md5({md5_arg}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+def knn_graph_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    iterations: int = 3,
+    seed: int = 7,
+    id_column: str = "vec_id",
+) -> list[str]:
+    """Render :func:`knn_graph_nn_descent` as unrolled DuckDB CTE
+    stages (the oracle form): returns the CTE list; the final graph
+    lives in CTE ``g{iterations}`` with columns
+    (src, dst, score, rank). AS MATERIALIZED is load-bearing — each
+    round references the previous graph three times (undirected union,
+    anti-join, union-with-scored), so inlined CTEs would expand the
+    plan 3^iterations (same reasoning as bradley_terry_sql)."""
+    cos = _duck_cos("a", "b")
+    vid = id_column
+    parts = [
+        f"""ranked AS MATERIALIZED (
+          SELECT {vid},
+                 CAST(row_number() OVER (
+                   ORDER BY md5('{seed}|' || CAST({vid} AS VARCHAR)) ASC,
+                            {vid} ASC) - 1 AS BIGINT) AS r
+          FROM {table})""",
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {table})",
+        # k INDEPENDENT hashed offsets per node into the md5 permutation
+        f"""cand_r AS MATERIALIZED (
+          SELECT a.{vid} AS src,
+                 (a.r + ({_duck_hex8(f"'{seed}|' || CAST(jj.j AS VARCHAR) || '|' || CAST(a.{vid} AS VARCHAR)")} % (nn.n - 1) + 1)) % nn.n AS nr
+          FROM ranked a, nn, range(1, {k + 1}) jj(j))""",
+        f"""init_edges AS MATERIALIZED (
+          SELECT DISTINCT c.src, b.{vid} AS dst
+          FROM cand_r c JOIN ranked b ON b.r = c.nr)""",
+        f"""s_init AS MATERIALIZED (
+          SELECT e.src, e.dst, {cos} AS score
+          FROM init_edges e
+          JOIN {table} a ON a.{vid} = e.src
+          JOIN {table} b ON b.{vid} = e.dst)""",
+        f"""g0 AS MATERIALIZED (
+          SELECT src, dst, score, CAST(rn AS BIGINT) AS rank FROM (
+            SELECT src, dst, score,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY score DESC, dst ASC) AS rn
+            FROM s_init) WHERE rn <= {k})""",
+    ]
+    for t in range(iterations):
+        pri = (
+            f"md5('{seed}|{t}|' || CAST(src AS VARCHAR)"
+            f" || '|' || CAST(dst AS VARCHAR))"
+        )
+        parts += [
+            f"""u{t} AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM g{t}
+                UNION ALL SELECT dst AS src, src AS dst FROM g{t}))""",
+            # 2k cap by hash priority so hubs can't explode the NoN join
+            f"""cap{t} AS MATERIALIZED (
+              SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY {pri} ASC, dst ASC) AS pr
+                FROM u{t}) WHERE pr <= {2 * k})""",
+            # neighbor-of-neighbor candidates, minus current edges
+            f"""cd{t} AS MATERIALIZED (
+              SELECT DISTINCT t1.src AS src, t2.dst AS dst
+              FROM cap{t} t1 JOIN cap{t} t2 ON t1.dst = t2.src
+              WHERE t1.src <> t2.dst
+                AND NOT EXISTS (SELECT 1 FROM g{t} g
+                                WHERE g.src = t1.src AND g.dst = t2.dst))""",
+            f"""sc{t} AS MATERIALIZED (
+              SELECT e.src, e.dst, {cos} AS score
+              FROM cd{t} e
+              JOIN {table} a ON a.{vid} = e.src
+              JOIN {table} b ON b.{vid} = e.dst)""",
+            f"""g{t + 1} AS MATERIALIZED (
+              SELECT src, dst, score, CAST(rn AS BIGINT) AS rank FROM (
+                SELECT src, dst, score,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY score DESC, dst ASC) AS rn
+                FROM (SELECT src, dst, score FROM g{t}
+                      UNION ALL SELECT src, dst, score FROM sc{t}))
+              WHERE rn <= {k})""",
+        ]
+    return parts
+
+
+def graph_search_sql(
+    table: str = "embeddings",
+    graph_cte: str = "g3",
+    query_pred: str = "vec_id % 25 = 0",
+    k: int = 10,
+    ef: int = 20,
+    rounds: int = 3,
+    n_entry: int = 4,
+    seed: int = 13,
+    id_column: str = "vec_id",
+) -> list[str]:
+    """Render :func:`graph_search_topk` as unrolled DuckDB CTE stages
+    over an existing graph CTE (``graph_cte``, columns src/dst).
+    Returns the CTE list; the final ranked beam lives in CTE
+    ``search_out`` with columns (query_id, {id_column}, score, rank)."""
+    vid = id_column
+    cos = _duck_cos("q", "c")
+    parts = [
+        f"""qv AS (SELECT {vid} AS query_id, {table}.embedding
+               FROM {table} WHERE {query_pred})""",
+        f"""ent_r AS (
+          SELECT {vid} AS cid,
+                 row_number() OVER (
+                   ORDER BY md5('{seed}|' || CAST({vid} AS VARCHAR)) ASC,
+                            {vid} ASC) - 1 AS r
+          FROM {table})""",
+        f"ents AS (SELECT cid FROM ent_r WHERE r < {n_entry})",
+        f"""b0 AS MATERIALIZED (
+          SELECT query_id, cid, score FROM (
+            SELECT query_id, cid, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cid ASC) AS rn
+            FROM (SELECT q.query_id, e.cid, {cos} AS score
+                  FROM qv q CROSS JOIN ents e
+                  JOIN {table} c ON c.{vid} = e.cid))
+          WHERE rn <= {ef})""",
+    ]
+    for r in range(rounds):
+        parts += [
+            f"""ex{r} AS MATERIALIZED (
+              SELECT DISTINCT b.query_id, g.dst AS cid
+              FROM b{r} b JOIN {graph_cte} g ON g.src = b.cid
+              WHERE NOT EXISTS (SELECT 1 FROM b{r} bb
+                                WHERE bb.query_id = b.query_id
+                                  AND bb.cid = g.dst))""",
+            f"""sx{r} AS MATERIALIZED (
+              SELECT e.query_id, e.cid, {cos} AS score
+              FROM ex{r} e
+              JOIN {table} c ON c.{vid} = e.cid
+              JOIN qv q ON q.query_id = e.query_id)""",
+            f"""b{r + 1} AS MATERIALIZED (
+              SELECT query_id, cid, score FROM (
+                SELECT query_id, cid, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, cid ASC) AS rn
+                FROM (SELECT query_id, cid, score FROM b{r}
+                      UNION ALL SELECT query_id, cid, score FROM sx{r}))
+              WHERE rn <= {ef})""",
+        ]
+    parts.append(
+        f"""search_out AS (
+          SELECT query_id, cid AS {vid}, score, CAST(rn AS BIGINT) AS rank FROM (
+            SELECT query_id, cid, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cid ASC) AS rn
+            FROM b{rounds}) WHERE rn <= {k})"""
+    )
+    return parts
 
 
 def knn_graph_recall(
