@@ -55,6 +55,55 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a (possibly hash-bucketed) state directory, normalized to
+    the declared schema columns — drops the ``__b`` partition column
+    bucketed appends add."""
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    return _read_or_empty(spark, path, schema).select(*cols)
+
+
+def _append_bucketed(
+    df: DataFrame, path: str, key_column: str, n_buckets: int
+) -> None:
+    """Append state rows partitioned by a stable hash bucket of
+    ``key_column``. Bucketing exists for COMPACTION, not pruning: each
+    micro-batch appends one small file per bucket, and
+    :func:`_compact_bucket` rewrites one bucket per batch in rotation,
+    so the file count stays bounded (~n_buckets² steady state) and the
+    per-batch rewrite cost is |state|/n_buckets instead of |state| —
+    at 100-TB stream volume an unbounded small-file pile (or a full
+    state rewrite per batch) is the ingest bottleneck."""
+    (
+        df.withColumn(
+            "__b",
+            F.pmod(F.xxhash64(F.col(key_column).cast("string")), F.lit(n_buckets)),
+        )
+        .write.mode("append")
+        .partitionBy("__b")
+        .parquet(path)
+    )
+
+
+def _compact_bucket(spark: SparkSession, path: str, bucket) -> int:
+    """Rewrite one bucket subdirectory of a state path into a single
+    file (rolling compaction — callers pass ``batch_id % n_buckets``).
+    Works on any partition column spelling (``__b=3``, ``band=2``).
+    Returns the number of files merged away (0 = nothing to do)."""
+    sub = f"{path.rstrip('/')}/{bucket}"
+    try:
+        cur = spark.read.parquet(sub)
+    except Exception:  # noqa: BLE001 — bucket not written yet
+        return 0
+    files = cur.inputFiles()
+    if len(files) <= 1:
+        return 0
+    # materialize BEFORE overwriting the directory being read
+    snap = cur.coalesce(1).localCheckpoint(eager=True)
+    snap.write.mode("overwrite").parquet(sub)
+    return len(files) - 1
+
+
 @dataclass
 class CorpusIngest:
     """foreachBatch processor holding the ingest configuration.
@@ -72,6 +121,10 @@ class CorpusIngest:
     max_bucket_size: int = 1000
     id_column: str = "doc_id"
     text_column: str = "text"
+    # hash buckets for the fingerprint/signature state dirs; one bucket
+    # (and one index band) is compacted per batch in rotation, bounding
+    # both the small-file count and the per-batch rewrite cost
+    n_state_buckets: int = 16
     stats: list[dict] = field(default_factory=list)
 
     def _p(self, name: str) -> str:
@@ -95,7 +148,7 @@ class CorpusIngest:
         )
 
         # 2. exact dedup against accepted corpus
-        seen = _read_or_empty(spark, self._p("fingerprints"), "fingerprint string")
+        seen = _read_state(spark, self._p("fingerprints"), "fingerprint string")
         docs = docs.join(seen, on="fingerprint", how="left_anti")
 
         # one pass of signatures for steps 3+4 (and the final index append)
@@ -128,10 +181,10 @@ class CorpusIngest:
         wide = wide.join(F.broadcast(drop_in_batch), on="doc_id", how="left_anti")
 
         # 4. near dedup against the persisted corpus index
-        corpus_index = _read_or_empty(
+        corpus_index = _read_state(
             spark, self._p("index"), "doc_id long, band int, bucket string"
         )
-        corpus_wide = _read_or_empty(
+        corpus_wide = _read_state(
             spark, self._p("signatures"),
             "doc_id long, " + ", ".join(f"mh{j} long" for j in range(self.num_hashes)),
         )
@@ -147,20 +200,40 @@ class CorpusIngest:
             on=self.id_column, how="left_anti",
         ).localCheckpoint(eager=True)
 
-        # 5. append survivors to corpus + state sinks
+        # 5. append survivors to corpus + state sinks (state dirs are
+        # hash-bucketed so step 6 can compact them incrementally)
         accepted.drop("fingerprint").write.mode("append").parquet(self._p("corpus"))
-        accepted.select("fingerprint").write.mode("append").parquet(
-            self._p("fingerprints")
+        _append_bucketed(
+            accepted.select("fingerprint"),
+            self._p("fingerprints"), "fingerprint", self.n_state_buckets,
         )
         acc_wide = wide.join(
             F.broadcast(drop_vs_corpus), on="doc_id", how="left_anti"
         ).localCheckpoint(eager=True)
-        acc_wide.write.mode("append").parquet(self._p("signatures"))
+        _append_bucketed(
+            acc_wide, self._p("signatures"), "doc_id", self.n_state_buckets
+        )
         minhash_band_index(acc_wide, self.bands, self.rows_per_band).write.mode(
             "append"
         ).partitionBy("band").parquet(self._p("index"))
+
+        # 6. rolling compaction: one fingerprint/signature bucket and
+        # one index band per batch — every bucket is revisited each
+        # n_state_buckets (resp. bands) batches, so per-batch rewrite
+        # cost stays at |state|/n_buckets and the file count bounded
+        b = batch_id % self.n_state_buckets
+        compacted = _compact_bucket(spark, self._p("fingerprints"), f"__b={b}")
+        compacted += _compact_bucket(spark, self._p("signatures"), f"__b={b}")
+        compacted += _compact_bucket(
+            spark, self._p("index"), f"band={batch_id % self.bands}"
+        )
         self.stats.append(
-            {"batch_id": batch_id, "n_in": n_in, "n_accepted": accepted.count()}
+            {
+                "batch_id": batch_id,
+                "n_in": n_in,
+                "n_accepted": accepted.count(),
+                "files_compacted": compacted,
+            }
         )
 
 

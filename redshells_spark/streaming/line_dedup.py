@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from redshells_spark.dedup.lines import block_units, split_units
-from redshells_spark.streaming.ingest import _read_or_empty
+from redshells_spark.streaming.ingest import (
+    _append_bucketed,
+    _compact_bucket,
+    _read_state,
+)
 
 
 @dataclass
@@ -49,6 +53,10 @@ class LineDedupIngest:
     id_column: str = "doc_id"
     text_column: str = "text"
     joiner: str = " "
+    # hash buckets for the unit-hash state; one bucket is compacted per
+    # batch in rotation (see streaming/ingest.py:_append_bucketed) so
+    # the state file count and per-batch rewrite cost stay bounded
+    n_state_buckets: int = 16
     stats: list[dict] = field(default_factory=list)
 
     def _p(self, name: str) -> str:
@@ -70,7 +78,7 @@ class LineDedupIngest:
         firsts = units.groupBy("__h").agg(
             F.min(F.struct("doc_id", "pos")).alias("__first")
         )
-        seen = _read_or_empty(spark, self._p("unit_hashes"), "__h string")
+        seen = _read_state(spark, self._p("unit_hashes"), "__h string")
         flagged = (
             units.join(firsts, "__h")
             .join(seen.withColumn("__seen", F.lit(True)), "__h", "left")
@@ -106,7 +114,16 @@ class LineDedupIngest:
         new_hashes = (
             units.select("__h").distinct().join(seen, "__h", "left_anti")
         )
-        new_hashes.write.mode("append").parquet(self._p("unit_hashes"))
+        _append_bucketed(
+            new_hashes, self._p("unit_hashes"), "__h", self.n_state_buckets
+        )
+        # rolling compaction: one bucket per batch, so per-batch rewrite
+        # cost is |state|/n_buckets and the file count stays bounded
+        compacted = _compact_bucket(
+            spark,
+            self._p("unit_hashes"),
+            f"__b={batch_id % self.n_state_buckets}",
+        )
         self.stats.append(
             {
                 "batch_id": batch_id,
@@ -114,6 +131,7 @@ class LineDedupIngest:
                 "n_dropped_units": int(
                     cleaned.agg(F.sum("n_dropped")).collect()[0][0] or 0
                 ),
+                "files_compacted": compacted,
             }
         )
 

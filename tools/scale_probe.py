@@ -74,6 +74,39 @@ PROBE_QUERIES_ANN = [
     "embedding_near_dup",
 ]
 
+# round-6 tier (VERDICT r5 #4): the all-time heaviest bench chains —
+# dedup composites + the heaviest text/eval pipelines. Run via:
+#   python tools/scale_probe.py run 100 /root/testdata/sf0.1 scale_data/sf10 r6
+# semantic_dedup_sqrtn is probe-only: the registry's semantic_dedup
+# pins k=16 centroids for the oracle, which is deliberately NOT the
+# scale configuration (fixed k makes the within-cluster term
+# quadratic); the probe exercises the operator's centroids=None
+# sqrt(N) rule, the contract that holds at 100 TB.
+PROBE_QUERIES_R6 = [
+    "near_dup_canonical_pick",
+    "semantic_dedup_sqrtn",
+    "cross_doc_line_dedup",
+    "minhash_dedup_eval",
+    "llm_corpus_pipeline",
+    "bootstrap_metric_ci",
+    "kn_perplexity",
+    "video_frame_features",
+    "corpus_chunking_pipeline",
+    "ranking_eval_metrics",
+]
+
+
+def _semantic_dedup_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redshells_spark.dedup.semantic import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, centroids=None, threshold=0.25)
+
+
+# probe-only callables (operator configurations the oracle-pinned
+# registry entries deliberately don't use)
+EXTRA_QUERIES = {"semantic_dedup_sqrtn": _semantic_dedup_sqrtn}
+
 # key columns to shift, per table: {table: {column: offset_group}} —
 # columns sharing an offset_group shift by the same amount so joins
 # stay consistent across tables (fact FK == dim PK per replica).
@@ -190,7 +223,8 @@ def run_probe(
 ) -> list[dict]:
     from redshells_spark.queries import get_queries
 
-    queries = get_queries()
+    queries = dict(get_queries())
+    queries.update(EXTRA_QUERIES)
     results = []
     for name in names:
         rec: dict = {"query": name, "factor": factor}
@@ -226,6 +260,8 @@ def main() -> None:
     names = sys.argv[5:] or PROBE_QUERIES
     if names == ["ann"]:
         names = PROBE_QUERIES_ANN
+    if names == ["r6"]:
+        names = PROBE_QUERIES_R6
 
     from redshells_spark import get_spark_session
 
