@@ -137,9 +137,14 @@ HEADLINE = [
     "conformal_threshold",
     "packed_attention_boundaries",
     "crossmodal_alignment_filter",
-    # round-6 tier: graph ANN build + search (now exactly oracled)
+    # round-6 tier: graph ANN build + search (now exactly oracled),
+    # sqrt(N)-rule SemDeDup, membership/serving/quality analytics
     "knn_graph_nn_descent",
     "graph_ann_search",
+    "semantic_dedup_sqrtn",
+    "min_k_prob_contamination",
+    "draft_acceptance_stats",
+    "hill_tail_index",
 ]
 
 

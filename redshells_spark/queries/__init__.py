@@ -25,12 +25,18 @@ from redshells_spark.queries import r5_ops  # noqa: F401,E402
 from redshells_spark.queries import r5b_ops  # noqa: F401,E402
 from redshells_spark.queries import r5c_ops  # noqa: F401,E402
 from redshells_spark.queries import r5d_ops  # noqa: F401,E402
+from redshells_spark.queries import r6_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
 # whose contract changed this round are surfaced to the front of the
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
+    # --- round 6: new operators ---
+    "semantic_dedup_sqrtn",  # r6: NEW — SemDeDup under the sqrt(N) rule, oracled
+    "min_k_prob_contamination",  # r6: NEW — Min-K% Prob membership signal
+    "draft_acceptance_stats",  # r6: NEW — speculative-decoding acceptance
+    "hill_tail_index",  # r6: NEW — Zipf tail-index data-quality profile
     # --- round 6: changed this round (driver window reads the head) ---
     "knn_graph_nn_descent",  # r6: rows-only -> exact unrolled-CTE oracle
     "graph_ann_search",  # r6: rows-only -> exact unrolled-CTE oracle

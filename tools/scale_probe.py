@@ -219,8 +219,12 @@ def run_probe(
     out: str,
     factor: int,
     names: list[str],
-    repeats: int = 3,
+    repeats: int | None = None,
 ) -> list[dict]:
+    if repeats is None:
+        # ratio measurements at factor >= 100 don't need median-of-3
+        # precision; a single run per side keeps the probe tractable
+        repeats = int(os.environ.get("SPARK_GRAFT_PROBE_REPEATS", "1"))
     from redshells_spark.queries import get_queries
 
     queries = dict(get_queries())
