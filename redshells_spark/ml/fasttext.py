@@ -7,22 +7,30 @@ value over Word2Vec is that OUT-OF-VOCABULARY words still get vectors
 composed from their character n-grams — the common case for query
 words in word-item retrieval.
 
-gensim is not available here, so the subword layer is induced
-post-hoc on top of MLlib Word2Vec (Bojanowski et al. 2017 semantics,
-standard "subword vectors from pretrained words" construction):
+gensim is not available here. Two fits are provided:
 
-1. fit Word2Vec on the corpus (distributed skip-gram);
-2. explode every vocabulary word into its boundary-marked char
-   n-grams, hash each n-gram into ``bucket`` slots (FNV-style via
-   xxhash64 — deterministic, engine-portable);
-3. bucket vector = mean of the vectors of all words containing that
-   n-gram (``Summarizer.mean`` — JVM partial aggregation);
-4. OOV inference: word → n-grams → bucket lookup → L2-normalized sum.
+- :meth:`FastTextVectors.fit` — the fast compositional construction:
+  MLlib Word2Vec (distributed skip-gram), then bucket vector = mean of
+  the vectors of the words containing that n-gram. Subwords are
+  induced post-hoc, not trained.
+- :meth:`FastTextVectors.fit_sgd` — the paper's actual training
+  objective (Bojanowski et al. 2017 §3.2): skip-gram with negative
+  sampling where the CENTER word is represented as the sum of its
+  char-n-gram vectors (word token included), so subword vectors are
+  SGD-trained against co-occurrence, exactly like gensim's. Vectorized
+  minibatch SGD on the driver over a capped corpus — the same
+  single-node training boundary the reference's gensim fit has (cf.
+  ml/doc2vec.py, ml/gcmc.py); the n-gram→bucket hashing runs
+  DISTRIBUTED through the same xxhash64 expression the relational
+  composition uses, so one hash function defines the bucket space
+  everywhere.
 
-Everything is DataFrame algebra; n-gram generation is a Catalyst
+Both produce the same (word_vectors, bucket_vectors) state, so
+``save``/``load``/``infer_vectors`` (OOV = L2-normalized sum of
+bucket vectors) are shared. N-gram generation is a Catalyst
 ``transform`` over ``sequence`` (codegen, no Python). In-vocab words
-return their trained Word2Vec vector, mirroring FastText's behavior
-of using the full-word vector when known.
+return their trained vector, mirroring FastText's behavior of using
+the full-word vector when known.
 """
 
 from __future__ import annotations
@@ -33,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from redshells_spark.functions.vector import l2_normalize
+from redshells_spark.ml.doc2vec import _sigmoid
 
 
 def char_ngrams_column(
@@ -118,6 +127,166 @@ class FastTextVectors:
         return cls(
             word_vectors=wv,
             bucket_vectors=bucket_vecs,
+            min_n=min_n,
+            max_n=max_n,
+            bucket=bucket,
+            seed=seed,
+        )
+
+    @classmethod
+    def fit_sgd(
+        cls,
+        docs: DataFrame,
+        tokens_column: str = "tokens",
+        vector_size: int = 50,
+        window: int = 5,
+        min_count: int = 2,
+        epochs: int = 5,
+        learning_rate: float = 0.05,
+        negative: int = 5,
+        min_n: int = 3,
+        max_n: int = 6,
+        bucket: int = 2_000_000,
+        max_docs: int = 100_000,
+        seed: int = 42,
+    ) -> "FastTextVectors":
+        """SGD-trained subword skip-gram (Bojanowski et al. 2017):
+        maximize σ(Σ_{g∈G_w} z_g · v_c) for (center w, context c)
+        pairs inside ``window``, minimize against ``negative``
+        unigram^0.75 samples. G_w = w's boundary-marked char n-grams
+        plus the word token itself; every gram's vector receives the
+        center gradient, which is what makes the learned buckets
+        compose sensible OOV vectors. Driver minibatch SGD over a
+        ``max_docs``-capped corpus (loud refusal beyond), mirroring
+        the reference's single-node gensim boundary."""
+        import numpy as np
+        import pandas as pd
+
+        spark = docs.sparkSession
+        pdf = docs.select(F.col(tokens_column).alias("tokens")).limit(max_docs).toPandas()
+        counts: dict = {}
+        for toks in pdf["tokens"]:
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+        vocab = sorted(w for w, c in counts.items() if c >= min_count)
+        widx = {w: i for i, w in enumerate(vocab)}
+        V = len(vocab)
+        if V == 0:
+            raise ValueError("empty vocabulary; lower min_count")
+        freq = np.array([counts[w] for w in vocab], dtype=np.float64) ** 0.75
+        noise = freq / freq.sum()
+
+        # subword buckets per vocab word, hashed DISTRIBUTED with the
+        # same xxhash64 expression the relational composition uses
+        # (numpy has no xxhash64) — vocab-bounded collect
+        vdf = spark.createDataFrame([(w,) for w in vocab], "word string")
+        gram_rows = (
+            vdf.select(
+                "word",
+                F.explode(char_ngrams_column("word", min_n, max_n)).alias("ngram"),
+            )
+            .select("word", ngram_bucket("ngram", bucket, seed))
+            .collect()
+        )
+        word_buckets: dict[str, list[int]] = {w: [] for w in vocab}
+        for r in gram_rows:
+            word_buckets[r["word"]].append(int(r["bucket"]))
+        used = sorted({b for bs in word_buckets.values() for b in bs})
+        b_row = {b: V + i for i, b in enumerate(used)}  # grams after words
+        R = V + len(used) + 1  # +1: zero padding row (mask keeps it 0)
+        pad = R - 1
+
+        # padded gram-row table: row i holds word i's input rows
+        # (itself + its gram buckets); Gmax is bounded by max word len
+        g_lists = [
+            [i] + [b_row[b] for b in word_buckets[vocab[i]]] for i in range(V)
+        ]
+        gmax = max(len(g) for g in g_lists)
+        gram_table = np.full((V, gmax), pad, dtype=np.int64)
+        gram_mask = np.zeros((V, gmax), dtype=np.float64)
+        for i, g in enumerate(g_lists):
+            gram_table[i, : len(g)] = g
+            gram_mask[i, : len(g)] = 1.0
+        gram_count = gram_mask.sum(axis=1)
+
+        # skip-gram training pairs
+        ci, xi = [], []
+        for toks in pdf["tokens"]:
+            ids = [widx[t] for t in toks if t in widx]
+            n = len(ids)
+            for i in range(n):
+                for j in range(max(0, i - window), min(n, i + window + 1)):
+                    if j != i:
+                        ci.append(ids[i])
+                        xi.append(ids[j])
+        ci = np.array(ci, dtype=np.int64)
+        xi = np.array(xi, dtype=np.int64)
+        n_pairs = len(ci)
+        if n_pairs == 0:
+            raise ValueError("no skip-gram pairs; corpus too small")
+
+        rng = np.random.default_rng(seed)
+        Z = rng.normal(0, 0.1, (R, vector_size))  # input: words + grams
+        Z[pad] = 0.0
+        O = np.zeros((V, vector_size))  # output (context) matrix
+        # true-SGD updates (no per-row gradient averaging) need each
+        # row's within-batch multiplicity ~1, so the batch is capped
+        # relative to the vocabulary — an uncapped 2048-batch over a
+        # tiny vocab multiplies the effective step per row by
+        # batch·(1+negative)/V and diverges
+        batch = max(1, min(2048, n_pairs, 8 * V))
+        for epoch in range(epochs):
+            order = rng.permutation(n_pairs)
+            lr = learning_rate * (1.0 - epoch / max(epochs, 1))
+            for s in range(0, n_pairs, batch):
+                idx = order[s : s + batch]
+                c, x = ci[idx], xi[idx]
+                gt, gm = gram_table[c], gram_mask[c]  # (b, G)
+                cnt = gram_count[c]
+                # hidden = MEAN of gram rows (fastText model.cc): the
+                # full gradient then lands on each gram row, moving the
+                # mean by exactly lr*grad regardless of |G_w|
+                center = (Z[gt] * gm[..., None]).sum(axis=1) / cnt[:, None]
+                neg = rng.choice(V, size=(len(idx), negative), p=noise)
+                gpos = _sigmoid((center * O[x]).sum(axis=1)) - 1.0  # (b,)
+                gc = gpos[:, None] * O[x]
+                go = gpos[:, None] * center
+                gneg = _sigmoid(np.einsum("bk,bnk->bn", center, O[neg]))
+                gc += np.einsum("bn,bnk->bk", gneg, O[neg])
+                gno = gneg[..., None] * center[:, None, :]
+                np.add.at(O, x, -lr * go)
+                np.subtract.at(O, neg.ravel(), lr * gno.reshape(-1, vector_size))
+                # center gradient flows to EVERY gram row of the word
+                np.add.at(
+                    Z,
+                    gt.ravel(),
+                    (-lr * gc[:, None, :] * gm[..., None]).reshape(-1, vector_size),
+                )
+                Z[pad] = 0.0  # padding row stays inert
+
+        word_vecs = np.stack(
+            [
+                (Z[gram_table[i]] * gram_mask[i][:, None]).sum(axis=0)
+                / gram_count[i]
+                for i in range(V)
+            ]
+        )
+        wv = spark.createDataFrame(
+            pd.DataFrame(
+                {"word": vocab, "vector": [[float(x) for x in v] for v in word_vecs]}
+            )
+        )
+        bv = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "bucket": used,
+                    "vector": [[float(x) for x in Z[b_row[b]]] for b in used],
+                }
+            )
+        )
+        return cls(
+            word_vectors=wv,
+            bucket_vectors=bv,
             min_n=min_n,
             max_n=max_n,
             bucket=bucket,

@@ -322,3 +322,34 @@ def _hill_tail_index(spark, sf_dir):
             ).alias("hill_alpha"),
         )
     )
+
+
+# -------------------------------------------------- SGD-trained FastText
+
+
+@q("fasttext_sgd_oov")  # SGD fit (numpy RNG) → rows-only check
+def _fasttext_sgd_oov(spark, sf_dir):
+    """FastText with SGD-TRAINED subwords (ml/fasttext.py:fit_sgd —
+    Bojanowski et al. 2017 §3.2, the reference's actual gensim training
+    objective, reimplemented since gensim is absent): skip-gram with
+    negative sampling where the center word is the mean of its char
+    n-gram vectors, so the bucket vectors that compose OOV words are
+    learned against co-occurrence rather than induced post-hoc.
+    Rows-only (SGD RNG); topic-separation and OOV-composition gates
+    live in tests/test_fasttext.py."""
+    from redshells_spark.ml.fasttext import FastTextVectors
+
+    ft = FastTextVectors.fit_sgd(
+        _tokens(spark, sf_dir), vector_size=16, min_count=2, epochs=3,
+        bucket=100_000, max_docs=2_000, seed=42,
+    )
+    words = spark.createDataFrame(
+        [("spark",), ("window",), ("sparkly",), ("windowing",), ("quuxzilch",)],
+        ["word"],
+    )
+    out = ft.infer_vectors(words)
+    return out.select(
+        "word",
+        "oov",
+        F.round(F.coalesce(F.aggregate("vector", F.lit(0.0), lambda a, x: a + F.abs(x)), F.lit(-1.0)), 4).alias("l1_norm"),
+    ).orderBy("word")

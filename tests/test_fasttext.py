@@ -118,3 +118,75 @@ def test_embed_query_words_pipeline_fallback(spark, ft):
     # without a fasttext model, OOV words are absent (Word2Vec behavior)
     out2 = embed_query_words(queries, word2emb, fasttext=None)
     assert {r["word"] for r in out2.collect()} == set(known_words)
+
+
+# ------------------------------------------------------- SGD-trained subwords
+
+
+@pytest.fixture(scope="module")
+def ft_sgd(spark):
+    """Two-topic synthetic corpus: fruit words co-occur with fruit
+    words, furniture with furniture — the skip-gram objective must
+    place topics in separable regions."""
+    import numpy as np
+
+    fruit = ["apple", "banana", "cherry", "grape", "melon"]
+    furn = ["table", "chair", "sofa", "desk", "shelf"]
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(240):
+        topic = fruit if i % 2 == 0 else furn
+        docs.append((i, [topic[j] for j in rng.integers(0, len(topic), 12)]))
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    return FastTextVectors.fit_sgd(
+        df, vector_size=16, window=4, min_count=2, epochs=8,
+        negative=5, bucket=50_000, seed=7,
+    )
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return num / (na * nb)
+
+
+def test_fit_sgd_learns_topic_structure(ft_sgd):
+    vecs = {r["word"]: r["vector"] for r in ft_sgd.word_vectors.collect()}
+    fruit = ["apple", "banana", "cherry", "grape", "melon"]
+    furn = ["table", "chair", "sofa", "desk", "shelf"]
+    intra = [
+        _cos(vecs[a], vecs[b])
+        for grp in (fruit, furn)
+        for i, a in enumerate(grp)
+        for b in grp[i + 1 :]
+    ]
+    cross = [_cos(vecs[a], vecs[b]) for a in fruit for b in furn]
+    margin = sum(intra) / len(intra) - sum(cross) / len(cross)
+    # co-occurring words must be measurably closer than cross-topic
+    assert margin > 0.2, margin
+
+
+def test_fit_sgd_oov_composition_uses_trained_subwords(ft_sgd, spark):
+    """A misspelling shares most n-grams with its source word, so its
+    composed OOV vector must be closer to that word than an unrelated
+    word's vector is — the whole point of TRAINING the subwords."""
+    vecs = {r["word"]: r["vector"] for r in ft_sgd.word_vectors.collect()}
+    out = {
+        r["word"]: r
+        for r in ft_sgd.infer_vectors(
+            spark.createDataFrame([("bananna",), ("zzqqxx",)], "word string")
+        ).collect()
+    }
+    assert out["bananna"]["oov"] and out["bananna"]["vector"] is not None
+    sim_src = _cos(out["bananna"]["vector"], vecs["banana"])
+    sim_far = _cos(out["bananna"]["vector"], vecs["table"])
+    assert sim_src > sim_far
+
+
+def test_fit_sgd_roundtrips_through_save_load(ft_sgd, spark, tmp_path):
+    ft_sgd.save(str(tmp_path / "ftsgd"))
+    loaded = FastTextVectors.load(spark, str(tmp_path / "ftsgd"))
+    a = sorted(ft_sgd.word_vectors.collect())
+    b = sorted(loaded.word_vectors.collect())
+    assert a == b

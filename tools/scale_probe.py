@@ -74,25 +74,39 @@ PROBE_QUERIES_ANN = [
     "embedding_near_dup",
 ]
 
-# round-6 tier (VERDICT r5 #4): the all-time heaviest bench chains —
-# dedup composites + the heaviest text/eval pipelines. Run via:
-#   python tools/scale_probe.py run 100 /root/testdata/sf0.1 scale_data/sf10 r6
+# round-6 tier (VERDICT r5 #4): the all-time heaviest bench chains.
+# Split by factor because of a CORPUS artifact, not an operator one:
+# the synthetic documents draw from a ~31-token vocabulary, so at the
+# registry's Jaccard threshold (0.1) the doc-level near-dup graph is
+# already dense at 1x, and replication makes the true near-dup OUTPUT
+# (candidate pairs, cluster sizes) grow ~factor² — the same
+# output-quadratic artifact documented for token_jaccard_join in
+# bench.py. The doc-level near-dup composites therefore probe at
+# factor 10 (r6dedup tier, scale_data/sf1), everything else at 100.
 # semantic_dedup_sqrtn is probe-only: the registry's semantic_dedup
 # pins k=16 centroids for the oracle, which is deliberately NOT the
 # scale configuration (fixed k makes the within-cluster term
 # quadratic); the probe exercises the operator's centroids=None
 # sqrt(N) rule, the contract that holds at 100 TB.
+#   python tools/scale_probe.py run 100 /root/testdata/sf0.1 scale_data/sf10 r6
+#   python tools/scale_probe.py run 10  /root/testdata/sf0.1 scale_data/sf1  r6dedup
 PROBE_QUERIES_R6 = [
-    "near_dup_canonical_pick",
     "semantic_dedup_sqrtn",
     "cross_doc_line_dedup",
-    "minhash_dedup_eval",
-    "llm_corpus_pipeline",
     "bootstrap_metric_ci",
     "kn_perplexity",
     "video_frame_features",
     "corpus_chunking_pipeline",
     "ranking_eval_metrics",
+    "min_k_prob_contamination",
+    "hill_tail_index",
+    "draft_acceptance_stats",
+]
+
+PROBE_QUERIES_R6_DEDUP = [
+    "near_dup_canonical_pick",
+    "minhash_dedup_eval",
+    "llm_corpus_pipeline",
 ]
 
 
@@ -266,6 +280,8 @@ def main() -> None:
         names = PROBE_QUERIES_ANN
     if names == ["r6"]:
         names = PROBE_QUERIES_R6
+    if names == ["r6dedup"]:
+        names = PROBE_QUERIES_R6_DEDUP
 
     from redshells_spark import get_spark_session
 
