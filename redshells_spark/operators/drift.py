@@ -100,3 +100,103 @@ def ks_two_sample(
 ) -> DataFrame:
     """Exact two-sample KS test in one call — see module docstring."""
     return ks_from_value_counts(ks_value_counts(df, value_column, flag_column, scale))
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index — the other workhorse drift metric
+# (banking/model-monitoring standard; Karakoulas 2004 gives the usual
+# 0.1/0.25 action thresholds). Where KS is the CDF supremum, PSI is a
+# symmetrized KL over a fixed binning:
+#
+#     PSI = Σ_b (p1_b − p2_b) · ln(p1_b / p2_b)
+#
+# Binning here is the integer log2 bucket of the fixed-point value
+# (bit length of the unit count — a comparison chain, no float log),
+# so the bucket ids and all counts are exact int64; 0.5-count
+# smoothing keeps empty-in-one-sample buckets finite. The per-bucket
+# term is one fixed IEEE expression and the bucket relation is tiny
+# (≤ max_bits rows per group), matching the hill/ppl float discipline.
+
+
+def psi_bucket_counts(
+    df: DataFrame,
+    value_column: str,
+    flag_column: str,
+    group_columns: list[str],
+    scale: int = 100,
+    max_bits: int = 40,
+) -> DataFrame:
+    """→ (*group_columns, bucket, c1, c2): exact per-bucket counts of
+    the two samples (``flag_column`` = 1 → sample 1). Bucket = bit
+    length of the non-negative fixed-point value — mergeable additive
+    state, the streaming-twin shape of :func:`ks_value_counts`."""
+    units = money_units(F.col(value_column), scale)
+    bitlen = " + ".join(
+        f"(CASE WHEN __u >= {1 << i} THEN 1 ELSE 0 END)" for i in range(max_bits)
+    )
+    return (
+        df.select(
+            *group_columns,
+            F.greatest(units, F.lit(0)).alias("__u"),
+            F.col(flag_column).cast("long").alias("__is1"),
+        )
+        .select(
+            *group_columns,
+            F.expr(f"({bitlen})").cast("long").alias("bucket"),
+            "__is1",
+        )
+        .groupBy(*group_columns, "bucket")
+        .agg(
+            F.sum("__is1").cast("long").alias("c1"),
+            F.sum(F.lit(1) - F.col("__is1")).cast("long").alias("c2"),
+        )
+    )
+
+
+def psi_from_bucket_counts(pv: DataFrame, group_columns: list[str]) -> DataFrame:
+    """(group, bucket, c1, c2) → one row per group: (n1, n2, n_buckets,
+    psi). Proportions are smoothed with 0.5 pseudo-counts over the
+    group's observed buckets so a bucket empty in one sample stays
+    finite; psi is rounded to 6 after the (bucket-bounded) sum."""
+    w = Window.partitionBy(*group_columns)
+    cur = pv.select(
+        *group_columns,
+        "bucket",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).cast("long").alias("n1"),
+        F.sum("c2").over(w).cast("long").alias("n2"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_buckets"),
+    )
+    p1 = (F.col("c1") + F.lit(0.5)) / (
+        F.col("n1").cast("double") + F.lit(0.5) * F.col("n_buckets")
+    )
+    p2 = (F.col("c2") + F.lit(0.5)) / (
+        F.col("n2").cast("double") + F.lit(0.5) * F.col("n_buckets")
+    )
+    term = (p1 - p2) * F.log(p1 / p2)
+    return (
+        cur.withColumn("__term", term)
+        .groupBy(*group_columns)
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max("n_buckets").cast("long").alias("n_buckets"),
+            F.round(F.sum("__term"), 6).alias("psi"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_column: str,
+    flag_column: str,
+    group_columns: list[str],
+    scale: int = 100,
+    max_bits: int = 40,
+) -> DataFrame:
+    """Population Stability Index per group in one call."""
+    return psi_from_bucket_counts(
+        psi_bucket_counts(df, value_column, flag_column, group_columns, scale, max_bits),
+        group_columns,
+    )

@@ -402,3 +402,112 @@ def cms_lookup(
         joined.groupBy(*group_cols)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007)
+#
+# Same motivation as the KMV family above: `F.approx_count_distinct`
+# is HLL++ with an engine-private hash, so its estimate can only ever
+# be rows-checked. These registers use the portable md5→60-bit fold
+# (reg = h mod m, rank = leading-zero count of the remaining
+# 60−p bits, +1), so build, merge (register-wise MAX — the property
+# that makes HLL the 100-TB distinct-count structure: states are a few
+# hundred bytes and union = max), and estimate reproduce bit-for-bit
+# in any engine.
+#
+# Exactness discipline: the harmonic-mean denominator Σ 2^(−M_j) is
+# kept as the INTEGER Σ 2^(S−M_j) with S = (60−p)+1 ≥ M_j (absent
+# registers contribute 2^S each), so the only floats are one final
+# division and the small-range linear-counting branch m·ln(m/V) —
+# each a single fixed IEEE expression over exact int64 operands.
+
+
+def _bitlen_case_sql(expr_sql: str, bits: int) -> str:
+    """Engine-portable integer bit length: Σ_i [x ≥ 2^i]. A fixed
+    comparison chain (no log2 float), identical in Spark and DuckDB."""
+    terms = " + ".join(
+        f"(CASE WHEN ({expr_sql}) >= {1 << i} THEN 1 ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant for m ≥ 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_columns: list[str],
+    value_column: str,
+    p: int = 8,
+) -> DataFrame:
+    """→ (*group_columns, reg, m_j): the populated HLL registers of
+    ``value_column``'s distinct set per group. One map-side-combined
+    groupBy MAX over (group, reg) — at most m = 2^p rows survive per
+    group no matter how many input rows, which is the whole point."""
+    require_columns(df, group_columns + [value_column])
+    m = 1 << p
+    wbits = 60 - p
+    h = _h60_sql(f"`{value_column}`")
+    rank = f"({wbits + 1} - {_bitlen_case_sql(f'(({h}) div {m})', wbits)})"
+    return (
+        df.select(
+            *group_columns,
+            F.expr(f"(({h}) % {m})").cast("long").alias("reg"),
+            F.expr(rank).cast("long").alias("rk"),
+        )
+        .groupBy(*group_columns, "reg")
+        .agg(F.max("rk").cast("long").alias("m_j"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_columns: list[str]) -> DataFrame:
+    """Union any register tables (possibly re-keyed to coarser groups)
+    and MAX per (group, reg) — HLL union is register-wise max, so the
+    merged sketch equals the sketch of the concatenated inputs."""
+    return registers.groupBy(*group_columns, "reg").agg(
+        F.max("m_j").cast("long").alias("m_j")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_columns: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """→ (*group_columns, v_zeros, z_scaled, hll_est): the HLL
+    cardinality estimate per group with the standard small-range
+    linear-counting correction (E_raw ≤ 2.5m and V > 0 → m·ln(m/V)).
+
+    ``z_scaled`` = Σ_j 2^(S−M_j) over all m registers (absent → M_j=0)
+    is the exact-int64 sufficient statistic; ``hll_est`` is the only
+    float, computed in one fixed expression so oracles reproduce it."""
+    m = 1 << p
+    s_bits = (60 - p) + 1
+    alpha = hll_alpha(m)
+    agg = registers.groupBy(*group_columns).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), cast({s_bits} - m_j as int))")
+        )
+        .cast("long")
+        .alias("__z_present"),
+    )
+    v = (F.lit(m) - F.col("__n_regs")).cast("long")
+    z = (v * F.lit(1 << s_bits) + F.col("__z_present")).cast("long")
+    est_raw = (
+        F.lit(alpha * m * m * float(1 << s_bits)) / z.cast("double")
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(est_raw)
+    return agg.select(
+        *group_columns,
+        v.alias("v_zeros"),
+        z.alias("z_scaled"),
+        est.alias("hll_est"),
+    )

@@ -26,12 +26,19 @@ from redshells_spark.queries import r5b_ops  # noqa: F401,E402
 from redshells_spark.queries import r5c_ops  # noqa: F401,E402
 from redshells_spark.queries import r5d_ops  # noqa: F401,E402
 from redshells_spark.queries import r6_ops  # noqa: F401,E402
+from redshells_spark.queries import r6b_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
 # whose contract changed this round are surfaced to the front of the
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
+    # --- round 6 session 2: new operators ---
+    "psi_value_drift",  # r6b: NEW — Population Stability Index drift
+    "hll_distinct_sketch",  # r6b: NEW — portable HLL registers + max-merge
+    "fuzzy_name_match",  # r6b: NEW — blocked levenshtein entity resolution
+    "prefix_cache_sharing",  # r6b: NEW — radix-cache hit-rate planning
+    "vocab_coverage_curve",  # r6b: NEW — top-r token coverage table
     # --- round 6: new operators ---
     "semantic_dedup_sqrtn",  # r6: NEW — SemDeDup under the sqrt(N) rule, oracled
     "min_k_prob_contamination",  # r6: NEW — Min-K% Prob membership signal

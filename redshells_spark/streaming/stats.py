@@ -208,3 +208,114 @@ def run_streaming_cms(stream: DataFrame, cms: StreamingCms, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+@dataclass
+class StreamingHll:
+    """foreachBatch processor maintaining portable HyperLogLog
+    registers (``operators/sketches.py:hll_registers``) as persistent
+    state: HLL union is register-wise MAX, so folding a micro-batch is
+    build-the-batch-registers + max-merge with the persisted table —
+    the merged state equals the registers of everything ever seen
+    (exact batch parity, tested), and state is ≤ m rows per group
+    forever."""
+
+    root: str
+    group_column: str = "event_type"
+    key_column: str = "user_id"
+    p: int = 8
+
+    def _path(self) -> str:
+        return f"{self.root}/hll"
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from redshells_spark.operators.sketches import hll_merge, hll_registers
+
+        spark = batch_df.sparkSession
+        g = self.group_column
+        batch_regs = hll_registers(batch_df, [g], self.key_column, p=self.p)
+        state = _read_or_empty(spark, self._path(), f"{g} string, reg long, m_j long")
+        merged = hll_merge(
+            state.unionByName(batch_regs.withColumn(g, F.col(g).cast("string"))),
+            [g],
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self._path())
+
+    def estimates(self, spark: SparkSession) -> DataFrame:
+        from redshells_spark.operators.sketches import hll_estimate
+
+        g = self.group_column
+        state = _read_or_empty(spark, self._path(), f"{g} string, reg long, m_j long")
+        return hll_estimate(state, [g], p=self.p)
+
+
+def run_streaming_hll(stream: DataFrame, hll: StreamingHll, query_name: str):
+    return (
+        stream.writeStream.foreachBatch(hll.process_batch)
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+@dataclass
+class StreamingPsi:
+    """foreachBatch processor maintaining PSI drift state
+    (``operators/drift.py:psi_bucket_counts``): per-bucket counts fold
+    ADDITIVELY across micro-batches — the same mergeable-state shape as
+    the streaming KS monitor — so the PSI derived from state equals the
+    batch PSI over everything ever seen (parity, tested). State is
+    ≤ max_bits rows per group forever."""
+
+    root: str
+    value_column: str = "value"
+    flag_column: str = "is_early"
+    group_column: str = "event_type"
+    scale: int = 100
+    max_bits: int = 24
+
+    def _path(self) -> str:
+        return f"{self.root}/psi"
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from redshells_spark.operators.drift import psi_bucket_counts
+
+        spark = batch_df.sparkSession
+        g = self.group_column
+        batch_counts = psi_bucket_counts(
+            batch_df, self.value_column, self.flag_column, [g],
+            scale=self.scale, max_bits=self.max_bits,
+        ).withColumn(g, F.col(g).cast("string"))
+        state = _read_or_empty(
+            spark, self._path(), f"{g} string, bucket long, c1 long, c2 long"
+        )
+        merged = (
+            state.unionByName(batch_counts)
+            .groupBy(g, "bucket")
+            .agg(
+                F.sum("c1").cast("long").alias("c1"),
+                F.sum("c2").cast("long").alias("c2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(self._path())
+
+    def psi(self, spark: SparkSession) -> DataFrame:
+        from redshells_spark.operators.drift import psi_from_bucket_counts
+
+        g = self.group_column
+        state = _read_or_empty(
+            spark, self._path(), f"{g} string, bucket long, c1 long, c2 long"
+        )
+        return psi_from_bucket_counts(state, [g])
+
+
+def run_streaming_psi(stream: DataFrame, psi: StreamingPsi, query_name: str):
+    return (
+        stream.writeStream.foreachBatch(psi.process_batch)
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
