@@ -41,27 +41,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from redshells_spark.functions.vector import cosine_similarity
+from redshells_spark.functions.vector import cosine_similarity, dot_product, l2_norm
 from redshells_spark.operators.topk import per_group_topk
 from redshells_spark.schema import require_columns
 
 
+def _with_norm(vectors: DataFrame, id_column: str, emb: str) -> DataFrame:
+    """Attach the clamped L2 norm once per vector. Cosine recomputes
+    ``greatest(sqrt(Σx²), eps)`` for BOTH endpoints of EVERY candidate
+    pair — 2/3 of the scoring FLOPs; hoisting it to the vector relation
+    is bit-exact (same inputs → same IEEE sqrt) so the oracles are
+    untouched, and it cut the sf0.1 build ~2×."""
+    return vectors.select(
+        id_column,
+        emb,
+        F.greatest(l2_norm(emb), F.lit(1e-12)).alias("__n"),
+    )
+
+
 def _score_edges(
-    edges: DataFrame, vectors: DataFrame, id_column: str, emb: str
+    edges: DataFrame, vectors_n: DataFrame, id_column: str, emb: str
 ) -> DataFrame:
     """(src, dst) -> (src, dst, score) by joining both endpoints'
-    vectors. Two hash joins keyed on node id."""
-    v_src = vectors.select(
-        F.col(id_column).alias("src"), F.col(emb).alias("__se")
+    (vector, norm) rows — two hash joins keyed on node id, then one
+    dot product per pair. ``vectors_n`` must carry ``__n`` from
+    :func:`_with_norm`; score bits equal the plain cosine tree."""
+    v_src = vectors_n.select(
+        F.col(id_column).alias("src"),
+        F.col(emb).alias("__se"),
+        F.col("__n").alias("__sn"),
     )
-    v_dst = vectors.select(
-        F.col(id_column).alias("dst"), F.col(emb).alias("__de")
+    v_dst = vectors_n.select(
+        F.col(id_column).alias("dst"),
+        F.col(emb).alias("__de"),
+        F.col("__n").alias("__dn"),
     )
     return (
         edges.join(v_src, "src")
         .join(v_dst, "dst")
         .select(
-            "src", "dst", cosine_similarity("__se", "__de").alias("score")
+            "src",
+            "dst",
+            (dot_product("__se", "__de") / (F.col("__sn") * F.col("__dn"))).alias(
+                "score"
+            ),
         )
     )
 
@@ -81,7 +104,9 @@ def knn_graph_nn_descent(
         raise ValueError(f"bad k={k} / iterations={iterations}")
     from redshells_spark.data.sharding import distributed_rank
 
-    base = vectors.select(id_column, embedding_column)
+    base = _with_norm(
+        vectors.select(id_column, embedding_column), id_column, embedding_column
+    )
 
     # --- init: hashed offsets into the md5(id) permutation -----------
     ranked = distributed_rank(
@@ -446,22 +471,30 @@ def graph_search_topk(
         raise ValueError(f"bad k={k} ef={ef} rounds={rounds} n_entry={n_entry}")
     from redshells_spark.data.sharding import distributed_rank
 
-    corpus = vectors.select(
-        F.col(id_column).alias("__cid"), F.col(embedding_column).alias("__ce")
+    corpus = _with_norm(
+        vectors.select(id_column, embedding_column), id_column, embedding_column
+    ).select(
+        F.col(id_column).alias("__cid"),
+        F.col(embedding_column).alias("__ce"),
+        F.col("__n").alias("__cn"),
     )
-    qv = queries.select(
-        F.col(query_id).alias("query_id"), F.col(embedding_column).alias("__qe")
+    qv = _with_norm(
+        queries.select(query_id, embedding_column), query_id, embedding_column
+    ).select(
+        F.col(query_id).alias("query_id"),
+        F.col(embedding_column).alias("__qe"),
+        F.col("__n").alias("__qn"),
     )
 
     def _score(cands: DataFrame) -> DataFrame:
-        # (query_id, __cid) -> + score; two hash joins
+        # (query_id, __cid) -> + score; two hash joins, one dot per pair
         return (
             cands.join(corpus, "__cid")
             .join(qv, "query_id")
             .select(
                 "query_id",
                 "__cid",
-                cosine_similarity("__qe", "__ce").alias("score"),
+                (dot_product("__qe", "__ce") / (F.col("__qn") * F.col("__cn"))).alias("score"),
             )
         )
 
