@@ -200,3 +200,85 @@ def psi_drift(
         psi_bucket_counts(df, value_column, flag_column, group_columns, scale, max_bits),
         group_columns,
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric location-shift
+# test completing the drift triad (KS = CDF supremum, PSI = binned KL,
+# U = rank shift). Sufficient statistics are the same per-value count
+# relation as the KS test — additive, mergeable, streamable.
+#
+# Exactness: with ties handled by midranks, every midrank is a
+# half-integer, so DOUBLED rank sums are exact int64:
+#   2·midrank(v) = 2·(count below v) + count(v) + 1
+#   R1×2 = Σ_v c1_v · (2·cb_v + cnt_v + 1)
+#   U1×2 = R1×2 − n1·(n1+1)
+# The normal approximation uses the tie-corrected variance
+#   σ² = n1·n2/12 · ((n+1) − Σ(t³−t)/(n·(n−1)))
+# computed as ONE fixed IEEE expression over exact integers, with the
+# z statistic rounded after (the repo's standard float discipline).
+
+
+def mann_whitney_from_value_counts(pv: DataFrame) -> DataFrame:
+    """(v, c1, c2) → one row (n1, n2, u1_x2, tie_t, z, reject_005)."""
+    wc = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = F.col("c1") + F.col("c2")
+    ranked = pv.select(
+        "c1",
+        t.alias("__t"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wc), F.lit(0))
+        .cast("long")
+        .alias("__cb"),
+    )
+    agg = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("__t") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("__cb") + F.col("__t") + 1))
+        .cast("long")
+        .alias("__r1_x2"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .cast("long")
+        .alias("tie_t"),
+    )
+    u1_x2 = (F.col("__r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("long")
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        (F.col("n1") * F.col("n2")).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_t").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    # sigma = 0 only when EVERY value is tied (degenerate input): the
+    # test is undefined there — emit NULL z rather than an ANSI
+    # divide-by-zero. The lazy when() branch keeps ANSI mode happy.
+    z = F.when(
+        sigma > 0,
+        (u1_x2 - F.col("n1") * F.col("n2")).cast("double")
+        / (F.lit(2.0) * sigma),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        "tie_t",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > F.lit(1.96)).cast("long").alias("reject_005"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_column: str,
+    flag_column: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact-midrank Mann-Whitney U between the flag=1 and flag=0
+    samples of a fixed-decimal column, in one call."""
+    return mann_whitney_from_value_counts(
+        ks_value_counts(df, value_column, flag_column, scale)
+    )

@@ -27,6 +27,7 @@ from redshells_spark.queries import r5c_ops  # noqa: F401,E402
 from redshells_spark.queries import r5d_ops  # noqa: F401,E402
 from redshells_spark.queries import r6_ops  # noqa: F401,E402
 from redshells_spark.queries import r6b_ops  # noqa: F401,E402
+from redshells_spark.queries import r6c_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -34,6 +35,9 @@ from redshells_spark.queries import r6b_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 6 session 2: new operators ---
+    "knn_shapley_values",  # r6c: NEW — exact KNN-Shapley data valuation
+    "mann_whitney_shift",  # r6c: NEW — rank-sum drift test, exact midranks
+    "random_projection_recall",  # r6c: NEW — JL prefilter recall audit
     "psi_value_drift",  # r6b: NEW — Population Stability Index drift
     "hll_distinct_sketch",  # r6b: NEW — portable HLL registers + max-merge
     "fuzzy_name_match",  # r6b: NEW — blocked levenshtein entity resolution

@@ -109,6 +109,19 @@ PROBE_QUERIES_R6_DEDUP = [
     "llm_corpus_pipeline",
 ]
 
+# graph-ANN tier — the top-2 bench queries. Factor 10 with the
+# dimension-rotated embeddings replicas (same corpus as r6dedup):
+# build cost is N·(2k)² per round (linear in N), search is
+# O(|Q|·ef·k) per query. Order matters: the build query populates the
+# per-(session, sf) graph cache that the search query then reuses, on
+# BOTH the 1x and Nx sides — the same index-once/serve-many semantics
+# the bench measures.
+#   python tools/scale_probe.py run 10 /root/testdata/sf0.1 scale_data/sf1 r6graph
+PROBE_QUERIES_R6_GRAPH = [
+    "knn_graph_nn_descent",
+    "graph_ann_search",
+]
+
 
 def _semantic_dedup_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redshells_spark.dedup.semantic import semantic_dedup
@@ -282,6 +295,8 @@ def main() -> None:
         names = PROBE_QUERIES_R6
     if names == ["r6dedup"]:
         names = PROBE_QUERIES_R6_DEDUP
+    if names == ["r6graph"]:
+        names = PROBE_QUERIES_R6_GRAPH
 
     from redshells_spark import get_spark_session
 
