@@ -35,6 +35,8 @@ from redshells_spark.queries import r6c_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 6 session 2: new operators ---
+    "prefix_filter_jaccard",  # r6c: NEW — exact PPJoin-style sim join
+    "greedy_max_coverage",  # r6c: NEW — (1-1/e) greedy subset selection
     "knn_shapley_values",  # r6c: NEW — exact KNN-Shapley data valuation
     "mann_whitney_shift",  # r6c: NEW — rank-sum drift test, exact midranks
     "random_projection_recall",  # r6c: NEW — JL prefilter recall audit

@@ -231,3 +231,128 @@ def _random_projection_recall(spark, sf_dir):
             .alias("recall_e4"),
         )
     )
+
+
+# ----------------------------------------- exact prefix-filter sim join
+
+from redshells_spark.queries.dedup import _SHINGLE_SQL  # noqa: E402
+
+
+@q(
+    "prefix_filter_jaccard",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
+       freq AS (SELECT shingle AS el, count(*) AS f FROM shingles GROUP BY 1),
+       ord AS (SELECT el, row_number() OVER (ORDER BY f ASC, el ASC) AS erk
+               FROM freq),
+       szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+               FROM shingles GROUP BY 1),
+       rk AS (
+         SELECT s.doc_id, s.shingle AS el, z.sz,
+                row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY o.erk ASC) AS pos
+         FROM shingles s JOIN ord o ON o.el = s.shingle
+         JOIN szs z USING (doc_id)),
+       pre AS (SELECT doc_id, el, sz FROM rk
+               WHERE pos <= sz - CAST((5 * sz + 9) // 10 AS BIGINT) + 1),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id0, b.doc_id AS id1,
+                a.sz AS sz0, b.sz AS sz1
+         FROM pre a JOIN pre b ON a.el = b.el
+         WHERE a.doc_id < b.doc_id
+           AND a.sz * 10 >= b.sz * 5 AND b.sz * 10 >= a.sz * 5),
+       itr AS (
+         SELECT c.id0, c.id1, c.sz0, c.sz1, CAST(count(*) AS BIGINT) AS inter
+         FROM cand c
+         JOIN shingles x ON x.doc_id = c.id0
+         JOIN shingles y ON y.doc_id = c.id1 AND y.shingle = x.shingle
+         GROUP BY 1, 2, 3, 4)
+       SELECT id0 AS doc_id_0, id1 AS doc_id_1, inter,
+              CAST(sz0 + sz1 - inter AS BIGINT) AS union_sz,
+              CAST(inter * 10000 // CAST(sz0 + sz1 - inter AS BIGINT) AS BIGINT)
+                  AS jac_e4
+       FROM itr WHERE inter * 10 >= 5 * CAST(sz0 + sz1 - inter AS BIGINT)""",
+)
+def _prefix_filter_jaccard(spark, sf_dir):
+    """EXACT set-similarity self-join at Jaccard >= 0.5 over bigram
+    shingle sets by prefix filtering (PPJoin lineage — Chaudhuri et
+    al. 2006, Xiao et al. 2008; dedup/ppjoin.py): sets ordered rarest-
+    element-first must share a prefix element to clear the threshold,
+    so the candidate join touches only rare elements + a length
+    filter, then exact intersection verification. No LSH false
+    negatives — the exact counterpart to the minhash path, same
+    (element -> doc) shuffle shape. All comparisons integer
+    (ceil(t*n) = (5n+9) div 10; Jaccard as inter*10 >= 5*union)."""
+    from redshells_spark.dedup.minhash import doc_shingles
+    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    out = prefix_filter_jaccard_pairs(sh, "doc_id", "shingle", 5, 10)
+    return out.select(
+        F.col("id_0").alias("doc_id_0"),
+        F.col("id_1").alias("doc_id_1"),
+        "inter",
+        "union_sz",
+        "jac_e4",
+    )
+
+
+# ------------------------------------------------ greedy max coverage
+
+
+def _greedy_cov_oracle(k: int = 6) -> str:
+    stages = [
+        """g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g
+                  FROM shingles GROUP BY 1),
+       s1 AS MATERIALIZED (SELECT doc_id, g FROM g1
+                           ORDER BY g DESC, doc_id ASC LIMIT 1),
+       r1 AS MATERIALIZED (SELECT doc_id, shingle FROM shingles)"""
+    ]
+    for t in range(2, k + 1):
+        stages.append(
+            f"""r{t} AS MATERIALIZED (
+              SELECT r.doc_id, r.shingle FROM r{t - 1} r
+              WHERE NOT EXISTS (
+                SELECT 1 FROM r{t - 1} p
+                WHERE p.doc_id = (SELECT doc_id FROM s{t - 1})
+                  AND p.shingle = r.shingle)),
+       g{t} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g
+                FROM r{t} GROUP BY 1),
+       s{t} AS MATERIALIZED (SELECT doc_id, g FROM g{t}
+                             ORDER BY g DESC, doc_id ASC LIMIT 1)"""
+        )
+    picks = "\n       UNION ALL ".join(
+        f"SELECT {t} AS step, doc_id, g AS gain FROM s{t}" for t in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + _VOCAB_SQL
+        + ", "
+        + _TOK_SQL
+        + ", "
+        + _SHINGLE_SQL
+        + ",\n       "
+        + ",\n       ".join(stages)
+        + f""",
+       picks AS ({picks})
+       SELECT CAST(step AS BIGINT) AS step, doc_id, gain,
+              CAST(sum(gain) OVER (ORDER BY step ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_total
+       FROM picks"""
+    )
+
+
+@q("greedy_max_coverage", _greedy_cov_oracle(6))
+def _greedy_max_coverage(spark, sf_dir):
+    """Greedy maximum-coverage subset selection over bigram shingle
+    sets (data/coverage.py) — 'which 6 documents together cover the
+    most distinct shingles', the Nemhauser-Wolsey-Fisher (1-1/e)
+    greedy used for diverse eval subsets and seed-corpus picking. Each
+    round is a map-combined count + a TakeOrdered argmax + one
+    anti-join; k is a constant, so the loop unrolls into exact
+    MATERIALIZED CTE stages (the Lloyd/bradley_terry recipe), argmax
+    tie-broken on doc_id in both engines."""
+    from redshells_spark.data.coverage import greedy_max_coverage
+    from redshells_spark.dedup.minhash import doc_shingles
+
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    return greedy_max_coverage(sh, "doc_id", "shingle", k=6)

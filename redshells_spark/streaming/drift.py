@@ -64,6 +64,17 @@ class DriftIngest:
         test on the union of every ingested row."""
         return ks_from_value_counts(_read_or_empty(spark, self._p(), _STATE_SCHEMA))
 
+    def mann_whitney_from_state(self, spark: SparkSession) -> DataFrame:
+        """The Mann-Whitney U row from the SAME maintained state — the
+        per-value count relation is the sufficient statistic of every
+        rank test too, so one ingest feeds the whole drift triad
+        (KS here, U here, PSI via streaming/stats.StreamingPsi)."""
+        from redshells_spark.operators.drift import mann_whitney_from_value_counts
+
+        return mann_whitney_from_value_counts(
+            _read_or_empty(spark, self._p(), _STATE_SCHEMA)
+        )
+
 
 def run_drift_ingest(stream: DataFrame, ingest: DriftIngest, query_name: str):
     """Wire a streaming metric frame into the processor."""

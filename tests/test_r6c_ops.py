@@ -144,3 +144,78 @@ def test_rp_recall_query_sanity(spark):
     # embeddings fare far better; this gate checks better-than-chance.
     mean = sum(r["n_overlap"] for r in out) / len(out)
     assert mean >= 0.8, mean
+
+
+# ------------------------------------------------------- prefix filter
+
+
+def test_prefix_filter_equals_brute_force(spark):
+    # EXACT join: output must equal the brute-force all-pairs Jaccard
+    import itertools
+
+    sets = {
+        1: {"a", "b", "c", "d"},
+        2: {"a", "b", "c", "e"},
+        3: {"a", "b", "x", "y"},
+        4: {"p", "q"},
+        5: {"p", "q", "r"},
+        6: {"z"},
+    }
+    rows = [(i, e) for i, els in sets.items() for e in els]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    got = {
+        (r["id_0"], r["id_1"]): (r["inter"], r["union_sz"])
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "shingle", 5, 10).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 10 >= 5 * union:
+            want[(a, b)] = (inter, union)
+    assert got == want
+    assert (1, 2) in got and (4, 5) in got and (1, 4) not in got
+
+
+# ---------------------------------------------------- greedy coverage
+
+
+def test_greedy_max_coverage_semantics(spark):
+    from redshells_spark.data.coverage import greedy_max_coverage
+
+    sets = {
+        10: ["a", "b", "c", "d", "e"],  # biggest — picked first
+        20: ["d", "e", "f", "g"],       # gain 2 after pick 1
+        30: ["a", "b"],                 # fully covered — gain 0, dropped
+        40: ["h"],
+    }
+    rows = [(i, e) for i, els in sets.items() for e in els]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    out = sorted(
+        greedy_max_coverage(df, "doc_id", "shingle", k=6).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [(r["step"], r["doc_id"], r["gain"]) for r in out] == [
+        (1, 10, 5), (2, 20, 2), (3, 40, 1)
+    ]
+    assert out[-1]["covered_total"] == 8  # |universe|: early stop after full cover
+
+
+# ------------------------------------------- streaming Mann-Whitney
+
+
+def test_streaming_mann_whitney_parity(spark, tmp_path):
+    from redshells_spark.operators.drift import mann_whitney_u
+    from redshells_spark.streaming.drift import DriftIngest
+
+    rows = [(float(1 + i % 30), i % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "value double, is1 long")
+    ing = DriftIngest(base_path=str(tmp_path / "drift"))
+    ing.process_batch(df.filter(F.col("value") < 15), 0)
+    ing.process_batch(df.filter(F.col("value") >= 15), 1)
+    want = mann_whitney_u(df, "value", "is1").collect()[0]
+    got = ing.mann_whitney_from_state(spark).collect()[0]
+    assert (got["n1"], got["n2"], got["u1_x2"], got["tie_t"], got["z"]) == (
+        want["n1"], want["n2"], want["u1_x2"], want["tie_t"], want["z"])
