@@ -145,6 +145,18 @@ HEADLINE = [
     "min_k_prob_contamination",
     "draft_acceptance_stats",
     "hill_tail_index",
+    # round-6 session-2 tier: drift triad, sketches, valuation, exact
+    # sim join, subset selection, serving analytics
+    "psi_value_drift",
+    "hll_distinct_sketch",
+    "fuzzy_name_match",
+    "prefix_cache_sharing",
+    "vocab_coverage_curve",
+    "knn_shapley_values",
+    "mann_whitney_shift",
+    "random_projection_recall",
+    "prefix_filter_jaccard",
+    "greedy_max_coverage",
 ]
 
 

@@ -28,6 +28,7 @@ from redshells_spark.queries import r5d_ops  # noqa: F401,E402
 from redshells_spark.queries import r6_ops  # noqa: F401,E402
 from redshells_spark.queries import r6b_ops  # noqa: F401,E402
 from redshells_spark.queries import r6c_ops  # noqa: F401,E402
+from redshells_spark.queries import r6d_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -35,6 +36,8 @@ from redshells_spark.queries import r6c_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 6 session 2: new operators ---
+    "corpus_merkle_digest",  # r6d: NEW — snapshot-equality certificate
+    "kcenter_coreset",  # r6d: NEW — farthest-first diverse coreset
     "prefix_filter_jaccard",  # r6c: NEW — exact PPJoin-style sim join
     "greedy_max_coverage",  # r6c: NEW — (1-1/e) greedy subset selection
     "knn_shapley_values",  # r6c: NEW — exact KNN-Shapley data valuation

@@ -357,9 +357,14 @@ _LANG_HITS_SQL = ", ".join(
                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j ASC)) AS bucket
          FROM sigs WHERE CAST(j // 4 AS INTEGER) < 4
          GROUP BY doc_id, CAST(j // 4 AS INTEGER)),
+       sized AS (
+         SELECT * FROM (
+           SELECT band, bucket, doc_id,
+                  count(*) OVER (PARTITION BY band, bucket) AS bsz
+           FROM banded) WHERE bsz <= 1000),
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_id_0, b.doc_id AS doc_id_1
-         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
          WHERE a.doc_id < b.doc_id),
        zz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
        inter AS (
@@ -447,12 +452,13 @@ def _llm_corpus_pipeline(spark, sf_dir):
     )
     # near-dup components over the full corpus (same graph the
     # near_dup_components query verifies); drop non-canonical members.
-    # NB: candidates here use NO bucket-size guard to mirror the plain
-    # SQL closure — the guarded variant is the production default.
+    # The production bucket-size guard (1000) is ON and mirrored by the
+    # oracle's `sized` CTE — the unguarded variant went output-quadratic
+    # on the factor-10 probe (25x wall; dense synthetic near-dup graph).
     sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
     wide = minhash_signatures_wide(sh, num_hashes=16)
     cand = minhash_lsh_candidates_wide(
-        wide, bands=4, rows_per_band=4, max_bucket_size=1_000_000
+        wide, bands=4, rows_per_band=4, max_bucket_size=1000
     )
     pairs = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
     comp = connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))

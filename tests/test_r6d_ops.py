@@ -1,0 +1,57 @@
+"""Batch-4 round-6 tests: digest merge/locate semantics, k-center
+coverage property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redshells_spark.data.integrity import corpus_digest
+from redshells_spark.similarity.coreset import kcenter_coreset
+
+
+def test_digest_detects_single_row_change(spark):
+    rows = [(i, f"text {i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "id long, text string")
+    b = spark.createDataFrame(
+        [(i, f"text {i}" if i != 42 else "TAMPERED") for i in range(100)],
+        "id long, text string",
+    )
+    da = {r["bucket"]: (r["n_rows"], r["xor_digest"], r["sum_digest"])
+          for r in corpus_digest(a, ["id", "text"], 8).collect()}
+    db = {r["bucket"]: (r["n_rows"], r["xor_digest"], r["sum_digest"])
+          for r in corpus_digest(b, ["id", "text"], 8).collect()}
+    assert da[-1] != db[-1]  # global certificate differs
+    diff = [k for k in set(da) | set(db) if k != -1 and da.get(k) != db.get(k)]
+    assert 1 <= len(diff) <= 2  # localized to the buckets of the 2 row-hashes
+
+
+def test_digest_order_and_partition_free(spark):
+    rows = [(i, f"t{i % 7}") for i in range(60)]
+    a = spark.createDataFrame(rows, "id long, text string").repartition(13)
+    b = spark.createDataFrame(list(reversed(rows)), "id long, text string").coalesce(1)
+    da = sorted(map(tuple, corpus_digest(a, ["id", "text"], 8).collect()))
+    db = sorted(map(tuple, corpus_digest(b, ["id", "text"], 8).collect()))
+    assert da == db
+
+
+def test_kcenter_picks_are_spread(spark):
+    # 3 tight clusters far apart + noise: the first 3 picks must land
+    # in 3 DIFFERENT clusters (farthest-first guarantees it)
+    rows = []
+    for ci, base in enumerate((0.0, 100.0, 200.0)):
+        for j in range(10):
+            rows.append((ci * 100 + j, [base + j * 0.01, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(kcenter_coreset(df, k=3, seed=17).collect(), key=lambda r: r["step"])
+    clusters = {r["vec_id"] // 100 for r in out}
+    assert len(clusters) == 3
+    assert out[0]["d2_to_chosen"] == 0.0
+    assert all(r["d2_to_chosen"] > 1000 for r in out[1:])  # cross-cluster jumps
+
+
+def test_kcenter_early_stop_small_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = kcenter_coreset(df, k=5, seed=17).collect()
+    assert len(out) == 2  # only 2 points exist
