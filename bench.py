@@ -157,6 +157,8 @@ HEADLINE = [
     "random_projection_recall",
     "prefix_filter_jaccard",
     "greedy_max_coverage",
+    "corpus_merkle_digest",
+    "kcenter_coreset",
 ]
 
 
