@@ -319,3 +319,57 @@ def run_streaming_psi(stream: DataFrame, psi: StreamingPsi, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+@dataclass
+class StreamingDigest:
+    """foreachBatch processor maintaining the Merkle-style corpus
+    digest (``data/integrity.py:corpus_digest``) as persistent state:
+    all three folds are commutative monoids (count/sum add, XOR
+    xors), so folding a micro-batch is digest-the-batch + per-bucket
+    combine — the state equals the digest of everything ever seen
+    (exact batch parity, tested), giving a streaming ingest a rolling
+    snapshot-equality certificate at ≤ n_buckets rows forever."""
+
+    root: str
+    content_columns: tuple = ("doc_id", "text")
+    n_buckets: int = 32
+
+    def _path(self) -> str:
+        return f"{self.root}/digest"
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from redshells_spark.data.integrity import SUM_MOD, corpus_digest
+
+        spark = batch_df.sparkSession
+        batch = corpus_digest(
+            batch_df, list(self.content_columns), self.n_buckets
+        ).filter(F.col("bucket") >= 0)
+        state = _read_or_empty(
+            spark, self._path(), "bucket long, n_rows long, xor_digest long, sum_digest long"
+        )
+        merged = (
+            state.unionByName(batch)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.expr("bit_xor(xor_digest)").cast("long").alias("xor_digest"),
+                F.sum("sum_digest").cast("long").alias("sum_digest"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(self._path())
+
+    def digest(self, spark: SparkSession) -> DataFrame:
+        """Per-bucket digest rows + the global fold (bucket = -1),
+        matching :func:`corpus_digest`'s output shape."""
+        state = _read_or_empty(
+            spark, self._path(), "bucket long, n_rows long, xor_digest long, sum_digest long"
+        )
+        total = state.agg(
+            F.lit(-1).cast("long").alias("bucket"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.expr("bit_xor(xor_digest)").cast("long").alias("xor_digest"),
+            F.sum("sum_digest").cast("long").alias("sum_digest"),
+        )
+        return state.unionByName(total)

@@ -55,3 +55,16 @@ def test_kcenter_early_stop_small_corpus(spark):
     )
     out = kcenter_coreset(df, k=5, seed=17).collect()
     assert len(out) == 2  # only 2 points exist
+
+
+def test_streaming_digest_batch_parity(spark, tmp_path):
+    from redshells_spark.streaming.stats import StreamingDigest
+
+    rows = [(i, f"text {i % 17}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = StreamingDigest(root=str(tmp_path / "dig"), content_columns=("doc_id", "text"), n_buckets=8)
+    d.process_batch(df.filter(F.col("doc_id") % 2 == 0), 0)
+    d.process_batch(df.filter(F.col("doc_id") % 2 != 0), 1)
+    want = sorted(map(tuple, corpus_digest(df, ["doc_id", "text"], 8).collect()))
+    got = sorted(map(tuple, d.digest(spark).collect()))
+    assert got == want
