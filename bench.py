@@ -159,6 +159,8 @@ HEADLINE = [
     "greedy_max_coverage",
     "corpus_merkle_digest",
     "kcenter_coreset",
+    "cohort_ltv_curve",
+    "weighted_median_by_group",
 ]
 
 

@@ -36,6 +36,8 @@ from redshells_spark.queries import r6d_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 6 session 2: new operators ---
+    "cohort_ltv_curve",  # r6d: NEW — cohort LTV triangle, exact cents
+    "weighted_median_by_group",  # r6d: NEW — all-integer weighted median
     "corpus_merkle_digest",  # r6d: NEW — snapshot-equality certificate
     "kcenter_coreset",  # r6d: NEW — farthest-first diverse coreset
     "prefix_filter_jaccard",  # r6c: NEW — exact PPJoin-style sim join

@@ -122,3 +122,144 @@ def _kcenter_coreset(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = kcenter_coreset(emb, k=5, seed=17)
     return out.select("step", "vec_id", F.round("d2_to_chosen", 4).alias("d2_to_chosen"))
+
+
+# ------------------------------------------------------- cohort LTV
+
+
+@q(
+    "cohort_ltv_curve",
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+                CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+         FROM events),
+       fw AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+       cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM fw GROUP BY 1),
+       act AS (
+         SELECT f.cohort_week, e.week - f.cohort_week AS age_weeks,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+                CAST(sum(e.v) AS BIGINT) AS revenue_e2
+         FROM e JOIN fw f USING (user_id)
+         GROUP BY 1, 2),
+       cum AS (
+         SELECT cohort_week, age_weeks, n_active, revenue_e2,
+                CAST(sum(revenue_e2) OVER (PARTITION BY cohort_week
+                  ORDER BY age_weeks ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_revenue_e2
+         FROM act)
+       SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+              CAST(c.age_weeks AS BIGINT) AS age_weeks,
+              c.n_active, c.revenue_e2, c.cum_revenue_e2,
+              CAST(c.cum_revenue_e2 // s.cohort_size AS BIGINT)
+                  AS cum_per_user_e2
+       FROM cum c JOIN cs s USING (cohort_week)""",
+)
+def _cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value triangle: users grouped by first-seen
+    epoch week, revenue accumulated per cohort-age — THE
+    product-analytics companion to retention_cohorts (which counts
+    presence; this sums value). Everything exact int64: cent units,
+    integer epoch weeks, window cumsum, per-user LTV as integer
+    division by the cohort size. Two shuffles (first-week per user,
+    cohort-age aggregate) — both map-combinable."""
+    ev = _t(spark, sf_dir, "events")
+    # integer `div`, never double `/`: double division of ~1e15 us
+    # values can round across a week boundary (funnel.py precedent)
+    e = ev.select(
+        "user_id",
+        event_us(ev).alias("__us"),
+        money_units(F.col("value"), 100).alias("v"),
+    ).select(
+        "user_id",
+        F.expr("cast(__us as bigint) div 604800000000").alias("week"),
+        "v",
+    )
+    fw = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cs = fw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = (
+        e.join(fw, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("age_weeks"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.sum("v").cast("long").alias("revenue_e2"),
+        )
+    )
+    wc = Window.partitionBy("cohort_week").orderBy(F.col("age_weeks").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = act.withColumn(
+        "cum_revenue_e2", F.sum("revenue_e2").over(wc).cast("long")
+    )
+    return cum.join(F.broadcast(cs), "cohort_week").select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("age_weeks").cast("long").alias("age_weeks"),
+        "n_active",
+        "revenue_e2",
+        "cum_revenue_e2",
+        F.expr("cast(cum_revenue_e2 div cohort_size as bigint)").alias(
+            "cum_per_user_e2"
+        ),
+    )
+
+
+# -------------------------------------------------- weighted median
+
+_WEEK_US = 604800000000
+
+
+@q(
+    "weighted_median_by_group",
+    """WITH b AS (
+         SELECT event_type,
+                CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+         FROM events),
+       pv AS (SELECT event_type, v, CAST(sum(w) AS BIGINT) AS w_v
+              FROM b GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, v, w_v,
+                CAST(sum(w_v) OVER (PARTITION BY event_type ORDER BY v ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+         FROM pv),
+       tot AS (SELECT event_type, CAST(sum(w_v) AS BIGINT) AS w_total,
+                      CAST(count(*) AS BIGINT) AS n_values
+               FROM pv GROUP BY 1)
+       SELECT t.event_type, t.n_values, t.w_total,
+              CAST(min(c.v) AS BIGINT) AS weighted_median_e2
+       FROM cum c JOIN tot t USING (event_type)
+       WHERE 2 * c.cw >= t.w_total
+       GROUP BY t.event_type, t.n_values, t.w_total""",
+)
+def _weighted_median_by_group(spark, sf_dir):
+    """Weighted (lower) median of event value per type, weighted by
+    the props payload weight k — robust central tendency where rows
+    carry unequal mass (docs weighted by tokens, events by spend).
+    Entirely exact integers: cent units, int64 weight cumsums over the
+    per-value count relation (domain-bounded, the KS/PSI state shape),
+    and the median is min(v) with 2·cumweight ≥ total — no float ever
+    appears."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        money_units(F.col("value"), 100).alias("v"),
+        F.get_json_object("props", "$.k").cast("long").alias("w"),
+    )
+    pv = b.groupBy("event_type", "v").agg(F.sum("w").cast("long").alias("w_v"))
+    wc = Window.partitionBy("event_type").orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pv.withColumn("cw", F.sum("w_v").over(wc).cast("long"))
+    tot = pv.groupBy("event_type").agg(
+        F.sum("w_v").cast("long").alias("w_total"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(2 * F.col("cw") >= F.col("w_total"))
+        .groupBy("event_type", "n_values", "w_total")
+        .agg(F.min("v").cast("long").alias("weighted_median_e2"))
+        .select("event_type", "n_values", "w_total", "weighted_median_e2")
+    )
