@@ -77,13 +77,27 @@ def prefix_filter_jaccard_pairs(
         .select("__id0", "__id1", "__sz0", "__sz1")
         .distinct()
     )
-    s0 = sets.select(F.col("__id").alias("__id0"), "__el")
-    s1 = sets.select(F.col("__id").alias("__id1"), "__el")
+    # verification: per-doc sorted element arrays + one JVM
+    # array_intersect per candidate pair. The arrays relation is one
+    # row per doc (broadcastable); the alternative — re-joining every
+    # candidate against the (doc, element) relation twice — shuffles
+    # |cand|·|set| rows and dominated the wall (15.8s of 19s at sf0.1
+    # on the dense synthetic corpus).
+    arrs = sets.groupBy("__id").agg(
+        F.sort_array(F.collect_set("__el")).alias("__arr")
+    )
+    a0 = arrs.select(F.col("__id").alias("__id0"), F.col("__arr").alias("__a0"))
+    a1 = arrs.select(F.col("__id").alias("__id1"), F.col("__arr").alias("__a1"))
     inter = (
-        cand.join(s0, "__id0")
-        .join(s1, ["__id1", "__el"])
-        .groupBy("__id0", "__id1", "__sz0", "__sz1")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        cand.join(F.broadcast(a0), "__id0")
+        .join(F.broadcast(a1), "__id1")
+        .select(
+            "__id0",
+            "__id1",
+            "__sz0",
+            "__sz1",
+            F.size(F.array_intersect("__a0", "__a1")).cast("long").alias("inter"),
+        )
     )
     union_sz = (F.col("__sz0") + F.col("__sz1") - F.col("inter")).cast("long")
     return (

@@ -253,27 +253,29 @@ from redshells_spark.queries.dedup import _SHINGLE_SQL  # noqa: E402
          FROM shingles s JOIN ord o ON o.el = s.shingle
          JOIN szs z USING (doc_id)),
        pre AS (SELECT doc_id, el, sz FROM rk
-               WHERE pos <= sz - CAST((5 * sz + 9) // 10 AS BIGINT) + 1),
+               WHERE pos <= sz - CAST((8 * sz + 9) // 10 AS BIGINT) + 1),
        cand AS (
          SELECT DISTINCT a.doc_id AS id0, b.doc_id AS id1,
                 a.sz AS sz0, b.sz AS sz1
          FROM pre a JOIN pre b ON a.el = b.el
          WHERE a.doc_id < b.doc_id
-           AND a.sz * 10 >= b.sz * 5 AND b.sz * 10 >= a.sz * 5),
+           AND a.sz * 10 >= b.sz * 8 AND b.sz * 10 >= a.sz * 8),
+       arrs AS (SELECT doc_id, list_sort(list(shingle)) AS arr
+                FROM shingles GROUP BY 1),
        itr AS (
-         SELECT c.id0, c.id1, c.sz0, c.sz1, CAST(count(*) AS BIGINT) AS inter
+         SELECT c.id0, c.id1, c.sz0, c.sz1,
+                CAST(len(list_intersect(a0.arr, a1.arr)) AS BIGINT) AS inter
          FROM cand c
-         JOIN shingles x ON x.doc_id = c.id0
-         JOIN shingles y ON y.doc_id = c.id1 AND y.shingle = x.shingle
-         GROUP BY 1, 2, 3, 4)
+         JOIN arrs a0 ON a0.doc_id = c.id0
+         JOIN arrs a1 ON a1.doc_id = c.id1)
        SELECT id0 AS doc_id_0, id1 AS doc_id_1, inter,
               CAST(sz0 + sz1 - inter AS BIGINT) AS union_sz,
               CAST(inter * 10000 // CAST(sz0 + sz1 - inter AS BIGINT) AS BIGINT)
                   AS jac_e4
-       FROM itr WHERE inter * 10 >= 5 * CAST(sz0 + sz1 - inter AS BIGINT)""",
+       FROM itr WHERE inter * 10 >= 8 * CAST(sz0 + sz1 - inter AS BIGINT)""",
 )
 def _prefix_filter_jaccard(spark, sf_dir):
-    """EXACT set-similarity self-join at Jaccard >= 0.5 over bigram
+    """EXACT set-similarity self-join at Jaccard >= 0.8 over bigram
     shingle sets by prefix filtering (PPJoin lineage — Chaudhuri et
     al. 2006, Xiao et al. 2008; dedup/ppjoin.py): sets ordered rarest-
     element-first must share a prefix element to clear the threshold,
@@ -281,12 +283,12 @@ def _prefix_filter_jaccard(spark, sf_dir):
     filter, then exact intersection verification. No LSH false
     negatives — the exact counterpart to the minhash path, same
     (element -> doc) shuffle shape. All comparisons integer
-    (ceil(t*n) = (5n+9) div 10; Jaccard as inter*10 >= 5*union)."""
+    (ceil(t*n) = (8n+9) div 10; Jaccard as inter*10 >= 8*union); t=0.8 is the dedup-grade threshold — and on this 31-token synthetic corpus the t=0.5 variant is output-bound (the token_jaccard_join corpus artifact), while t=0.8's short prefixes keep candidates ~linear."""
     from redshells_spark.dedup.minhash import doc_shingles
     from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
 
     sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
-    out = prefix_filter_jaccard_pairs(sh, "doc_id", "shingle", 5, 10)
+    out = prefix_filter_jaccard_pairs(sh, "doc_id", "shingle", 8, 10)
     return out.select(
         F.col("id_0").alias("doc_id_0"),
         F.col("id_1").alias("doc_id_1"),

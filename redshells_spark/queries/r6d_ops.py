@@ -263,3 +263,190 @@ def _weighted_median_by_group(spark, sf_dir):
         .agg(F.min("v").cast("long").alias("weighted_median_e2"))
         .select("event_type", "n_values", "w_total", "weighted_median_e2")
     )
+
+
+# --------------------------------------------- dup-cluster histogram
+
+from redshells_spark.queries.r5c_ops import _near_dup_labeled  # noqa: E402
+from redshells_spark.queries.r5c_ops import _COMPONENTS_SQL, _NTOK_SQL  # noqa: E402
+
+
+@q(
+    "dup_cluster_histogram",
+    f"""WITH RECURSIVE {_VOCAB_SQL}, {_TOK_SQL}, {_COMPONENTS_SQL}, {_NTOK_SQL},
+       lab AS (
+         SELECT n.doc_id,
+                CAST(coalesce(c.keep_id, n.doc_id) AS BIGINT) AS component
+         FROM ntok n LEFT JOIN comp c USING (doc_id)),
+       sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                 FROM lab GROUP BY 1)
+       SELECT csize AS cluster_size,
+              CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(count(*) * csize AS BIGINT) AS n_docs,
+              CAST(count(*) * (csize - 1) AS BIGINT) AS n_dropped_at_keep1
+       FROM sizes GROUP BY csize""",
+)
+def _dup_cluster_histogram(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup DIAGNOSTIC every
+    corpus report leads with: how many clusters of each size, how many
+    docs they hold, and how many a keep-one policy would drop. Reuses
+    the exact component labeling near_dup_components value-matches
+    (singletons included via the left join); the histogram itself is
+    one component-bounded aggregate. At 100 TB the size distribution
+    is the early-warning for template floods (one giant cluster) and
+    boilerplate (a fat head of small clusters)."""
+    lab = _near_dup_labeled(spark, sf_dir)
+    sizes = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    return sizes.groupBy(F.col("csize").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.first("csize")).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) * (F.first("csize") - 1))
+        .cast("long")
+        .alias("n_dropped_at_keep1"),
+    )
+
+
+# -------------------------------------------------------- token PMI
+
+
+@q(
+    "token_pmi_topk",
+    f"""WITH {_TOK_SQL},
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+       uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+       prs AS (
+         SELECT a.token AS tok_a, b.token AS tok_b
+         FROM tok a JOIN tok b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.token < b.token
+         UNION ALL
+         SELECT b.token, a.token
+         FROM tok a JOIN tok b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.token < a.token),
+       co AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+              FROM prs GROUP BY 1, 2),
+       scored AS (
+         SELECT co.tok_a, co.tok_b, co.c_ab,
+                round(ln((CAST(co.c_ab AS DOUBLE) * n.n_tok)
+                         / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+         FROM co
+         JOIN uni ua ON ua.token = co.tok_a
+         JOIN uni ub ON ub.token = co.tok_b, n
+         WHERE co.c_ab >= 20)
+       SELECT tok_a, tok_b, c_ab, pmi FROM (
+         SELECT *, row_number() OVER (ORDER BY pmi DESC, tok_a ASC, tok_b ASC) AS rn
+         FROM scored) WHERE rn <= 30""",
+)
+def _token_pmi_topk(spark, sf_dir):
+    """Top-30 adjacent-token associations by pointwise mutual
+    information (Church & Hanks 1990) — collocation mining, the
+    lexical-association companion to association_rules' basket lift.
+    Pairs are ADJACENT positions only (one self-join on (doc, pos+1) —
+    token-volume linear, never doc²), unordered via the lexicographic
+    swap; counts exact int64, PMI one fixed ln expression rounded
+    after; the ranking window runs over the vocab²-bounded pair
+    relation."""
+    toks = _tokens(spark, sf_dir)
+    flat = toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    n = flat.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    uni = flat.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = flat.select("doc_id", "pos", F.col("token").alias("ta"))
+    b = flat.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("token").alias("tb")
+    )
+    adj = a.join(b, ["doc_id", "pos"]).select(
+        F.least("ta", "tb").alias("tok_a"), F.greatest("ta", "tb").alias("tok_b")
+    ).filter(F.col("tok_a") != F.col("tok_b"))
+    co = adj.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    ).filter(F.col("c_ab") >= 20)
+    scored = (
+        co.join(F.broadcast(uni.select(F.col("token").alias("tok_a"), F.col("c").alias("__ca"))), "tok_a")
+        .join(F.broadcast(uni.select(F.col("token").alias("tok_b"), F.col("c").alias("__cb"))), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_tok"))
+                    / (F.col("__ca").cast("double") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select("tok_a", "tok_b", "c_ab", "pmi")
+    )
+
+
+# ------------------------------------------- revenue concentration
+
+
+@q(
+    "revenue_concentration",
+    """WITH r AS (
+         SELECT n.n_name AS nation,
+                CAST(sum(CAST(floor(o.o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev
+         FROM orders o
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         GROUP BY 1),
+       rk AS (SELECT nation, rev,
+                     row_number() OVER (ORDER BY rev ASC, nation ASC) AS i,
+                     CAST(count(*) OVER () AS BIGINT) AS n,
+                     CAST(sum(rev) OVER () AS BIGINT) AS tot
+              FROM r)
+       SELECT CAST(max(n) AS BIGINT) AS n_nations,
+              CAST(max(tot) AS BIGINT) AS total_rev_e2,
+              CAST((2 * sum(i * rev) - (max(n) + 1) * max(tot)) * 1000000
+                   // (max(n) * max(tot)) AS BIGINT) AS gini_e6,
+              CAST(sum(rev * rev) // (max(tot) * max(tot) // 1000000) AS BIGINT)
+                  AS hhi_e6
+       FROM rk""",
+)
+def _revenue_concentration(spark, sf_dir):
+    """Revenue concentration across nations: the Gini coefficient via
+    the sorted-rank identity G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) and
+    the Herfindahl-Hirschman index Σ share² — both as exact-integer
+    e6 fixed point over cent units (the identity needs one rank
+    window over the nation-bounded relation; no float ever appears).
+    The standard imbalance audit for corpus sources and revenue alike
+    — a Gini near 1 or HHI near 1e6 says one group dominates."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(money_units(F.col("o_totalprice"), 100)).cast("long").alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("nation").asc())
+    wa = Window.partitionBy()
+    rk = r.select(
+        "nation",
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.sum("rev").over(wa).cast("long").alias("tot"),
+    )
+    return rk.agg(
+        F.max("n").cast("long").alias("n_nations"),
+        F.max("tot").cast("long").alias("total_rev_e2"),
+        F.expr(
+            "cast((2 * sum(i * rev) - (max(n) + 1) * max(tot)) * 1000000"
+            " div (max(n) * max(tot)) as bigint)"
+        ).alias("gini_e6"),
+        F.expr(
+            "cast(sum(rev * rev) div (max(tot) * max(tot) div 1000000) as bigint)"
+        ).alias("hhi_e6"),
+    )
