@@ -161,6 +161,9 @@ HEADLINE = [
     "kcenter_coreset",
     "cohort_ltv_curve",
     "weighted_median_by_group",
+    "dup_cluster_histogram",
+    "token_pmi_topk",
+    "revenue_concentration",
 ]
 
 

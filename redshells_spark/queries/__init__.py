@@ -36,6 +36,9 @@ from redshells_spark.queries import r6d_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 6 session 2: new operators ---
+    "dup_cluster_histogram",  # r6d: NEW — dedup diagnostic histogram
+    "token_pmi_topk",  # r6d: NEW — collocation mining, adjacent PMI
+    "revenue_concentration",  # r6d: NEW — Gini + HHI, integer fixed point
     "cohort_ltv_curve",  # r6d: NEW — cohort LTV triangle, exact cents
     "weighted_median_by_group",  # r6d: NEW — all-integer weighted median
     "corpus_merkle_digest",  # r6d: NEW — snapshot-equality certificate

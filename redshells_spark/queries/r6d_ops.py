@@ -409,15 +409,17 @@ def _token_pmi_topk(spark, sf_dir):
               CAST(max(tot) AS BIGINT) AS total_rev_e2,
               CAST((2 * sum(i * rev) - (max(n) + 1) * max(tot)) * 1000000
                    // (max(n) * max(tot)) AS BIGINT) AS gini_e6,
-              CAST(sum(rev * rev) // (max(tot) * max(tot) // 1000000) AS BIGINT)
+              -- HHI over e3 integer shares: rev*rev sums overflow
+              -- int64 (DuckDB would silently widen to HUGEINT and
+              -- diverge); shares <= 1000 keep everything in range
+              CAST(sum((rev * 1000 // max_tot) * (rev * 1000 // max_tot)) AS BIGINT)
                   AS hhi_e6
-       FROM rk""",
+       FROM (SELECT *, CAST(max(tot) OVER () AS BIGINT) AS max_tot FROM rk) rk2""",
 )
 def _revenue_concentration(spark, sf_dir):
     """Revenue concentration across nations: the Gini coefficient via
     the sorted-rank identity G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) and
-    the Herfindahl-Hirschman index Σ share² — both as exact-integer
-    e6 fixed point over cent units (the identity needs one rank
+    the Herfindahl-Hirschman index Σ share² over e3 integer shares — both exact-integer fixed point over cent units (the identity needs one rank
     window over the nation-bounded relation; no float ever appears).
     The standard imbalance audit for corpus sources and revenue alike
     — a Gini near 1 or HHI near 1e6 says one group dominates."""
@@ -439,14 +441,17 @@ def _revenue_concentration(spark, sf_dir):
         F.count(F.lit(1)).over(wa).cast("long").alias("n"),
         F.sum("rev").over(wa).cast("long").alias("tot"),
     )
-    return rk.agg(
+    rk2 = rk.withColumn("max_tot", F.max("tot").over(wa).cast("long"))
+    return rk2.agg(
         F.max("n").cast("long").alias("n_nations"),
         F.max("tot").cast("long").alias("total_rev_e2"),
         F.expr(
             "cast((2 * sum(i * rev) - (max(n) + 1) * max(tot)) * 1000000"
             " div (max(n) * max(tot)) as bigint)"
         ).alias("gini_e6"),
+        # e3 integer shares: rev*rev would overflow int64 (and DuckDB
+        # would silently widen to HUGEINT and diverge)
         F.expr(
-            "cast(sum(rev * rev) div (max(tot) * max(tot) div 1000000) as bigint)"
+            "cast(sum((rev * 1000 div max_tot) * (rev * 1000 div max_tot)) as bigint)"
         ).alias("hhi_e6"),
     )

@@ -68,3 +68,32 @@ def test_streaming_digest_batch_parity(spark, tmp_path):
     want = sorted(map(tuple, corpus_digest(df, ["doc_id", "text"], 8).collect()))
     got = sorted(map(tuple, d.digest(spark).collect()))
     assert got == want
+
+
+def test_revenue_concentration_bounds(spark):
+    from redshells_spark.queries import get_queries
+
+    out = get_queries()["revenue_concentration"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= out["gini_e6"] <= 1_000_000
+    # HHI in [1e6/n, 1e6] (e3-share truncation can only lower it)
+    assert out["hhi_e6"] <= 1_000_000
+    assert out["hhi_e6"] >= 1_000_000 // out["n_nations"] - out["n_nations"] * 2
+
+
+def test_dup_cluster_histogram_accounts_all_docs(spark):
+    from redshells_spark.queries import get_queries
+
+    rows = get_queries()["dup_cluster_histogram"](spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_docs"] for r in rows) == 500  # every doc in exactly one cluster
+    assert all(r["n_dropped_at_keep1"] == r["n_docs"] - r["n_clusters"] for r in rows)
+
+
+def test_token_pmi_unordered_and_bounded(spark):
+    from redshells_spark.queries import get_queries
+
+    rows = get_queries()["token_pmi_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 30
+    assert all(r["tok_a"] < r["tok_b"] for r in rows)
+    assert all(r["c_ab"] >= 20 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
