@@ -164,6 +164,9 @@ HEADLINE = [
     "dup_cluster_histogram",
     "token_pmi_topk",
     "revenue_concentration",
+    "time_to_convert_quantiles",
+    "event_dispersion_index",
+    "simpson_rate_check",
 ]
 
 

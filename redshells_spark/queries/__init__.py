@@ -29,6 +29,7 @@ from redshells_spark.queries import r6_ops  # noqa: F401,E402
 from redshells_spark.queries import r6b_ops  # noqa: F401,E402
 from redshells_spark.queries import r6c_ops  # noqa: F401,E402
 from redshells_spark.queries import r6d_ops  # noqa: F401,E402
+from redshells_spark.queries import r6e_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -36,6 +37,9 @@ from redshells_spark.queries import r6d_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 6 session 2: new operators ---
+    "time_to_convert_quantiles",  # r6e: NEW — exact latency order stats
+    "event_dispersion_index",  # r6e: NEW — Poisson VMR check, e4 ints
+    "simpson_rate_check",  # r6e: NEW — cross-multiplied paradox audit
     "dup_cluster_histogram",  # r6d: NEW — dedup diagnostic histogram
     "token_pmi_topk",  # r6d: NEW — collocation mining, adjacent PMI
     "revenue_concentration",  # r6d: NEW — Gini + HHI, integer fixed point

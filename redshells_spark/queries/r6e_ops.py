@@ -1,0 +1,227 @@
+"""Round-6 session-2 batch 7: conversion-latency order statistics,
+over-dispersion (Poisson) checks, and a Simpson's-paradox audit —
+product/metrics analytics, all exact-integer.
+"""
+
+from __future__ import annotations
+
+from redshells_spark.queries._shared import *  # noqa: F401,F403
+from redshells_spark.timeutil import event_us  # noqa: E402
+
+# ------------------------------------------------- time-to-convert
+
+
+@q(
+    "time_to_convert_quantiles",
+    """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+       p AS (SELECT user_id, min(epoch_us(ts)) AS first_purchase
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       d AS (SELECT v.user_id,
+                    CAST(p.first_purchase - v.first_view AS BIGINT) AS lat_us
+             FROM v JOIN p USING (user_id)
+             WHERE p.first_purchase >= v.first_view),
+       rk AS (SELECT lat_us,
+                     row_number() OVER (ORDER BY lat_us ASC) AS i,
+                     CAST(count(*) OVER () AS BIGINT) AS n
+              FROM d)
+       SELECT CAST(max(n) AS BIGINT) AS n_converted,
+              CAST(min(lat_us) AS BIGINT) AS min_us,
+              CAST(max(CASE WHEN (2 * i >= n + 1 AND 2 * (i - 1) < n + 1)
+                            OR (i = n AND 2 * n < n + 1) THEN lat_us END) AS BIGINT)
+                  AS p50_us,
+              CAST(max(CASE WHEN (10 * i >= 9 * (n + 1) AND 10 * (i - 1) < 9 * (n + 1))
+                            OR (i = n AND 10 * n < 9 * (n + 1)) THEN lat_us END) AS BIGINT)
+                  AS p90_us,
+              CAST(max(lat_us) AS BIGINT) AS max_us
+       FROM rk""",
+)
+def _time_to_convert_quantiles(spark, sf_dir):
+    """Conversion latency (first view → first purchase per user) as
+    EXACT order statistics: p50/p90 are the ceil(q·(n+1))-th smallest
+    microsecond values selected with pure integer rank inequalities —
+    no interpolation, no float percentile. Two map-combined min
+    aggregations + one rank window over the converted-user relation
+    (users, not events). The product-analytics latency report next to
+    funnel_conversion."""
+    ev = _t(spark, sf_dir, "events")
+    us = event_us(ev).alias("us")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", us)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase"))
+    )
+    d = (
+        v.join(p, "user_id")
+        .filter(F.col("first_purchase") >= F.col("first_view"))
+        .select((F.col("first_purchase") - F.col("first_view")).cast("long").alias("lat_us"))
+    )
+    w = Window.orderBy(F.col("lat_us").asc())
+    wa = Window.partitionBy()
+    rk = d.select(
+        "lat_us",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+    )
+    # min(n, ceil(num/den·(n+1)))-th order statistic: the clamp keeps
+    # small samples (ceil(q(n+1)) > n) on the last value instead of NULL
+    pick = lambda num, den: F.max(  # noqa: E731
+        F.when(
+            (
+                (F.lit(den) * F.col("i") >= F.lit(num) * (F.col("n") + 1))
+                & (F.lit(den) * (F.col("i") - 1) < F.lit(num) * (F.col("n") + 1))
+            )
+            | (
+                (F.col("i") == F.col("n"))
+                & (F.lit(den) * F.col("n") < F.lit(num) * (F.col("n") + 1))
+            ),
+            F.col("lat_us"),
+        )
+    ).cast("long")
+    return rk.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        pick(1, 2).alias("p50_us"),
+        pick(9, 10).alias("p90_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------- dispersion index
+
+
+@q(
+    "event_dispersion_index",
+    """WITH c AS (
+         SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       a AS (SELECT event_type,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(x * x) AS BIGINT) AS sxx
+             FROM c GROUP BY 1)
+       SELECT event_type, n, sx AS total_events,
+              CAST((n * sxx - sx * sx) * 10000 // ((n - 1) * sx) AS BIGINT)
+                  AS vmr_e4
+       FROM a WHERE n > 1 AND sx > 0""",
+)
+def _event_dispersion_index(spark, sf_dir):
+    """Variance-to-mean ratio of per-user event counts per type — the
+    Poisson over-dispersion check (VMR = 1 under Poisson arrivals;
+    >> 1 = bursty/bot-like, << 1 = quota-like). Exact e4 fixed point:
+    VMR = (n·Σx² − (Σx)²) / ((n−1)·Σx) over int64 sums of bounded
+    per-user counts — no float moments. Two map-combined aggregations,
+    nothing else."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    a = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return a.filter((F.col("n") > 1) & (F.col("sx") > 0)).select(
+        "event_type",
+        "n",
+        F.col("sx").alias("total_events"),
+        F.expr(
+            "cast((n * sxx - sx * sx) * 10000 div ((n - 1) * sx) as bigint)"
+        ).alias("vmr_e4"),
+    )
+
+
+# ------------------------------------------------- Simpson's paradox
+
+
+@q(
+    "simpson_rate_check",
+    """WITH b AS (
+         SELECT event_type, CAST(user_id % 2 AS BIGINT) AS grp,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+         FROM events WHERE event_type IN ('view', 'purchase', 'click')),
+       st AS (
+         SELECT grp,
+                CASE WHEN event_type = 'click' THEN 'click' ELSE 'view_purchase' END AS stratum,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(hit) AS BIGINT) AS k
+         FROM b GROUP BY 1, 2),
+       pooled AS (
+         SELECT grp, CAST(sum(n) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS k
+         FROM st GROUP BY 1),
+       pw AS (
+         SELECT max(CASE WHEN grp = 0 THEN k END) AS k0,
+                max(CASE WHEN grp = 0 THEN n END) AS n0,
+                max(CASE WHEN grp = 1 THEN k END) AS k1,
+                max(CASE WHEN grp = 1 THEN n END) AS n1
+         FROM pooled),
+       sw AS (
+         SELECT stratum,
+                max(CASE WHEN grp = 0 THEN k END) AS k0,
+                max(CASE WHEN grp = 0 THEN n END) AS n0,
+                max(CASE WHEN grp = 1 THEN k END) AS k1,
+                max(CASE WHEN grp = 1 THEN n END) AS n1
+         FROM st GROUP BY 1)
+       SELECT 'pooled' AS stratum, CAST(k0 AS BIGINT) AS k0, CAST(n0 AS BIGINT) AS n0,
+              CAST(k1 AS BIGINT) AS k1, CAST(n1 AS BIGINT) AS n1,
+              CAST(CASE WHEN k0 * n1 > k1 * n0 THEN 1
+                        WHEN k0 * n1 < k1 * n0 THEN -1 ELSE 0 END AS BIGINT)
+                  AS grp0_leads
+       FROM pw
+       UNION ALL
+       SELECT stratum, CAST(k0 AS BIGINT), CAST(n0 AS BIGINT),
+              CAST(k1 AS BIGINT), CAST(n1 AS BIGINT),
+              CAST(CASE WHEN k0 * n1 > k1 * n0 THEN 1
+                        WHEN k0 * n1 < k1 * n0 THEN -1 ELSE 0 END AS BIGINT)
+       FROM sw""",
+)
+def _simpson_rate_check(spark, sf_dir):
+    """Simpson's-paradox audit: purchase-rate comparison between two
+    user groups, pooled AND within strata, with the lead decided by
+    EXACT cross-multiplication (k0·n1 vs k1·n0 — never a float rate).
+    A pooled lead that flips sign in every stratum is the aggregation
+    artifact every metrics review must rule out. One aggregate over
+    (group, stratum) cells; the paradox test itself is integer
+    comparisons on a handful of rows."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type").isin("view", "purchase", "click")).select(
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.when(F.col("event_type") == "click", "click")
+        .otherwise("view_purchase")
+        .alias("stratum"),
+        (F.col("event_type") == "purchase").cast("long").alias("hit"),
+    )
+    st = b.groupBy("grp", "stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("k"),
+    )
+
+    def widen(df, label_col):
+        return df.groupBy(label_col).agg(
+            F.max(F.when(F.col("grp") == 0, F.col("k"))).cast("long").alias("k0"),
+            F.max(F.when(F.col("grp") == 0, F.col("n"))).cast("long").alias("n0"),
+            F.max(F.when(F.col("grp") == 1, F.col("k"))).cast("long").alias("k1"),
+            F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("long").alias("n1"),
+        )
+
+    pooled = widen(
+        st.groupBy("grp").agg(F.sum("n").alias("n"), F.sum("k").alias("k"))
+        .withColumn("stratum", F.lit("pooled")),
+        "stratum",
+    )
+    sw = widen(st, "stratum")
+    lead = (
+        F.when(F.col("k0") * F.col("n1") > F.col("k1") * F.col("n0"), 1)
+        .when(F.col("k0") * F.col("n1") < F.col("k1") * F.col("n0"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("grp0_leads")
+    )
+    return pooled.unionByName(sw).select("stratum", "k0", "n0", "k1", "n1", lead)
