@@ -228,8 +228,11 @@ def test_every_rows_only_query_is_metric_gated():
         "feature_aggregation_similarity",
         "quality_classifier_scores",
         # round-5 session-3: gated in their own test files
-        "knn_graph_nn_descent",  # recall gate, tests/test_knn_graph.py
-        "graph_ann_search",  # recall gate, tests/test_knn_graph.py
+        # (knn_graph_nn_descent / graph_ann_search gained exact
+        # unrolled-CTE oracles in round 6 and left the rows-only set)
         "compression_ratio_signals",  # property gates, tests/test_compress.py
+        # round-6: SGD-trained FastText (numpy RNG) — topic-margin +
+        # OOV-composition gates, tests/test_fasttext.py
+        "fasttext_sgd_oov",
     }
     assert rows_only == gated, rows_only.symmetric_difference(gated)
