@@ -167,6 +167,9 @@ HEADLINE = [
     "time_to_convert_quantiles",
     "event_dispersion_index",
     "simpson_rate_check",
+    "benford_digit_audit",
+    "rank_normalize_scores",
+    "code_switch_flags",
 ]
 
 

@@ -37,6 +37,9 @@ from redshells_spark.queries import r6e_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # --- round 6 session 2: new operators ---
+    "benford_digit_audit",  # r6e: NEW — first-digit forensic audit
+    "rank_normalize_scores",  # r6e: NEW — cross-source e6 percent ranks
+    "code_switch_flags",  # r6e: NEW — half-doc langid disagreement
     "time_to_convert_quantiles",  # r6e: NEW — exact latency order stats
     "event_dispersion_index",  # r6e: NEW — Poisson VMR check, e4 ints
     "simpson_rate_check",  # r6e: NEW — cross-multiplied paradox audit

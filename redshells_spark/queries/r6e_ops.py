@@ -225,3 +225,230 @@ def _simpson_rate_check(spark, sf_dir):
         .alias("grp0_leads")
     )
     return pooled.unionByName(sw).select("stratum", "k0", "n0", "k1", "n1", lead)
+
+
+# ---------------------------------------------------- Benford audit
+
+import math as _math
+
+_BENFORD_P_E6 = {d: int(round(_math.log10(1 + 1 / d) * 1_000_000)) for d in range(1, 10)}
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    p_rows = ", ".join(f"({d}, {_BENFORD_P_E6[d]}, {_BENFORD_P[d]!r})" for d in range(1, 10))
+    return f"""WITH u AS (
+         SELECT CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+         FROM orders),
+       d AS (
+         SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         FROM u WHERE cents > 0),
+       obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+       n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+       pb(digit, p_e6, p) AS (VALUES {p_rows}),
+       terms AS (
+         SELECT pb.digit, coalesce(obs.n_obs, 0) AS n_obs,
+                CAST(pb.p_e6 AS BIGINT) AS p_benford_e6,
+                CAST(floor(
+                  (coalesce(obs.n_obs, 0) - n.n_total * CAST(pb.p AS DOUBLE))
+                  * (coalesce(obs.n_obs, 0) - n.n_total * CAST(pb.p AS DOUBLE))
+                  / (n.n_total * CAST(pb.p AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) AS chi2_term_e6
+         FROM pb LEFT JOIN obs USING (digit), n)
+       SELECT CAST(digit AS BIGINT) AS digit,
+              CAST(n_obs AS BIGINT) AS n_obs, p_benford_e6, chi2_term_e6
+       FROM terms
+       UNION ALL
+       SELECT CAST(0 AS BIGINT), CAST(sum(n_obs) AS BIGINT),
+              CAST(1000000 AS BIGINT), CAST(sum(chi2_term_e6) AS BIGINT)
+       FROM terms"""
+
+
+@q("benford_digit_audit", _benford_oracle())
+def _benford_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / unit-mixing detector (Benford 1938; Nigrini's
+    forensic-accounting standard). First digits come from the STRING
+    of the exact cent units (no float log10 on data); expected
+    proportions log10(1+1/d) are plan-time literals shared by both
+    engines; each chi-square term is one fixed IEEE expression
+    truncated to e6 int64 so the digit=0 TOTAL row's chi2 sum is exact
+    integer addition. One map-combined count by digit — nothing else
+    touches the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(money_units(F.col("o_totalprice"), 100).alias("cents")).filter(
+        F.col("cents") > 0
+    )
+    obs = (
+        cents.select(
+            F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    pb = spark.createDataFrame(
+        [(d, _BENFORD_P_E6[d], _BENFORD_P[d]) for d in range(1, 10)],
+        "digit long, p_e6 long, p double",
+    )
+    n = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    terms = (
+        pb.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.col("p_e6").cast("long").alias("p_benford_e6"),
+            F.floor(
+                (F.col("n_obs") * F.lit(1.0) - F.col("n_total") * F.col("p"))
+                * (F.col("n_obs") * F.lit(1.0) - F.col("n_total") * F.col("p"))
+                / (F.col("n_total") * F.col("p"))
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("chi2_term_e6"),
+        )
+    )
+    total = terms.agg(
+        F.lit(0).cast("long").alias("digit"),
+        F.sum("n_obs").cast("long").alias("n_obs"),
+        F.lit(1000000).cast("long").alias("p_benford_e6"),
+        F.sum("chi2_term_e6").cast("long").alias("chi2_term_e6"),
+    )
+    return terms.unionByName(total)
+
+
+# ---------------------------------------------- rank normalization
+
+
+@q(
+    "rank_normalize_scores",
+    """WITH r AS (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars ASC, doc_id ASC) AS rk,
+                CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         FROM documents)
+       SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+              CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_e6
+       FROM r WHERE n > 1""",
+)
+def _rank_normalize_scores(spark, sf_dir):
+    """Rank-based score normalization per source: percent-rank of the
+    quality proxy (n_chars) as exact e6 integers — the standard move
+    before mixing quality scores ACROSS sources whose raw scales
+    differ (a CommonCrawl perplexity is not a Wikipedia perplexity).
+    Ties broken on doc_id so both engines rank identically; one window
+    per source, zero floats."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    return r.filter(F.col("n") > 1).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("cast((rk - 1) * 1000000 div (n - 1) as bigint)").alias("pr_e6"),
+    )
+
+
+# ------------------------------------------------- code-switch flags
+
+_CS_LANGS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with", "for", "it"),
+    "es": ("el", "los", "las", "es", "no", "una", "por", "con", "para", "del"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"),
+}
+
+
+def _cs_oracle() -> str:
+    def hits(slice_sql: str, lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in _CS_LANGS[lang])
+        return f"len(list_filter({slice_sql}, t -> t IN ({lst})))"
+
+    def argmax(prefix: str) -> str:
+        g = f"greatest({prefix}_de, {prefix}_en, {prefix}_es, {prefix}_fr)"
+        return f"""CASE WHEN {g} = 0 THEN 'und'
+                WHEN {prefix}_de = {g} THEN 'de'
+                WHEN {prefix}_en = {g} THEN 'en'
+                WHEN {prefix}_es = {g} THEN 'es'
+                ELSE 'fr' END"""
+
+    h1 = "list_slice(toks, 1, len(toks) // 2)"
+    h2 = "list_slice(toks, len(toks) // 2 + 1, len(toks))"
+    hit_cols = ", ".join(
+        f"{hits(h1, lang)} AS h1_{lang}, {hits(h2, lang)} AS h2_{lang}"
+        for lang in sorted(_CS_LANGS)
+    )
+    return f"""WITH tok AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         FROM documents),
+       h AS (SELECT doc_id, {hit_cols} FROM tok WHERE len(toks) >= 4),
+       l AS (SELECT doc_id, {argmax("h1")} AS lang_h1, {argmax("h2")} AS lang_h2
+             FROM h)
+       SELECT doc_id, lang_h1, lang_h2,
+              CAST(CASE WHEN lang_h1 <> lang_h2 AND lang_h1 <> 'und'
+                         AND lang_h2 <> 'und' THEN 1 ELSE 0 END AS BIGINT)
+                  AS code_switch
+       FROM l"""
+
+
+@q("code_switch_flags", _cs_oracle())
+def _code_switch_flags(spark, sf_dir):
+    """Within-document code-switch detection: language-ID the first
+    and second token halves independently (the same stopword-hit
+    argmax detect_language uses, identical tie rules) and flag docs
+    whose halves disagree with confident labels — the data-cleaning
+    audit that catches concatenation artifacts and mixed-language
+    scrapes which a whole-doc language filter waves through. One
+    map-only pass: slices, filters, and the argmax are all codegen."""
+    toks = _tokens(spark, sf_dir)
+    half1 = F.slice(F.col("tokens"), 1, (F.size("tokens") / 2).cast("int"))
+    half2 = F.slice(
+        F.col("tokens"),
+        (F.size("tokens") / 2).cast("int") + 1,
+        F.size("tokens"),
+    )
+
+    def hits(col, lang):
+        kws = _CS_LANGS[lang]
+        return F.size(F.filter(col, lambda t: t.isin(*kws)))
+
+    h = toks.filter(F.size("tokens") >= 4).select(
+        "doc_id",
+        *[hits(half1, lang).alias(f"h1_{lang}") for lang in sorted(_CS_LANGS)],
+        *[hits(half2, lang).alias(f"h2_{lang}") for lang in sorted(_CS_LANGS)],
+    )
+
+    def argmax(prefix):
+        g = F.greatest(*[F.col(f"{prefix}_{la}") for la in sorted(_CS_LANGS)])
+        expr = F.when(g == 0, "und")
+        for la in sorted(_CS_LANGS):
+            expr = expr.when(F.col(f"{prefix}_{la}") == g, la)
+        return expr
+
+    l = h.select(
+        "doc_id", argmax("h1").alias("lang_h1"), argmax("h2").alias("lang_h2")
+    )
+    return l.select(
+        "doc_id",
+        "lang_h1",
+        "lang_h2",
+        (
+            (F.col("lang_h1") != F.col("lang_h2"))
+            & (F.col("lang_h1") != "und")
+            & (F.col("lang_h2") != "und")
+        )
+        .cast("long")
+        .alias("code_switch"),
+    )
