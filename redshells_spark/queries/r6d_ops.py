@@ -407,8 +407,11 @@ def _token_pmi_topk(spark, sf_dir):
               FROM r)
        SELECT CAST(max(n) AS BIGINT) AS n_nations,
               CAST(max(tot) AS BIGINT) AS total_rev_e2,
-              CAST((2 * sum(i * rev) - (max(n) + 1) * max(tot)) * 1000000
-                   // (max(n) * max(tot)) AS BIGINT) AS gini_e6,
+              -- denominator pre-divided: D*1e6 overflows int64 at 10x
+              -- (caught by the factor-10 differential); greatest(..,1)
+              -- guards tiny corpora
+              CAST((2 * sum(i * rev) - (max(n) + 1) * max(tot))
+                   // greatest(max(n) * max(tot) // 1000000, 1) AS BIGINT) AS gini_e6,
               -- HHI over e3 integer shares: rev*rev sums overflow
               -- int64 (DuckDB would silently widen to HUGEINT and
               -- diverge); shares <= 1000 keep everything in range
@@ -445,9 +448,12 @@ def _revenue_concentration(spark, sf_dir):
     return rk2.agg(
         F.max("n").cast("long").alias("n_nations"),
         F.max("tot").cast("long").alias("total_rev_e2"),
+        # denominator pre-divided: D*1e6 overflows int64 at 10x data
+        # (caught by the factor-10 differential); greatest(.., 1)
+        # guards tiny corpora
         F.expr(
-            "cast((2 * sum(i * rev) - (max(n) + 1) * max(tot)) * 1000000"
-            " div (max(n) * max(tot)) as bigint)"
+            "cast((2 * sum(i * rev) - (max(n) + 1) * max(tot))"
+            " div greatest(max(n) * max(tot) div 1000000, 1L) as bigint)"
         ).alias("gini_e6"),
         # e3 integer shares: rev*rev would overflow int64 (and DuckDB
         # would silently widen to HUGEINT and diverge)
