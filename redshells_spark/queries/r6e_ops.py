@@ -356,7 +356,9 @@ def _rank_normalize_scores(spark, sf_dir):
         "doc_id",
         "source",
         "n_chars",
-        F.expr("cast((rk - 1) * 1000000 div (n - 1) as bigint)").alias("pr_e6"),
+        # rk is int32 (row_number): widen BEFORE the 1e6 multiply —
+        # (rk-1)*1e6 overflows int at >2147 rows/group (f10 catch)
+        F.expr("cast(cast(rk - 1 as bigint) * 1000000 div (n - 1) as bigint)").alias("pr_e6"),
     )
 
 
