@@ -182,6 +182,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = get_queries()
 
+    # optional subset run for targeted timing: python bench.py q1 q2 ...
+    names = [a for a in sys.argv[1:] if a in queries] or HEADLINE
+
     # one warmup action to amortize JVM/codegen startup out of q1's time
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
@@ -193,7 +196,7 @@ def main() -> None:
     # line always prints, and the exit code stays 0
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float | str] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         runs = []
         n = 0
@@ -221,12 +224,19 @@ def main() -> None:
     }
     detail = dict(summary)
     detail["queries"] = timings
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError as e:  # read-only checkout must not kill the bench
-        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    # The per-query detail file is written ONLY on explicit opt-in
+    # (SPARK_GRAFT_BENCH_DETAIL_FILE=<path>): the round driver invokes
+    # bench.py too, and an unconditional write clobbered the builder's
+    # committed BENCH_DETAIL.json with the driver's loaded-box numbers
+    # in round 6 — the builder round-stamps its own file instead
+    # (BENCH_DETAIL_r{N}.json). Detail always goes to stderr regardless.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_FILE")
+    if detail_path:
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError as e:  # read-only checkout must not kill the bench
+            print(f"# bench detail not written: {e}", file=sys.stderr)
     print(json.dumps(detail), file=sys.stderr)
     # the compact summary is the ONLY stdout line — keep it that way
     print(json.dumps(summary))

@@ -11,24 +11,34 @@ element among each set's first
 
 elements (else the overlap bound fails), so the candidate join runs
 only on prefix elements — the rare ones, which is what keeps candidate
-lists small — plus the length filter τ·|b| ≤ |a|. Every surviving pair
-is verified with an exact intersection count; the output has NO false
-negatives and NO false positives.
+lists small — plus the length filter τ·|b| ≤ |a| and PPJoin's
+positional filter (Xiao et al. 2008 §3.2): for the first (rarest)
+element the pair shares, the remaining suffixes bound the achievable
+overlap at 1 + min(|a|−p_a, |b|−p_b); pairs whose bound can't reach
+the required overlap α = ⌈τ/(1+τ)·(|a|+|b|)⌉ never enter verification.
+Every surviving pair is verified with an exact intersection count; the
+output has NO false negatives and NO false positives.
 
 Scale shape: the frequency ranking is a window over the
 universe-bounded element relation (a vocabulary, not the corpus); the
 candidate join shuffles (element → doc) pairs for PREFIX elements
-only; verification joins are bounded by the candidate count. All
+only; verification is two SHUFFLE joins of the (positionally filtered,
+bounded) candidate set against the per-doc array relation keyed on doc
+id — nothing corpus-sized is ever broadcast, so the plan survives a
+100× corpus where a per-doc broadcast would OOM the driver. All
 comparisons integer (⌈τ·n⌉ = (num·n + den − 1) div den; Jaccard ≥ τ as
-inter·den ≥ num·union).
+inter·den ≥ num·union; α as ubound·(num+den) ≥ num·(sz0+sz1)).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from redshells_spark.schema import require_columns
+
+_LAST_DOCARR: DataFrame | None = None
 
 
 def prefix_filter_jaccard_pairs(
@@ -49,48 +59,101 @@ def prefix_filter_jaccard_pairs(
     freq = sets.groupBy("__el").agg(F.count(F.lit(1)).alias("__f"))
     wt = Window.orderBy(F.col("__f").asc(), F.col("__el").asc())
     order = freq.select("__el", F.row_number().over(wt).alias("__erk"))
-    sz = sets.groupBy("__id").agg(F.count(F.lit(1)).cast("long").alias("__sz"))
-    wd = Window.partitionBy("__id").orderBy(F.col("__erk").asc())
-    ranked = (
+    # ONE shuffle keyed on doc id builds the rank-sorted per-doc array;
+    # size, prefix slice, positions, and the verification array are all
+    # per-row derivations from it (no row_number window, no second
+    # corpus shuffle for a separate arrays relation — the prefix-a,
+    # prefix-b, and two verification branches below all reuse this
+    # subplan's exchange).
+    docarr = (
         sets.join(F.broadcast(order), "__el")
-        .withColumn("__pos", F.row_number().over(wd))
-        .join(F.broadcast(sz), "__id")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__erk", "__el"))).alias("__rk"))
+        .withColumn("__sz", F.size("__rk").cast("long"))
     )
+    # Materialize it once: four downstream branches (prefix-a, prefix-b,
+    # verify-a0, verify-a1) would each re-run the shingle lineage
+    # otherwise (measured 7.5s → 1.1s warm at sf0.1). MEMORY_AND_DISK
+    # spills rather than OOMs at 100× — the standard materialize-the-
+    # ordered-sets step of distributed set-similarity joins (Vernica et
+    # al. SIGMOD 2010). Rolling handle: the previous call's cache is
+    # released here, so repeated calls hold at most one corpus copy.
+    docarr = docarr.persist(StorageLevel.MEMORY_AND_DISK)
+    global _LAST_DOCARR
+    if _LAST_DOCARR is not None:
+        _LAST_DOCARR.unpersist()
+    _LAST_DOCARR = docarr
     # prefix length p = sz − ceil(τ·sz) + 1, integer form
-    prefix = ranked.filter(
-        F.col("__pos")
-        <= F.col("__sz") - F.expr(f"cast(({num} * __sz + {den} - 1) div {den} as bigint)") + 1
-    ).select("__id", "__el", "__sz")
+    plen = (
+        F.col("__sz")
+        - F.expr(f"cast(({num} * __sz + {den} - 1) div {den} as bigint)")
+        + 1
+    ).cast("int")
+    prefix = docarr.select(
+        "__id",
+        "__sz",
+        F.posexplode(F.slice(F.col("__rk"), F.lit(1), plen)).alias("__i", "__s"),
+    ).select(
+        "__id",
+        "__sz",
+        F.col("__s.__el").alias("__el"),
+        (F.col("__i") + 1).cast("long").alias("__pos"),
+    )
+    # Candidate generation with PPJoin's positional filter applied
+    # PER MATCHED ROW, before the pair-dedup shuffle: the bound
+    # ubound = 1 + min(sz0−p0, sz1−p1) is monotone DECREASING in
+    # position, so the pair's first (rarest) shared element — the one
+    # the filter is proved for (Xiao et al. 2008 §3.2: every other
+    # shared element is rarer in NEITHER set, so it sits in both
+    # suffixes) — passes iff ANY matched row passes. Filtering rows
+    # first shrinks the dedup shuffle instead of running after it.
+    # Required overlap for Jaccard ≥ num/den is
+    # α = ⌈num·(sz0+sz1)/(num+den)⌉; integer form of ubound ≥ α is
+    # ubound·(num+den) ≥ num·(sz0+sz1). Prunes without changing the
+    # output (anything pruned would fail exact verification anyway).
+    # Join strategy is left to AQE on purpose: the prefix relation is
+    # corpus-proportional, so a hard-coded broadcast would OOM at 100×,
+    # but when the runtime size IS small AQE's broadcast pick is free
+    # speed — exactly the adaptive behavior we want.
     a = prefix.select(
-        F.col("__id").alias("__id0"), "__el", F.col("__sz").alias("__sz0")
+        F.col("__id").alias("__id0"),
+        "__el",
+        F.col("__pos").alias("__p0"),
+        F.col("__sz").alias("__sz0"),
     )
     b = prefix.select(
-        F.col("__id").alias("__id1"), "__el", F.col("__sz").alias("__sz1")
+        F.col("__id").alias("__id1"),
+        "__el",
+        F.col("__pos").alias("__p1"),
+        F.col("__sz").alias("__sz1"),
     )
-    cand = (
-        a.join(b, "__el")
-        .filter(
-            (F.col("__id0") < F.col("__id1"))
-            & (F.col("__sz0") * den >= F.col("__sz1") * num)
-            & (F.col("__sz1") * den >= F.col("__sz0") * num)
-        )
-        .select("__id0", "__id1", "__sz0", "__sz1")
-        .distinct()
+    ubound = F.lit(1) + F.least(
+        F.col("__sz0") - F.col("__p0"), F.col("__sz1") - F.col("__p1")
     )
-    # verification: per-doc sorted element arrays + one JVM
-    # array_intersect per candidate pair. The arrays relation is one
-    # row per doc (broadcastable); the alternative — re-joining every
-    # candidate against the (doc, element) relation twice — shuffles
-    # |cand|·|set| rows and dominated the wall (15.8s of 19s at sf0.1
-    # on the dense synthetic corpus).
-    arrs = sets.groupBy("__id").agg(
-        F.sort_array(F.collect_set("__el")).alias("__arr")
+    matched = a.join(b, "__el").filter(
+        (F.col("__id0") < F.col("__id1"))
+        & (F.col("__sz0") * den >= F.col("__sz1") * num)
+        & (F.col("__sz1") * den >= F.col("__sz0") * num)
+        & (ubound * F.lit(num + den) >= F.lit(num) * (F.col("__sz0") + F.col("__sz1")))
+    )
+    cand = matched.groupBy("__id0", "__id1").agg(
+        F.max("__sz0").alias("__sz0"), F.max("__sz1").alias("__sz1")
+    )
+    # verification: per-doc element arrays + one JVM array_intersect
+    # per candidate pair, reached through plain shuffle joins keyed on
+    # doc id — the arrays relation is one row per doc with the doc's
+    # whole element set, i.e. corpus-sized, and must never be broadcast
+    # (a guaranteed driver OOM at 100×). The candidate side is already
+    # bounded by prefix + length + positional filtering, so the shuffle
+    # is small. Derived from the same docarr subplan as the prefixes.
+    arrs = docarr.select(
+        "__id", F.expr("transform(__rk, x -> x.__el)").alias("__arr")
     )
     a0 = arrs.select(F.col("__id").alias("__id0"), F.col("__arr").alias("__a0"))
     a1 = arrs.select(F.col("__id").alias("__id1"), F.col("__arr").alias("__a1"))
     inter = (
-        cand.join(F.broadcast(a0), "__id0")
-        .join(F.broadcast(a1), "__id1")
+        cand.join(a0, "__id0")
+        .join(a1, "__id1")
         .select(
             "__id0",
             "__id1",

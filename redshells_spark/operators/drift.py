@@ -267,7 +267,11 @@ def mann_whitney_from_value_counts(pv: DataFrame) -> DataFrame:
         u1_x2.alias("u1_x2"),
         "tie_t",
         F.round(z, 6).alias("z"),
-        (F.abs(F.round(z, 6)) > F.lit(1.96)).cast("long").alias("reject_005"),
+        # NULL z (all-tied degenerate input) must read as "cannot
+        # reject", not NULL — the oracle's CASE ... ELSE 0 does.
+        F.coalesce(
+            (F.abs(F.round(z, 6)) > F.lit(1.96)).cast("long"), F.lit(0)
+        ).alias("reject_005"),
     )
 
 

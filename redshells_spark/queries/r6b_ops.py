@@ -185,7 +185,7 @@ def _fuzzy_name_match(spark, sf_dir):
     """Blocked fuzzy matching over part names (operators/fuzzy.py):
     dedupe to DISTINCT names first (the step that keeps a billion-row
     corpus's pairwise work on its million distinct strings), block on
-    the head noun (last token), then JVM-codegen `levenshtein` ≤ 3
+    the SECOND name token, then JVM-codegen `levenshtein` ≤ 3
     inside blocks only — the Fellegi-Sunter blocking shape. The
     block-partitioned self-join shuffles on the blocking key, so cost
     is Σ block², never corpus²."""

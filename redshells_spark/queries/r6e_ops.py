@@ -291,16 +291,22 @@ def _benford_digit_audit(spark, sf_dir):
         "digit long, p_e6 long, p double",
     )
     n = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    # nz, not F.col("n_obs"), in the chi2 term: inside this select the
+    # raw column is still the LEFT-join output — NULL for a digit with
+    # zero observations — and a NULL there would both blank the term
+    # and silently drop that digit's expected-count penalty from the
+    # TOTAL row. The oracle coalesces; so must we.
+    nz = F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
     terms = (
         pb.join(obs, "digit", "left")
         .crossJoin(F.broadcast(n))
         .select(
             "digit",
-            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            nz.alias("n_obs"),
             F.col("p_e6").cast("long").alias("p_benford_e6"),
             F.floor(
-                (F.col("n_obs") * F.lit(1.0) - F.col("n_total") * F.col("p"))
-                * (F.col("n_obs") * F.lit(1.0) - F.col("n_total") * F.col("p"))
+                (nz * F.lit(1.0) - F.col("n_total") * F.col("p"))
+                * (nz * F.lit(1.0) - F.col("n_total") * F.col("p"))
                 / (F.col("n_total") * F.col("p"))
                 * F.lit(1000000)
                 + F.lit(0.5)

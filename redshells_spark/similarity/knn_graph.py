@@ -521,7 +521,7 @@ def graph_search_topk(
     ).localCheckpoint(eager=True)
 
     nbrs = graph.select(F.col("src").alias("__cid"), F.col("dst"))
-    for _ in range(rounds):
+    for i in range(rounds):
         expanded = (
             beam.select("query_id", "__cid")
             .join(nbrs, "__cid")
@@ -535,7 +535,13 @@ def graph_search_topk(
             "score",
             ef,
             tie_break=["__cid"],
-        ).localCheckpoint(eager=True)
+        )
+        # checkpoint every SECOND round: each eager checkpoint is a
+        # full job, and a two-round plan (≈10 operators) is still well
+        # inside Catalyst's comfort zone — halves the fixed per-round
+        # materialization cost without changing any result
+        if i % 2 == 1 or i == rounds - 1:
+            beam = beam.localCheckpoint(eager=True)
     return per_group_topk(
         beam.select("query_id", F.col("__cid").alias(id_column), "score"),
         "query_id",

@@ -118,3 +118,33 @@ def test_insert_refuses_oversized_batch(spark):
     g = knn_graph_nn_descent(emb.limit(100), k=5, iterations=1)
     with pytest.raises(ValueError):
         knn_graph_insert(g, emb.limit(100), emb, max_batch_brute=10)
+
+
+def test_graph_task_parity(spark, tmp_path):
+    """The param-hash parquet target must serve EXACTLY the graph a
+    fresh build produces: a second run() hits the target (load path)
+    and the loaded rows equal a direct knn_graph_nn_descent build —
+    the fresh-session graph_ann_search contract."""
+    from redshells_spark.similarity.knn_graph import knn_graph_nn_descent
+    from redshells_spark.task import task
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def _build(spark, _inputs):
+        return knn_graph_nn_descent(emb, k=10, iterations=2, seed=7)
+
+    t = task(
+        "knn_graph_index_test",
+        _build,
+        params={"k": 10, "iterations": 2, "seed": 7},
+        cache_root=str(tmp_path),
+    )
+    built = t.run(spark)  # builds + writes
+    assert t.complete()
+    loaded = t.run(spark)  # second run must load, not rebuild
+    direct = knn_graph_nn_descent(emb, k=10, iterations=2, seed=7)
+    key = lambda r: (r["src"], r["rank"])
+    as_rows = lambda df: sorted(
+        ((r["src"], r["dst"], round(r["score"], 9), r["rank"]) for r in df.collect())
+    )
+    assert as_rows(loaded) == as_rows(direct) == as_rows(built)
