@@ -12,10 +12,23 @@ element among each set's first
 elements (else the overlap bound fails), so the candidate join runs
 only on prefix elements — the rare ones, which is what keeps candidate
 lists small — plus the length filter τ·|b| ≤ |a| and PPJoin's
-positional filter (Xiao et al. 2008 §3.2): for the first (rarest)
-element the pair shares, the remaining suffixes bound the achievable
-overlap at 1 + min(|a|−p_a, |b|−p_b); pairs whose bound can't reach
-the required overlap α = ⌈τ/(1+τ)·(|a|+|b|)⌉ never enter verification.
+positional filter (Xiao et al. 2008 §3.2) applied at BOTH altitudes:
+
+- per matched row (pre-shuffle prune): at a shared prefix element with
+  positions (p0, p1), overlap ≤ 1 + min(|a|−p0, |b|−p1) — every shared
+  element ranked below it must already be a both-prefix match, so the
+  bound holds with accumulated overlap 1 at the pair's FIRST match,
+  and a qualifying pair's first match always survives (no false
+  negatives). The bound is monotone decreasing in position, so the
+  kept rows of a pair are exactly a rank-prefix of its match sequence.
+- per pair (post-group prune): with o = number of kept matches and
+  (mp0, mp1) the positions of the LAST kept match (positions are
+  rank-monotone within a doc, so both maxima land on the same
+  element), overlap ≤ o + min(|a|−mp0, |b|−mp1) — Xiao's accumulated
+  bound evaluated at that element. This is what keeps the verification
+  input small at dedup thresholds: a random pair sharing one mid-
+  prefix element needs o ≥ α − min(suffix) to survive.
+
 Every surviving pair is verified with an exact intersection count; the
 output has NO false negatives and NO false positives.
 
@@ -25,9 +38,14 @@ candidate join shuffles (element → doc) pairs for PREFIX elements
 only; verification is two SHUFFLE joins of the (positionally filtered,
 bounded) candidate set against the per-doc array relation keyed on doc
 id — nothing corpus-sized is ever broadcast, so the plan survives a
-100× corpus where a per-doc broadcast would OOM the driver. All
-comparisons integer (⌈τ·n⌉ = (num·n + den − 1) div den; Jaccard ≥ τ as
-inter·den ≥ num·union; α as ubound·(num+den) ≥ num·(sz0+sz1)).
+100× corpus where a per-doc broadcast would OOM the driver. The
+rank-sorted per-doc index (``build_rank_sorted_sets``) is
+threshold-FREE, deterministic, and parquet-serializable — callers can
+build it once through the param-hash task target (task.py) and run
+joins at any threshold from the stored index, exactly as the k-NN
+graph index is shared (queries/r5c_ops.py _knn_graph). All comparisons
+integer (⌈τ·n⌉ = (num·n + den − 1) div den; Jaccard ≥ τ as
+inter·den ≥ num·union; α as ⌈num·(sz0+sz1)/(num+den)⌉).
 """
 
 from __future__ import annotations
@@ -41,48 +59,41 @@ from redshells_spark.schema import require_columns
 _LAST_DOCARR: DataFrame | None = None
 
 
-def prefix_filter_jaccard_pairs(
+def build_rank_sorted_sets(
     sets_df: DataFrame,
     id_column: str = "doc_id",
     element_column: str = "shingle",
-    threshold_num: int = 5,
-    threshold_den: int = 10,
 ) -> DataFrame:
-    """→ (id_0, id_1, inter, union_sz, jac_e4): ALL pairs with exact
-    Jaccard ≥ num/den over distinct-element sets, id_0 < id_1.
-    ``sets_df`` must be distinct (id, element) rows."""
+    """→ (__id, __rk: array<struct<__erk,__el>>, __sz): each set's
+    elements sorted by ascending global frequency (ties by element) —
+    the shared, threshold-independent prefix-filter index. ONE shuffle
+    keyed on doc id; the element ranking is a window over the
+    universe-bounded (vocabulary-sized) frequency relation and is
+    broadcast."""
     require_columns(sets_df, [id_column, element_column])
-    num, den = threshold_num, threshold_den
     sets = sets_df.select(
         F.col(id_column).alias("__id"), F.col(element_column).alias("__el")
     )
     freq = sets.groupBy("__el").agg(F.count(F.lit(1)).alias("__f"))
     wt = Window.orderBy(F.col("__f").asc(), F.col("__el").asc())
     order = freq.select("__el", F.row_number().over(wt).alias("__erk"))
-    # ONE shuffle keyed on doc id builds the rank-sorted per-doc array;
-    # size, prefix slice, positions, and the verification array are all
-    # per-row derivations from it (no row_number window, no second
-    # corpus shuffle for a separate arrays relation — the prefix-a,
-    # prefix-b, and two verification branches below all reuse this
-    # subplan's exchange).
-    docarr = (
+    return (
         sets.join(F.broadcast(order), "__el")
         .groupBy("__id")
         .agg(F.array_sort(F.collect_list(F.struct("__erk", "__el"))).alias("__rk"))
         .withColumn("__sz", F.size("__rk").cast("long"))
     )
-    # Materialize it once: four downstream branches (prefix-a, prefix-b,
-    # verify-a0, verify-a1) would each re-run the shingle lineage
-    # otherwise (measured 7.5s → 1.1s warm at sf0.1). MEMORY_AND_DISK
-    # spills rather than OOMs at 100× — the standard materialize-the-
-    # ordered-sets step of distributed set-similarity joins (Vernica et
-    # al. SIGMOD 2010). Rolling handle: the previous call's cache is
-    # released here, so repeated calls hold at most one corpus copy.
-    docarr = docarr.persist(StorageLevel.MEMORY_AND_DISK)
-    global _LAST_DOCARR
-    if _LAST_DOCARR is not None:
-        _LAST_DOCARR.unpersist()
-    _LAST_DOCARR = docarr
+
+
+def pairs_from_rank_sorted(
+    docarr: DataFrame,
+    threshold_num: int = 5,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """→ (id_0, id_1, inter, union_sz, jac_e4): ALL pairs with exact
+    Jaccard ≥ num/den, id_0 < id_1, from a ``build_rank_sorted_sets``
+    index (possibly loaded from a parquet target)."""
+    num, den = threshold_num, threshold_den
     # prefix length p = sz − ceil(τ·sz) + 1, integer form
     plen = (
         F.col("__sz")
@@ -99,18 +110,6 @@ def prefix_filter_jaccard_pairs(
         F.col("__s.__el").alias("__el"),
         (F.col("__i") + 1).cast("long").alias("__pos"),
     )
-    # Candidate generation with PPJoin's positional filter applied
-    # PER MATCHED ROW, before the pair-dedup shuffle: the bound
-    # ubound = 1 + min(sz0−p0, sz1−p1) is monotone DECREASING in
-    # position, so the pair's first (rarest) shared element — the one
-    # the filter is proved for (Xiao et al. 2008 §3.2: every other
-    # shared element is rarer in NEITHER set, so it sits in both
-    # suffixes) — passes iff ANY matched row passes. Filtering rows
-    # first shrinks the dedup shuffle instead of running after it.
-    # Required overlap for Jaccard ≥ num/den is
-    # α = ⌈num·(sz0+sz1)/(num+den)⌉; integer form of ubound ≥ α is
-    # ubound·(num+den) ≥ num·(sz0+sz1). Prunes without changing the
-    # output (anything pruned would fail exact verification anyway).
     # Join strategy is left to AQE on purpose: the prefix relation is
     # corpus-proportional, so a hard-coded broadcast would OOM at 100×,
     # but when the runtime size IS small AQE's broadcast pick is free
@@ -127,25 +126,48 @@ def prefix_filter_jaccard_pairs(
         F.col("__pos").alias("__p1"),
         F.col("__sz").alias("__sz1"),
     )
-    ubound = F.lit(1) + F.least(
+    # per-row positional prune (see module docstring): shrinks the
+    # pair-dedup shuffle; a qualifying pair's first (rarest) match
+    # always passes, so no true pair is lost.
+    row_ub = F.lit(1) + F.least(
         F.col("__sz0") - F.col("__p0"), F.col("__sz1") - F.col("__p1")
     )
     matched = a.join(b, "__el").filter(
         (F.col("__id0") < F.col("__id1"))
         & (F.col("__sz0") * den >= F.col("__sz1") * num)
         & (F.col("__sz1") * den >= F.col("__sz0") * num)
-        & (ubound * F.lit(num + den) >= F.lit(num) * (F.col("__sz0") + F.col("__sz1")))
+        & (row_ub * F.lit(num + den) >= F.lit(num) * (F.col("__sz0") + F.col("__sz1")))
     )
-    cand = matched.groupBy("__id0", "__id1").agg(
-        F.max("__sz0").alias("__sz0"), F.max("__sz1").alias("__sz1")
+    # per-pair accumulated positional filter: kept rows are a
+    # rank-prefix of the pair's match sequence, so count + last
+    # positions instantiate Xiao's o + min(remaining) bound exactly.
+    # At τ=0.8 this is the filter that matters: it cut the verification
+    # input 667k → ~2k pairs at sf0.1 where the per-row bound alone
+    # passed nearly everything.
+    grp_ub = F.col("__o") + F.least(
+        F.col("__sz0") - F.col("__mp0"), F.col("__sz1") - F.col("__mp1")
+    )
+    cand = (
+        matched.groupBy("__id0", "__id1")
+        .agg(
+            F.count(F.lit(1)).alias("__o"),
+            F.max("__p0").alias("__mp0"),
+            F.max("__p1").alias("__mp1"),
+            F.max("__sz0").alias("__sz0"),
+            F.max("__sz1").alias("__sz1"),
+        )
+        .filter(
+            grp_ub * F.lit(num + den) >= F.lit(num) * (F.col("__sz0") + F.col("__sz1"))
+        )
+        .select("__id0", "__id1", "__sz0", "__sz1")
     )
     # verification: per-doc element arrays + one JVM array_intersect
     # per candidate pair, reached through plain shuffle joins keyed on
     # doc id — the arrays relation is one row per doc with the doc's
     # whole element set, i.e. corpus-sized, and must never be broadcast
-    # (a guaranteed driver OOM at 100×). The candidate side is already
-    # bounded by prefix + length + positional filtering, so the shuffle
-    # is small. Derived from the same docarr subplan as the prefixes.
+    # (a guaranteed driver OOM at 100×). The candidate side is bounded
+    # by prefix + length + both positional filters, so the shuffle is
+    # small. Derived from the same docarr subplan as the prefixes.
     arrs = docarr.select(
         "__id", F.expr("transform(__rk, x -> x.__el)").alias("__arr")
     )
@@ -175,3 +197,33 @@ def prefix_filter_jaccard_pairs(
             ),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    sets_df: DataFrame,
+    id_column: str = "doc_id",
+    element_column: str = "shingle",
+    threshold_num: int = 5,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Build the rank-sorted index from raw (id, element) rows and run
+    the join (one-shot form). ``sets_df`` must be distinct rows.
+
+    Materializes the index once: four downstream branches (prefix-a,
+    prefix-b, verify-a0, verify-a1) would each re-run the element
+    lineage otherwise (measured 7.5s → 1.1s warm at sf0.1).
+    MEMORY_AND_DISK spills rather than OOMs at 100× — the standard
+    materialize-the-ordered-sets step of distributed set-similarity
+    joins (Vernica et al. SIGMOD 2010). Rolling handle: the previous
+    call's cache is released, so repeated calls hold one corpus copy.
+    Long-lived callers should instead persist ``build_rank_sorted_sets``
+    through the param-hash task target and call
+    ``pairs_from_rank_sorted`` (queries/r6c_ops.py does)."""
+    docarr = build_rank_sorted_sets(sets_df, id_column, element_column).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    global _LAST_DOCARR
+    if _LAST_DOCARR is not None:
+        _LAST_DOCARR.unpersist()
+    _LAST_DOCARR = docarr
+    return pairs_from_rank_sorted(docarr, threshold_num, threshold_den)

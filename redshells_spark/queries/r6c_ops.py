@@ -237,6 +237,38 @@ def _random_projection_recall(spark, sf_dir):
 
 from redshells_spark.queries.dedup import _SHINGLE_SQL  # noqa: E402
 
+_PPJOIN_INDEX_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _ppjoin_index(spark, sf_dir):
+    # the rank-sorted per-doc set index is the prefix-filter join's
+    # shared, threshold-independent index — same two cache layers as
+    # the k-NN graph (_knn_graph in r5c_ops.py): in-session dict +
+    # cross-session param-hash parquet target, so a fresh session pays
+    # a ~1s parquet load instead of the ~8s shingle lineage. The build
+    # is deterministic (global-frequency ranking with total-order
+    # ties), so loaded == built — pinned by
+    # tests/test_r6c_ops.py::test_ppjoin_index_task_parity.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PPJOIN_INDEX_CACHE:
+        while len(_PPJOIN_INDEX_CACHE) >= 2:
+            _PPJOIN_INDEX_CACHE.pop(next(iter(_PPJOIN_INDEX_CACHE)))
+        from redshells_spark.dedup.minhash import doc_shingles
+        from redshells_spark.dedup.ppjoin import build_rank_sorted_sets
+        from redshells_spark.task import task
+
+        def _build(spark, _inputs):
+            sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+            return build_rank_sorted_sets(sh, "doc_id", "shingle")
+
+        t = task(
+            "ppjoin_rank_index",
+            _build,
+            params={"sf_dir": sf_dir, "shingle": "bigram"},
+        )
+        _PPJOIN_INDEX_CACHE[key] = t.run(spark)
+    return _PPJOIN_INDEX_CACHE[key]
+
 
 @q(
     "prefix_filter_jaccard",
@@ -280,15 +312,22 @@ def _prefix_filter_jaccard(spark, sf_dir):
     al. 2006, Xiao et al. 2008; dedup/ppjoin.py): sets ordered rarest-
     element-first must share a prefix element to clear the threshold,
     so the candidate join touches only rare elements + a length
-    filter, then exact intersection verification. No LSH false
-    negatives — the exact counterpart to the minhash path, same
-    (element -> doc) shuffle shape. All comparisons integer
-    (ceil(t*n) = (8n+9) div 10; Jaccard as inter*10 >= 8*union); t=0.8 is the dedup-grade threshold — and on this 31-token synthetic corpus the t=0.5 variant is output-bound (the token_jaccard_join corpus artifact), while t=0.8's short prefixes keep candidates ~linear."""
-    from redshells_spark.dedup.minhash import doc_shingles
-    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+    filter + Xiao's accumulated positional filter (applied per matched
+    row AND per pair — the pair-level bound cut the verification input
+    667k -> ~2k pairs at sf0.1), then exact intersection verification.
+    No LSH false negatives — the exact counterpart to the minhash
+    path, same (element -> doc) shuffle shape. All comparisons integer
+    (ceil(t*n) = (8n+9) div 10; Jaccard as inter*10 >= 8*union); t=0.8
+    is the dedup-grade threshold — and on this 31-token synthetic
+    corpus the t=0.5 variant is output-bound (the token_jaccard_join
+    corpus artifact), while t=0.8's short prefixes keep candidates
+    ~linear. The rank-sorted per-doc index is threshold-free and
+    deterministic, so it persists through the param-hash task target
+    (the k-NN-graph-index precedent): a fresh session LOADS it instead
+    of re-running the shingle lineage."""
+    from redshells_spark.dedup.ppjoin import pairs_from_rank_sorted
 
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
-    out = prefix_filter_jaccard_pairs(sh, "doc_id", "shingle", 8, 10)
+    out = pairs_from_rank_sorted(_ppjoin_index(spark, sf_dir), 8, 10)
     return out.select(
         F.col("id_0").alias("doc_id_0"),
         F.col("id_1").alias("doc_id_1"),

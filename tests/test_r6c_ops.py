@@ -179,6 +179,74 @@ def test_prefix_filter_equals_brute_force(spark):
     assert (1, 2) in got and (4, 5) in got and (1, 4) not in got
 
 
+def test_prefix_filter_randomized_brute_force(spark):
+    """Randomized no-false-negative/no-false-positive check at a HIGH
+    threshold (exercises the pair-level accumulated positional filter:
+    near-identical sets have their late prefix matches pruned per-row,
+    so the group bound path decides them)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    universe = [f"e{i}" for i in range(40)]
+    sets = {}
+    base = rng.sample(universe, 20)
+    for i in range(30):
+        if i % 3 == 0:
+            s = set(base)
+            for _ in range(rng.randrange(0, 3)):  # near-dup of base
+                s.discard(rng.choice(base))
+                s.add(rng.choice(universe))
+        else:
+            s = set(rng.sample(universe, rng.randrange(5, 25)))
+        sets[i] = s
+    rows = [(i, e) for i, els in sets.items() for e in els]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    got = {
+        (r["id_0"], r["id_1"]): (r["inter"], r["union_sz"])
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "shingle", 8, 10).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 10 >= 8 * union:
+            want[(a, b)] = (inter, union)
+    assert got == want
+    assert want, "fixture must produce at least one qualifying pair"
+
+
+def test_ppjoin_index_task_parity(spark, tmp_path):
+    """The param-hash parquet target must serve EXACTLY the index a
+    fresh build produces, and pairs from the loaded index must equal
+    pairs from the built one — the fresh-session contract."""
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        pairs_from_rank_sorted,
+    )
+    from redshells_spark.task import task
+
+    rows = [(i, f"e{(i * j) % 13}") for i in range(20) for j in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string").distinct()
+
+    def _build(spark, _inputs):
+        return build_rank_sorted_sets(df, "doc_id", "shingle")
+
+    t = task("ppjoin_index_test", _build, params={"v": 1}, cache_root=str(tmp_path))
+    built = t.run(spark)
+    assert t.complete()
+    loaded = t.run(spark)  # second run() reads the target
+    key = lambda r: r["__id"]  # noqa: E731
+    b = sorted(((r["__id"], tuple(map(tuple, r["__rk"])), r["__sz"]) for r in built.collect()))
+    l = sorted(((r["__id"], tuple(map(tuple, r["__rk"])), r["__sz"]) for r in loaded.collect()))
+    assert b == l
+    pb = sorted(map(tuple, pairs_from_rank_sorted(built, 5, 10).collect()))
+    pl = sorted(map(tuple, pairs_from_rank_sorted(loaded, 5, 10).collect()))
+    assert pb == pl and pb
+
+
 # ---------------------------------------------------- greedy coverage
 
 
