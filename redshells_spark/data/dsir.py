@@ -189,14 +189,33 @@ def dsir_select_top(
 ) -> DataFrame:
     """→ weights + (keep boolean): deterministic top-k selection by
     (weight desc, id asc) — the determinized stand-in for the paper's
-    Gumbel-top-k resample (exact sampling needs engine RNG). The
-    global row_number is fine up to ~1e8 docs on the weights relation
-    (2 narrow columns); at full 100 TB corpus scale select by a
-    quantile threshold from approxQuantile instead of a total order.
-    """
-    w = Window.orderBy(F.col(weight_column).desc(), F.col(id_column).asc())
-    return weights.select(
+    Gumbel-top-k resample (exact sampling needs engine RNG).
+
+    Scale shape: a row in the global top-k is necessarily in its
+    partition's top-k, so each partition prunes to k rows map-side
+    (per-partition window — no shuffle), the ≤ k·P survivors take the
+    single global window (bounded, not corpus-sized), and the winning
+    ids broadcast back onto the full relation as a semi-join mark.
+    Output is identical to the naive global row_number at any
+    partitioning (the ordering is a total order)."""
+    order = [F.col(weight_column).desc(), F.col(id_column).asc()]
+    wp = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    cand = (
+        weights.select(id_column, weight_column)
+        .withColumn("__prk", F.row_number().over(wp))
+        .filter(F.col("__prk") <= k)
+        .drop("__prk")
+    )
+    wg = Window.orderBy(*order)
+    topk = (
+        cand.withColumn("__rk", F.row_number().over(wg))
+        .filter(F.col("__rk") <= k)
+        .select(F.col(id_column).alias("__keep_id"))
+    )
+    return weights.join(
+        F.broadcast(topk), F.col(id_column) == F.col("__keep_id"), "left"
+    ).select(
         id_column,
         weight_column,
-        (F.row_number().over(w) <= k).alias("keep"),
+        F.col("__keep_id").isNotNull().alias("keep"),
     )

@@ -135,21 +135,46 @@ def _unpivot_event_matrix(spark, sf_dir):
 def _customer_spend_quartiles(spark, sf_dir):
     """Ranking-window breadth: ntile/percent_rank/cume_dist over
     per-customer revenue. Revenue sums as integer cents (order-free);
-    the window orders on (spend, custkey) so ties never leave rank
-    assignment to engine whim. Single global window — fine for a
-    per-customer frame (|customers| ≪ |orders|); at 100 TB a global
-    ntile would instead go through approx quantile boundaries."""
+    the ordering (spend, custkey) is a TOTAL order, so all three
+    window functions are pure functions of (rank i, n) and compute
+    from data/sharding.distributed_rank (range shuffle +
+    per-partition row_number + broadcast offset map — bit-identical
+    ranks, NO single-reducer sort; per-customer relations reach 1e9+
+    rows at 100 TB, where a global window is the anti-pattern this
+    repo's plan audit flags): tie-free cume_dist = i/n, percent_rank
+    = (i−1)/(n−1), and ntile(4) by its first-(n mod 4)-buckets-get-
+    ceil(n/4) definition in integer arithmetic."""
+    from redshells_spark.data.sharding import distributed_rank
+
     o = _t(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_c")
     )
-    w = Window.orderBy(F.col("spend_c").asc(), F.col("o_custkey").asc())
-    return s.select(
+    nrow = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = (
+        distributed_rank(
+            s, [F.col("spend_c").asc(), F.col("o_custkey").asc()], out_col="__i0"
+        )
+        .crossJoin(F.broadcast(nrow))
+        .withColumn("i", (F.col("__i0") + 1).cast("long"))
+    )
+    # ntile(4): q = n div 4, r = n mod 4; buckets 1..r hold q+1 rows —
+    # all integer (ceil(a/b) = (a+b−1) div b); greatest(q,1) keeps the
+    # dead branch ANSI-safe when n < 4
+    ntile4 = F.expr(
+        "CASE WHEN i <= (n % 4) * ((n div 4) + 1)"
+        " THEN (i + (n div 4)) div ((n div 4) + 1)"
+        " ELSE (n % 4) + (i - (n % 4) * ((n div 4) + 1) + (n div 4) - 1)"
+        "      div greatest(n div 4, 1) END"
+    )
+    return rk.select(
         "o_custkey",
         "spend_c",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        _r4(F.percent_rank().over(w), "pct_rank"),
-        _r4(F.cume_dist().over(w), "cum_dist"),
+        ntile4.cast("long").alias("quartile"),
+        _r4(
+            (F.col("i") - 1) / F.greatest(F.col("n") - 1, F.lit(1)), "pct_rank"
+        ),
+        _r4(F.col("i") / F.col("n"), "cum_dist"),
     )
 
 

@@ -41,8 +41,12 @@ def _time_to_convert_quantiles(spark, sf_dir):
     EXACT order statistics: p50/p90 are the ceil(q·(n+1))-th smallest
     microsecond values selected with pure integer rank inequalities —
     no interpolation, no float percentile. Two map-combined min
-    aggregations + one rank window over the converted-user relation
-    (users, not events). The product-analytics latency report next to
+    aggregations over events, then ranks via data/sharding.py
+    distributed_rank (range shuffle + per-partition row_number +
+    broadcast offset map — bit-identical to the naive global window
+    with NO single-reducer sort, so the plan holds at 10^9 converted
+    users) and n from a broadcast 1-row count, not a global count
+    window. The product-analytics latency report next to
     funnel_conversion."""
     ev = _t(spark, sf_dir, "events")
     us = event_us(ev).alias("us")
@@ -63,12 +67,13 @@ def _time_to_convert_quantiles(spark, sf_dir):
         .filter(F.col("first_purchase") >= F.col("first_view"))
         .select((F.col("first_purchase") - F.col("first_view")).cast("long").alias("lat_us"))
     )
-    w = Window.orderBy(F.col("lat_us").asc())
-    wa = Window.partitionBy()
-    rk = d.select(
-        "lat_us",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+    from redshells_spark.data.sharding import distributed_rank
+
+    nrow = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = (
+        distributed_rank(d, [F.col("lat_us").asc()], out_col="__i0")
+        .crossJoin(F.broadcast(nrow))
+        .select("lat_us", (F.col("__i0") + 1).cast("long").alias("i"), "n")
     )
     # min(n, ceil(num/den·(n+1)))-th order statistic: the clamp keeps
     # small samples (ceil(q(n+1)) > n) on the last value instead of NULL

@@ -45,3 +45,29 @@ def test_wide_scan_only_for_uniform_width_tables():
     assert not audit_plan(
         "q", scan("documents", "doc_id:long,text:string,lang:string,source:string,n_chars:long")
     )
+
+
+def test_global_window_detection():
+    from tools.plan_audit import GLOBAL_WINDOW_OK
+
+    single = (
+        "Window [row_number() windowspecdefinition(x ASC)]\n"
+        "+- Sort [x ASC], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "      +- Scan parquet"
+    )
+    assert ("global-window", "Window fed by Exchange SinglePartition") in audit_plan(
+        "some_query", single
+    )
+    # allow-listed names pass
+    assert not audit_plan("exact_auc", single)
+    assert "exact_auc" in GLOBAL_WINDOW_OK
+    # a partitioned window (hash exchange between Window and input) is fine
+    parted = (
+        "Window [row_number() windowspecdefinition(g, x ASC)]\n"
+        "+- Sort [g ASC, x ASC], false, 0\n"
+        "   +- Exchange hashpartitioning(g#1, 32)\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- Scan parquet"
+    )
+    assert not audit_plan("some_query", parted)

@@ -13,6 +13,14 @@ anti-patterns that matter at 100 TB:
 - **wide-scan**: a parquet scan of the big fact tables (lineitem,
   orders, events, documents, embeddings) whose ReadSchema carries
   every column of the table — usually a missed column prune.
+- **global-window**: a ``Window`` fed by ``Exchange SinglePartition``
+  — a single-reducer sort. Fine over relations bounded by
+  construction (a vocabulary, group-level aggregates, top-k output);
+  a scale defect over anything fact-proportional (rows, users,
+  documents). Every legitimate use must be allow-listed in
+  GLOBAL_WINDOW_OK with the boundedness rationale; fact-proportional
+  order statistics go through data/sharding.distributed_rank or the
+  distinct-value-count + cumulative-weight selection instead.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 Exit code 1 if any non-allow-listed flag fires — usable as a gate.
@@ -56,6 +64,71 @@ _TABLE_COLS = {
 # (full-row exports / profiling reports / schema-wide dedup)
 WIDE_SCAN_OK: dict[str, set[str]] = {}
 
+# queries whose plans legitimately contain a SinglePartition-fed Window:
+# every entry names WHY the windowed relation is bounded by
+# construction (does not grow with the corpus). Populated by the
+# round-7 survey; additions need a rationale. Fact-proportional order
+# statistics were converted instead (customer_spend_quartiles,
+# time_to_convert_quantiles -> data/sharding.distributed_rank;
+# data/dsir.select_top_k -> per-partition prune + bounded window).
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    # --- distinct-VALUE / level tables (bounded by the value domain)
+    "mann_whitney_shift": "window over distinct cent values of a bounded price domain",
+    "ks_two_sample": "window over distinct cent values of a bounded price domain",
+    "exact_auc": "window over the distinct score-level table (docstring: THE scale shape for AUC)",
+    "pr_curve": "window over the distinct score-level table",
+    "best_f1_threshold": "window over the distinct score-level table",
+    "calibration_lift_table": "window over 100 fixed confidence bins / deciles",
+    # --- vocabulary / merge-table relations (bounded by the vocabulary)
+    "vocab_coverage_curve": "occurrence-rank window over the token vocabulary",
+    "bpe_encode": "merge-rank window over the trained merge table (vocab-bounded)",
+    "negative_sampling_table": "unigram-CDF window over the token vocabulary",
+    # --- group / domain / replica-level aggregates (bounded cardinality)
+    "revenue_concentration": "Gini rank window over 25 nations",
+    "unimax_allocation": "water-filling prefix window over languages",
+    "token_budget_allocation": "largest-remainder window over sources",
+    "domain_mix_weights": "window over source domains",
+    "temperature_mix_weights": "window over source domains",
+    "doremi_domain_reweight": "window over source domains",
+    "quality_stratified_mix": "window over (source, quality-tercile) cells",
+    "winrate_bootstrap_ci": "order-statistic window over ~100 bootstrap replica sums",
+    "bootstrap_metric_ci": "order-statistic window over ~100 bootstrap replica sums",
+    "lsh_parameter_plan": "window over the (bands, rows) parameter grid",
+    "compaction_plan": "bin-packing prefix window over the file manifest (metadata-scale)",
+    "rag_context_pack": "greedy-pack window over the per-query top-ranked chunks",
+    # --- bounded candidate sets from map-side pruning
+    "dsir_importance_weights": "top-k window over per-partition-pruned candidates (<= k*P rows)",
+    # --- reference-parity composites: the reference's own id-map /
+    # permutation semantics (scalable variant exists in operators/ids.py;
+    # these reproduce redshells' exact outputs)
+    "value_counts_id_map": "reference id-map parity; scalable variant operators/ids.py:65",
+    "make_click_train_data": "reference composite (anti-join sampling id map)",
+    "anti_join_negative_sampling": "reference composite id map",
+    "make_similarity_data": "reference permutation semantics over the item dimension",
+    "cross_group_negative_pairs": "reference permutation semantics over the item dimension",
+    "convert_type_to_category": "reference parity: category map over distinct column values",
+    "gcmc_feature_cold_start": "reference parity: GCMC id maps over users/items",
+}
+
+
+def _flag_global_windows(plan: str) -> bool:
+    """True iff some Window node is fed (through its Sort) by an
+    Exchange SinglePartition — the single-reducer global sort shape.
+    Tree-printed plans put the window's child chain on the following
+    lines at deeper indentation; 4 lines covers Window → [Project] →
+    Sort → Exchange and the AQE wrapper variants."""
+    lines = plan.splitlines()
+    win_at = [i for i, ln in enumerate(lines) if re.search(r"\bWindow\b|\bWindowGroupLimit\b", ln)]
+    for i in win_at:
+        for j in range(i + 1, min(i + 5, len(lines))):
+            if "Exchange SinglePartition" in lines[j]:
+                return True
+            # a repartitioning exchange between window and input means
+            # the window is NOT single-partition
+            if "Exchange hashpartitioning" in lines[j] or "Exchange rangepartitioning" in lines[j]:
+                break
+    return False
+
 
 def _count_struct_fields(body: str) -> int:
     """Count top-level fields of a ReadSchema struct body, ignoring
@@ -82,6 +155,8 @@ def audit_plan(name: str, plan: str) -> list[tuple[str, str]]:
         flags.append(("python-row-udf", "BatchEvalPython in plan"))
     if "CartesianProduct" in plan and name not in CARTESIAN_OK:
         flags.append(("cartesian", "non-broadcast cross join"))
+    if name not in GLOBAL_WINDOW_OK and _flag_global_windows(plan):
+        flags.append(("global-window", "Window fed by Exchange SinglePartition"))
     for table, ncols in _TABLE_COLS.items():
         if table in WIDE_SCAN_OK.get(name, set()):
             continue
