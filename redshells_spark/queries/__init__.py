@@ -177,6 +177,33 @@ _FRONT = [
 ]
 
 
+# Rows-only registry entries (no ORACLES[name]) — every omission is a
+# deliberate "not SQL-expressible" contract, kept OUT of the driver
+# window's front so each window slot is a full rows+schema+hash check.
+# Their correctness lives in tests/ (threshold/parity gates, all green):
+#   word2vec_vectors / doc2vec_vectors / fasttext_oov_vectors /
+#   scdv_doc_vectors / lda_doc_topics   — iterative model fits (MLlib
+#       Word2Vec/LDA, PV-DBOW SGD, GMM): weights depend on JVM-internal
+#       RNG + thread interleave; no SQL form. Gated by geometry/quality
+#       thresholds (tests/test_ml.py, test_ml_heavy.py,
+#       test_rows_only_metrics.py).
+#   als_item_factors / mf_item_similarity — ALS normal-equation solves;
+#       factors are seed+partitioning dependent. Gated by RMSE bounds.
+#   classifier_predictions / pairwise_similarity_predictions /
+#   fm_predictions / quality_classifier_scores — MLlib tree/FM fits
+#       (impurity tie-breaks, feature binning are engine-internal).
+#       Gated by AUC thresholds (reference's own test strategy, §5).
+#   gcmc_predictions / gcmc_feature_cold_start — graph-conv training
+#       loop (numpy SGD). Gated by the reference's RMSE < 0.7 bar.
+#   feature_aggregation_similarity — Keras-style trained bilinear
+#       scorer, same reason. Gated by fit-quality test.
+#   compression_ratio_signals — zlib DEFLATE has no SQL equivalent;
+#       byte-identity gates live in tests/test_compress.py.
+#   fasttext_sgd_oov — subword SGD composition (env-blocked gensim
+#       parity), OOV contract gated in tests/test_fasttext.py.
+_ROWS_ONLY_DOCUMENTED = 16
+
+
 def _front_ordered(d: dict) -> dict:
     out = {k: d[k] for k in _FRONT if k in d}
     out.update((k, v) for k, v in d.items() if k not in out)
