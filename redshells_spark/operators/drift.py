@@ -286,3 +286,50 @@ def mann_whitney_u(
     return mann_whitney_from_value_counts(
         ks_value_counts(df, value_column, flag_column, scale)
     )
+
+
+def lagged_autocorrelation(
+    series: DataFrame,
+    t_col: str,
+    n_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of an integer count series at lags
+    1..max_lag, as the Pearson correlation between the series and its
+    lag-k shift over the overlapping index range — the periodicity /
+    burst-structure probe for event streams (pairs-complete variant of
+    the ACF; equals the textbook ACF up to edge normalization).
+
+    ``series`` must be DENSE on ``t_col`` (one row per time bucket,
+    zero-filled) with exact integer counts — gapfill upstream. The
+    self-join is on t+k over the already-aggregated bucket relation
+    (bounded by the observation window, not by event count), and each
+    correlation is one double expression over six exact int64 sums —
+    no float crosses an aggregation boundary."""
+    a = series.select(F.col(t_col).alias("t"), F.col(n_col).cast("long").alias("va"))
+    b = series.select(F.col(t_col).alias("tb"), F.col(n_col).cast("long").alias("vb"))
+    lags = a.sparkSession.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("va").cast("long").alias("sa"),
+            F.sum("vb").cast("long").alias("sb"),
+            F.sum(F.col("va") * F.col("vb")).cast("long").alias("sab"),
+            F.sum(F.col("va") * F.col("va")).cast("long").alias("saa"),
+            F.sum(F.col("vb") * F.col("vb")).cast("long").alias("sbb"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n_pairs") * d("sab") - d("sa") * d("sb")
+    den = F.sqrt(
+        (d("n_pairs") * d("saa") - d("sa") * d("sa"))
+        * (d("n_pairs") * d("sbb") - d("sb") * d("sb"))
+    )
+    return pairs.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(None)).alias("acf"),
+    ).orderBy("lag")

@@ -279,3 +279,70 @@ def bounded_shortest_paths(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def partition_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a GIVEN node partition over a symmetrized
+    edge list (Newman & Girvan 2004): with 2m directed arcs,
+    Q = Σ_c [ a_c/2m − (d_c/2m)² ] where a_c counts arcs internal to
+    community c and d_c sums its node degrees. Audits whether an
+    external labeling (nation, brand, dedup cluster) explains the graph.
+
+    Everything is exact int64 until the per-community q_term — one
+    double expression over (a_c, d_c, 2m), rounded to 9 decimals so the
+    '__total__' row's ≤|communities|-element sum is cross-engine safe
+    (rounded again to 6). Plan: degree groupBy + two community joins +
+    a community-bounded aggregation; no window touches the edge list.
+
+    `edges` must be the symmetrized (both-directions, deduplicated)
+    arc list — the same contract as :func:`pagerank`.
+    """
+    e = edges.select(F.col("src"), F.col("dst"))
+    cm = communities.select(
+        F.col(node_col).alias("__n"), F.col(community_col).alias("__c")
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # per-community degree mass (every node with an edge has a degree row)
+    d_c = (
+        deg.join(cm, deg["src"] == cm["__n"])
+        .groupBy("__c")
+        .agg(F.sum("deg").cast("long").alias("degree_sum"))
+    )
+    # arcs whose two endpoints share the community
+    src_c = cm.withColumnRenamed("__n", "src").withColumnRenamed("__c", "__sc")
+    dst_c = cm.withColumnRenamed("__n", "dst").withColumnRenamed("__c", "__dc")
+    a_c = (
+        e.join(src_c, "src")
+        .join(dst_c, "dst")
+        .filter(F.col("__sc") == F.col("__dc"))
+        .groupBy(F.col("__sc").alias("__c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_arcs"))
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("two_m"))
+    per = (
+        d_c.join(a_c, "__c", "left")
+        .na.fill({"internal_arcs": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    per = per.select(
+        F.col("__c").alias("community"),
+        "internal_arcs",
+        "degree_sum",
+        F.round(
+            dd("internal_arcs") / dd("two_m")
+            - (dd("degree_sum") / dd("two_m")) * (dd("degree_sum") / dd("two_m")),
+            9,
+        ).alias("q_term"),
+    )
+    total_row = per.agg(
+        F.sum("internal_arcs").cast("long").alias("internal_arcs"),
+        F.sum("degree_sum").cast("long").alias("degree_sum"),
+        F.round(F.sum("q_term"), 6).alias("q_term"),
+    ).select(F.lit("__total__").alias("community"), "internal_arcs", "degree_sum", "q_term")
+    return per.unionByName(total_row).orderBy("community")

@@ -30,6 +30,7 @@ from redshells_spark.queries import r6b_ops  # noqa: F401,E402
 from redshells_spark.queries import r6c_ops  # noqa: F401,E402
 from redshells_spark.queries import r6d_ops  # noqa: F401,E402
 from redshells_spark.queries import r6e_ops  # noqa: F401,E402
+from redshells_spark.queries import r7_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries

@@ -74,6 +74,9 @@ WIDE_SCAN_OK: dict[str, set[str]] = {}
 GLOBAL_WINDOW_OK: dict[str, str] = {
     # --- distinct-VALUE / level tables (bounded by the value domain)
     "mann_whitney_shift": "window over distinct cent values of a bounded price domain",
+    "propensity_stratified_ate": "quantile-boundary window over distinct per-user click counts (bounded value domain, weighted-median pattern)",
+    "kaplan_meier_churn": "at-risk/survival windows over distinct lifetime hours (bounded by the observation window, not user count)",
+    "heaps_law_fit": "cumulative window over the 10 fixed doc-range buckets",
     "ks_two_sample": "window over distinct cent values of a bounded price domain",
     "exact_auc": "window over the distinct score-level table (docstring: THE scale shape for AUC)",
     "pr_curve": "window over the distinct score-level table",
