@@ -170,6 +170,17 @@ HEADLINE = [
     "benford_digit_audit",
     "rank_normalize_scores",
     "code_switch_flags",
+    # round 7: experimentation / causal readout tier
+    "ips_policy_value",
+    "propensity_stratified_ate",
+    "diff_in_diff",
+    "cuped_adjusted_metrics",
+    "autocorrelation_lags",
+    "kaplan_meier_churn",
+    "frechet_embedding_distance",
+    "heaps_law_fit",
+    "graph_modularity",
+    "brier_decomposition",
 ]
 
 

@@ -37,6 +37,65 @@ from redshells_spark.queries import r7_ops  # noqa: F401,E402
 # whose contract changed this round are surfaced to the front of the
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
+    # ================= ROUND-7 WINDOW (first 50 = driver correctness
+    # gate). Composition per the r6 verdict's rotation ask: 10 NEW
+    # round-7 queries + 6 changed-since-r6 re-verifications + 34
+    # never-driver-sampled backlog names (oldest tiers first) = 44 of
+    # 50 slots never sampled before.
+    # --- round 7: new operators ---
+    "ips_policy_value",  # r7: NEW — clipped IPS/SNIPS off-policy value
+    "propensity_stratified_ate",  # r7: NEW — subclassification causal effect
+    "diff_in_diff",  # r7: NEW — two-period two-group DiD readout
+    "cuped_adjusted_metrics",  # r7: NEW — CUPED variance-reduced A/B means
+    "autocorrelation_lags",  # r7: NEW — daily-count ACF, dense zero-filled
+    "kaplan_meier_churn",  # r7: NEW — right-censored survival curve
+    "frechet_embedding_distance",  # r7: NEW — diagonal-FID distribution drift
+    "heaps_law_fit",  # r7: NEW — vocabulary-growth log-log OLS
+    "graph_modularity",  # r7: NEW — Newman Q of the nation partition
+    "brier_decomposition",  # r7: NEW — Murphy REL/RES/UNC calibration split
+    # --- changed since the r6 window: re-verify through the driver ---
+    "prefix_filter_jaccard",  # ppjoin rewritten: positional filter, no corpus broadcast
+    "knn_graph_nn_descent",  # k-NN graph now persists via param-hash target
+    "graph_ann_search",  # fresh-session index load path
+    "time_to_convert_quantiles",  # converted to data/sharding.distributed_rank
+    "customer_spend_quartiles",  # same conversion (also never sampled before)
+    "dsir_importance_weights",  # top-k resample now per-partition pruned
+    # --- rotation: never-driver-sampled backlog, oldest tiers first ---
+    "q2_min_balance_supplier",  # TPC-H q2 correlated-min join
+    "q4_late_shipments_exists",  # TPC-H q4 EXISTS semi-join
+    "q5_regional_revenue",  # TPC-H q5 five-way join
+    "q6_revenue_forecast",  # TPC-H q6 scan-filter aggregate
+    "q7_nation_trade_flows",  # TPC-H q7 bidirectional nation pairs
+    "q11_high_value_parts",  # TPC-H q11 HAVING over global scalar
+    "q12_late_priority_lines",  # TPC-H q12 shipmode buckets
+    "q13_order_count_distribution",  # TPC-H q13 left-join histogram
+    "q14_promo_revenue_share",  # TPC-H q14 conditional revenue share
+    "q16_supplier_part_variety",  # TPC-H q16 anti-join distinct count
+    "q17_small_quantity_revenue",  # TPC-H q17 correlated avg subquery
+    "q18_large_volume_customers",  # TPC-H q18 IN over grouped HAVING
+    "q19_disjunctive_revenue",  # TPC-H q19 OR-of-ANDs pushdown
+    "q20_overstocked_suppliers",  # TPC-H q20 nested semi-joins
+    "q22_idle_customers",  # TPC-H q22 anti-join + scalar avg
+    "first_last_events",  # per-user first/last event attribution
+    "ewma_user_values",  # recursive EWMA via log-domain prefix trick
+    "value_percentiles",  # exact percentile order statistics
+    "orders_rollup",  # ROLLUP hierarchy totals
+    "salted_aggregate",  # skew-salted two-stage aggregation
+    "asof_join_orders",  # as-of (latest-before) temporal join
+    "range_join_price_bands",  # band/range join
+    "orders_grouping_sets",  # GROUPING SETS explicit
+    "cumulative_revenue",  # running-total window per customer
+    "event_time_gaps",  # per-user inter-event gap stats
+    "monthly_order_rollup",  # calendar-month rollup
+    "correlation_stats",  # Pearson corr from exact sums
+    "string_functions",  # string-function battery
+    "quantity_histogram",  # fixed-width histogram
+    "funnel_conversion",  # ordered multi-step funnel
+    "retention_cohorts",  # weekly cohort retention triangle
+    "pivot_event_matrix",  # pivot to wide event matrix
+    "unpivot_event_matrix",  # unpivot back to long
+    "event_value_outliers",  # z-score outlier flags
+    # ================= end round-7 window =================
     # --- round 6 session 2: new operators ---
     "benford_digit_audit",  # r6e: NEW — first-digit forensic audit
     "rank_normalize_scores",  # r6e: NEW — cross-source e6 percent ranks

@@ -469,7 +469,6 @@ def graph_search_topk(
     require_columns(queries, [query_id, embedding_column])
     if min(k, ef, rounds, n_entry) < 1 or ef < k:
         raise ValueError(f"bad k={k} ef={ef} rounds={rounds} n_entry={n_entry}")
-    from redshells_spark.data.sharding import distributed_rank
 
     corpus = _with_norm(
         vectors.select(id_column, embedding_column), id_column, embedding_column
@@ -498,18 +497,20 @@ def graph_search_topk(
             )
         )
 
+    # entry points = the n_entry smallest md5 hashes: orderBy+limit is
+    # Catalyst's TakeOrderedAndProject (per-partition top-k + driver
+    # merge of n_entry rows) — fully distributed AND lazy, unlike the
+    # previous distributed_rank which ran an eager offset-map job just
+    # to pick 4 rows (one whole Spark job of fresh-session latency)
     entries = (
-        distributed_rank(
-            vectors.select(
-                F.col(id_column).alias("__cid"),
-                F.md5(
-                    F.concat_ws("|", F.lit(str(seed)), F.col(id_column).cast("string"))
-                ).alias("__h"),
-            ),
-            [F.col("__h").asc(), F.col("__cid").asc()],
-            out_col="__r",
+        vectors.select(
+            F.col(id_column).alias("__cid"),
+            F.md5(
+                F.concat_ws("|", F.lit(str(seed)), F.col(id_column).cast("string"))
+            ).alias("__h"),
         )
-        .filter(F.col("__r") < n_entry)
+        .orderBy(F.col("__h").asc(), F.col("__cid").asc())
+        .limit(n_entry)
         .select("__cid")
     )
     beam = per_group_topk(
@@ -518,30 +519,41 @@ def graph_search_topk(
         "score",
         ef,
         tie_break=["__cid"],
-    ).localCheckpoint(eager=True)
+    )
 
-    nbrs = graph.select(F.col("src").alias("__cid"), F.col("dst"))
+    # Adjacency WITH SELF-LOOPS: one join then covers "current beam ∪
+    # its neighbors", so each round references the beam exactly ONCE
+    # and the whole search stays a single linear lineage. The earlier
+    # keep-old-scores formulation referenced the beam three times per
+    # round (expand, anti-join, union), forcing an eager checkpoint
+    # every round — at 2-3s of fixed job overhead each, a fresh-session
+    # 20-query serve cost ~10s in pure scheduling; re-scoring the ≤ ef
+    # kept candidates per query instead is O(|Q|·ef) extra dot
+    # products, noise next to the O(|Q|·ef·k) expansion join itself.
+    # Scores are deterministic functions of (query, node), so the
+    # rescored beam is bit-identical to the carried one.
+    nbrs = graph.select(F.col("src").alias("__cid"), F.col("dst")).union(
+        corpus.select("__cid", F.col("__cid").alias("dst"))
+    )
     for i in range(rounds):
-        expanded = (
+        cand = (
             beam.select("query_id", "__cid")
             .join(nbrs, "__cid")
             .select("query_id", F.col("dst").alias("__cid"))
             .distinct()
-            .join(beam.select("query_id", "__cid"), ["query_id", "__cid"], "left_anti")
         )
         beam = per_group_topk(
-            beam.select("query_id", "__cid", "score").union(_score(expanded)),
+            _score(cand),
             "query_id",
             "score",
             ef,
             tie_break=["__cid"],
         )
-        # checkpoint every SECOND round: each eager checkpoint is a
-        # full job, and a two-round plan (≈10 operators) is still well
-        # inside Catalyst's comfort zone — halves the fixed per-round
-        # materialization cost without changing any result
-        if i % 2 == 1 or i == rounds - 1:
-            beam = beam.localCheckpoint(eager=True)
+        # linear lineage still needs an occasional cut on LONG
+        # searches; at the serving depth (rounds <= 4) the whole
+        # search is one job
+        if (i + 1) % 4 == 0 and i != rounds - 1:
+            beam = beam.coalesce(8).localCheckpoint(eager=True)
     return per_group_topk(
         beam.select("query_id", F.col("__cid").alias(id_column), "score"),
         "query_id",
