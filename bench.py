@@ -181,6 +181,17 @@ HEADLINE = [
     "heaps_law_fit",
     "graph_modularity",
     "brier_decomposition",
+    # round 7 session 2: experimentation completion tier
+    "qini_uplift_curve",
+    "sprt_conversion_monitor",
+    "trimmed_mean_by_type",
+    "delta_method_ratio_ci",
+    "switchback_readout",
+    "regression_discontinuity",
+    "neyman_allocation",
+    "attribution_revenue",
+    "ab_power_mde",
+    "mann_kendall_purchases",
 ]
 
 

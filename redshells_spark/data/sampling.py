@@ -346,3 +346,68 @@ def unimax_allocation(
         .alias("allocation"),
         F.col("capped").cast("long").alias("capped"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_budget: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: n_h ∝ N_h·S_h
+    (minimum-variance allocation of a fixed budget across strata,
+    Neyman 1934) → (stratum, n, s_value, weight_e6, floor_share,
+    extra, allocation), allocations integer and summing EXACTLY to
+    ``total_budget``.
+
+    One map-combined pass collects exact int64 moments per stratum;
+    S_h = sqrt((n·Σv² − (Σv)²)/(n·(n−1))) is double-from-ints (the
+    variance combine runs in double on exact integers — CUPED
+    precedent), the weight is re-quantized to exact e6 integers with
+    half-up floor(x·1e6 + 0.5) so the largest-remainder split is pure
+    integer arithmetic (largest_remainder_allocation). Single-row and
+    zero-variance strata get S_h = 0: they draw no Neyman budget.
+    Values must be integers (cents); |v| ≤ ~3e6 keeps Σv² in int64 up
+    to ~1e6 rows per stratum — pre-scale beyond."""
+    v = F.col(value_col).cast("long")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("sv"),
+        F.sum(v * v).cast("long").alias("svv"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    s_val = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            F.greatest(
+                (d("n") * d("svv") - d("sv") * d("sv"))
+                / (d("n") * (d("n") - F.lit(1.0))),
+                F.lit(0.0),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    per = per.withColumn("s_value", s_val).withColumn(
+        "weight_e6",
+        F.floor(d("n") * F.col("s_value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    alloc = largest_remainder_allocation(
+        per.select("stratum", F.col("weight_e6").alias("w")),
+        total_budget,
+        group_column="stratum",
+        count_column="w",
+    )
+    return (
+        per.join(alloc.withColumnRenamed("n", "w_check"), "stratum")
+        .select(
+            "stratum",
+            "n",
+            F.round("s_value", 6).alias("s_value"),
+            "weight_e6",
+            "floor_share",
+            "extra",
+            "allocation",
+        )
+        .orderBy("stratum")
+    )

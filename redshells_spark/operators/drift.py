@@ -333,3 +333,71 @@ def lagged_autocorrelation(
         "n_pairs",
         F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(None)).alias("acf"),
     ).orderBy("lag")
+
+
+def mann_kendall_trend(
+    series: DataFrame,
+    t_col: str,
+    n_col: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on an integer time series
+    → one row: (n_periods, s_stat, var_s_x18, z, trend). S is the sum
+    of sign(v_j − v_i) over ordered period pairs (the series relation
+    is time-bounded, so the pair self-join is periods², never
+    fact-scale); the tie-corrected variance
+    18·var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) stays exact
+    int64; z applies the ±1 continuity correction and divides by
+    sqrt(var18/18) in double on exact ints. Kendall 1975; the standard
+    monitoring companion to Theil-Sen (ml/theil_sen.py)."""
+    s = series.select(F.col(t_col).alias("t"), F.col(n_col).cast("long").alias("v"))
+    a = s.alias("a")
+    b = s.select(F.col("t").alias("tb"), F.col("v").alias("vb")).alias("b")
+    pairs = a.join(b, F.col("tb") > F.col("t")).agg(
+        F.coalesce(
+            F.sum(F.signum(F.col("vb") - F.col("v")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n_tot = s.agg(F.count(F.lit(1)).cast("long").alias("n_periods"))
+    ties = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("tg"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("tg") > 1,
+                        F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    row = pairs.crossJoin(F.broadcast(n_tot)).crossJoin(F.broadcast(ties))
+    n = F.col("n_periods")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("long")
+    row = row.withColumn("var_s_x18", var18)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (
+        F.col("s_stat")
+        - F.signum(F.col("s_stat").cast("double")).cast("long")
+    ).cast("double")
+    z = F.when(
+        F.col("var_s_x18") > 0,
+        F.round(corr / F.sqrt(d("var_s_x18") / F.lit(18.0)), 6),
+    )
+    return row.select(
+        "n_periods",
+        "s_stat",
+        "var_s_x18",
+        z.alias("z"),
+        F.when(z > F.lit(z_crit), F.lit("increasing"))
+        .when(z < F.lit(-z_crit), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )

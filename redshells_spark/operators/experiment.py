@@ -292,3 +292,268 @@ def stratified_ate(
         F.col("ate_cents"),
     )
     return out.orderBy("stratum")
+
+
+def qini_uplift_deciles(
+    units: DataFrame,
+    treat_col: str,
+    score_col: str,
+    response_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini uplift curve at score deciles (Radcliffe 2007): rank units
+    by a targeting score (descending), split into ``n_buckets``
+    population quantiles, and report the cumulative incremental
+    responders Qini(k) = R_t(k) − R_c(k)·N_t(k)/N_c(k) per bucket.
+
+    The decile boundaries come from the DISTINCT-SCORE level table
+    (the stratified_ate / weighted-median pattern), so the only window
+    runs over distinct score values — never over units. Per-bucket
+    cells are exact int64 from one aggregation; cumulative sums run
+    over the ≤ n_buckets relation; the single division happens last.
+    """
+    u = units.select(
+        F.col(treat_col).alias("treat"),
+        F.col(score_col).alias("score"),
+        F.col(response_col).alias("resp"),
+    )
+    levels = u.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    levels = levels.withColumn(
+        "cum_before", F.coalesce(F.sum("n_l").over(w), F.lit(0)).cast("long")
+    )
+    total = levels.agg(F.sum("n_l").cast("long").alias("u_total"))
+    levels = levels.crossJoin(F.broadcast(total)).select(
+        "score",
+        F.expr(f"cast({n_buckets} * cum_before div u_total as bigint)").alias("bucket"),
+    )
+    per = (
+        u.join(F.broadcast(levels), "score")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+            F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+            F.sum(F.when(F.col("treat") == 1, F.col("resp")).otherwise(0))
+            .cast("long")
+            .alias("r_t"),
+            F.sum(F.when(F.col("treat") == 0, F.col("resp")).otherwise(0))
+            .cast("long")
+            .alias("r_c"),
+        )
+    )
+    cw = (
+        Window.orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.sum("n_t").over(cw).cast("long").alias("cum_n_t"),
+        F.sum("n_c").over(cw).cast("long").alias("cum_n_c"),
+        F.sum("r_t").over(cw).cast("long").alias("cum_r_t"),
+        F.sum("r_c").over(cw).cast("long").alias("cum_r_c"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return cum.withColumn(
+        "qini",
+        F.when(
+            F.col("cum_n_c") > 0,
+            F.round(d("cum_r_t") - d("cum_r_c") * d("cum_n_t") / d("cum_n_c"), 6),
+        ),
+    ).orderBy("bucket")
+
+
+def switchback_readout(
+    events: DataFrame,
+    ts_us_col: str,
+    value_cents_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Switchback (time-split) experiment readout: assign alternating
+    time buckets to treat/control (bucket parity — the deterministic
+    stand-in for the deploy schedule), compute each bucket's mean value
+    as an EXACT e2 fixed-point integer m_e2 = (100·Σcents) div n, and
+    report per-arm means with the cluster-robust (bucket-level)
+    standard error.
+
+    Bucket means must be integers because the arm-level moments
+    (Σm, Σm²) are unordered sums — int64 keeps them associative and
+    engine-exact where a float sum would not be. m_e2 ≤ ~5e6 for
+    cent-scale values, so Σm² stays in int64 up to ~1e5 buckets; the
+    variance combine runs in double ON those exact ints (the CUPED
+    precedent). One map-combined aggregation over the fact table; the
+    bucket relation is time-bounded, never fact-scale.
+    """
+    b = events.select(
+        # integer div — float division of epoch-µs loses precision past 2^53
+        F.expr(f"cast({ts_us_col} as bigint) div {int(bucket_us)}")
+        .cast("long")
+        .alias("bucket"),
+        F.col(value_cents_col).alias("c"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("c").cast("long").alias("s_b"),
+    )
+    per = per.select(
+        (F.col("bucket") % 2).cast("long").alias("arm"),
+        F.expr("(100 * s_b) div n_b").cast("long").alias("m_e2"),
+        "n_b",
+    )
+    arm = per.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n_b").cast("long").alias("n_events"),
+        F.sum("m_e2").cast("long").alias("sm"),
+        F.sum(F.col("m_e2") * F.col("m_e2")).cast("long").alias("smm"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = (d("sm") / d("n_buckets") / F.lit(100.0)).alias("mean_cents")
+    var_between = F.when(
+        F.col("n_buckets") > 1,
+        (d("n_buckets") * d("smm") - d("sm") * d("sm"))
+        / (d("n_buckets") * (d("n_buckets") - F.lit(1.0))),
+    )
+    return arm.select(
+        "arm",
+        "n_buckets",
+        "n_events",
+        mean,
+        F.sqrt(var_between / d("n_buckets")).alias("se_cluster_e2"),
+    ).orderBy("arm")
+
+
+def regression_discontinuity(
+    units: DataFrame,
+    running_col: str,
+    outcome_cents_col: str,
+    bandwidth: int = 5,
+) -> DataFrame:
+    """Sharp regression-discontinuity readout with a data-derived
+    integer cutoff (the global integer mean of the running variable —
+    exact: Σx div n) and local-linear fits on each side within
+    ``bandwidth`` (Imbens & Lemieux 2008).
+
+    Each side's OLS of y on (x − cutoff) uses the closed normal
+    equations over five exact int64 moments; slope/intercept are
+    double-from-ints with identical expression trees on both engines
+    (the grouped_ols precedent), so the jump estimate is
+    bit-deterministic. Two map-combined aggregations, no windows.
+    """
+    u = units.select(
+        F.col(running_col).cast("long").alias("x"),
+        F.col(outcome_cents_col).cast("long").alias("y"),
+    )
+    cut = u.agg(F.expr("sum(x) div count(*)").cast("long").alias("cutoff"))
+    cu = u.crossJoin(F.broadcast(cut)).withColumn("z", F.col("x") - F.col("cutoff"))
+    cu = cu.filter((F.col("z") >= -bandwidth) & (F.col("z") <= bandwidth))
+    side = cu.withColumn("side", F.when(F.col("z") < 0, F.lit("left")).otherwise(F.lit("right")))
+    mo = side.groupBy("side").agg(
+        F.max("cutoff").cast("long").alias("cutoff"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("z") * F.col("y")).cast("long").alias("szy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = d("n") * d("szz") - d("sz") * d("sz")
+    slope = F.when(det != 0, (d("n") * d("szy") - d("sz") * d("sy")) / det)
+    mo = mo.withColumn("slope", slope).withColumn(
+        "intercept_at_cut",
+        F.when(
+            F.col("slope").isNotNull(),
+            (d("sy") - F.col("slope") * d("sz")) / d("n"),
+        ).otherwise(d("sy") / d("n")),
+    )
+    return mo.select(
+        "side",
+        "cutoff",
+        F.lit(bandwidth).cast("long").alias("bandwidth"),
+        "n",
+        F.round("slope", 6).alias("slope_cents"),
+        F.round("intercept_at_cut", 6).alias("intercept_cents"),
+    ).orderBy("side")
+
+
+def delta_method_ratio(
+    per_unit: DataFrame,
+    num_cents_col: str,
+    den_count_col: str,
+    metric_name: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Ratio-metric mean and delta-method CI (Deng et al. KDD 2018 —
+    the variance of revenue-per-view when the unit of randomization is
+    the USER, not the view). Five exact int64 moments in one pass;
+    the delta-method variance of x̄/ȳ,
+        (varx − 2·R·covxy + R²·vary) / (n·ȳ²),
+    is evaluated in double ON those exact ints. Moments stay in int64
+    for |x| ≤ ~3e5 cents and n ≤ ~1e8 units; beyond that pre-scale the
+    numerator (documented bound, the grouped_ols class)."""
+    x, y = F.col(num_cents_col), F.col(den_count_col)
+    m = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nm1 = d("n") * (d("n") - F.lit(1.0))
+    varx = (d("n") * d("sxx") - d("sx") * d("sx")) / nm1
+    vary = (d("n") * d("syy") - d("sy") * d("sy")) / nm1
+    covxy = (d("n") * d("sxy") - d("sx") * d("sy")) / nm1
+    xbar = d("sx") / d("n")
+    ybar = d("sy") / d("n")
+    r = xbar / ybar
+    var_r = (varx - F.lit(2.0) * r * covxy + r * r * vary) / (d("n") * ybar * ybar)
+    se = F.sqrt(var_r)
+    return m.select(
+        F.lit(metric_name).alias("metric"),
+        "n",
+        F.col("sx").alias("sum_num_cents"),
+        F.col("sy").alias("sum_den"),
+        F.round(r, 6).alias("ratio_cents"),
+        F.round(se, 6).alias("se_cents"),
+        F.round(r - F.lit(z) * se, 6).alias("ci_lo_cents"),
+        F.round(r + F.lit(z) * se, 6).alias("ci_hi_cents"),
+    )
+
+
+def power_mde_table(
+    counts: DataFrame,
+    horizons: list[int],
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Pre-experiment power planning: for each horizon (days), the
+    minimum detectable effect of a two-proportion test at 5%/80% given
+    the observed base rate and daily traffic. ``counts`` is ONE row
+    (n_events, n_success, n_days) of exact ints; the table explodes a
+    literal horizon array, n_per_arm = (days·daily) div 2 stays
+    integer, and MDE = (z_a+z_b)·sqrt(2·p̂(1−p̂)/n) is double-from-ints
+    (IEEE-exact: identical operands both engines)."""
+    hs = F.array(*[F.lit(int(h)) for h in horizons])
+    t = counts.select(
+        "n_events", "n_success", "n_days", F.explode(hs).alias("horizon_days")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    t = t.withColumn(
+        "n_per_arm",
+        F.expr("(horizon_days * (n_events div n_days)) div 2").cast("long"),
+    )
+    p = d("n_success") / d("n_events")
+    mde = F.lit(z_alpha + z_beta) * F.sqrt(
+        F.lit(2.0) * p * (F.lit(1.0) - p) / d("n_per_arm")
+    )
+    return t.select(
+        F.col("horizon_days").cast("long").alias("horizon_days"),
+        "n_per_arm",
+        F.round(p, 6).alias("p_base"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    ).orderBy("horizon_days")

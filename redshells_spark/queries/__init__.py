@@ -31,6 +31,7 @@ from redshells_spark.queries import r6c_ops  # noqa: F401,E402
 from redshells_spark.queries import r6d_ops  # noqa: F401,E402
 from redshells_spark.queries import r6e_ops  # noqa: F401,E402
 from redshells_spark.queries import r7_ops  # noqa: F401,E402
+from redshells_spark.queries import r7b_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -42,6 +43,17 @@ _FRONT = [
     # round-7 queries + 6 changed-since-r6 re-verifications + 34
     # never-driver-sampled backlog names (oldest tiers first) = 44 of
     # 50 slots never sampled before.
+    # --- round 7 session 2: new operators ---
+    "qini_uplift_curve",  # r7b: NEW — uplift targeting readout at deciles
+    "sprt_conversion_monitor",  # r7b: NEW — Wald SPRT sequential monitor
+    "trimmed_mean_by_type",  # r7b: NEW — exact trimmed/winsorized means
+    "delta_method_ratio_ci",  # r7b: NEW — ratio-metric delta-method CI
+    "switchback_readout",  # r7b: NEW — time-split arms, cluster-robust SE
+    "regression_discontinuity",  # r7b: NEW — sharp RD local-linear jump
+    "neyman_allocation",  # r7b: NEW — minimum-variance sample allocation
+    "attribution_revenue",  # r7b: NEW — first/last/linear multi-touch credit
+    "ab_power_mde",  # r7b: NEW — pre-experiment MDE planning table
+    "mann_kendall_purchases",  # r7b: NEW — tie-corrected trend test
     # --- round 7: new operators ---
     "ips_policy_value",  # r7: NEW — clipped IPS/SNIPS off-policy value
     "propensity_stratified_ate",  # r7: NEW — subclassification causal effect

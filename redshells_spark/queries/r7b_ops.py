@@ -1,0 +1,623 @@
+"""Round-7 batch 2: experimentation session-2 tier — sequential
+testing (Wald SPRT replay), uplift targeting (Qini deciles), robust
+location metrics (trimmed/winsorized means), ratio-metric delta-method
+CI, switchback readout with cluster-robust errors, sharp regression
+discontinuity, Neyman-optimal sample allocation, multi-touch revenue
+attribution, pre-experiment power/MDE planning, and the Mann-Kendall
+trend test. Each with an exact DuckDB oracle.
+
+Completes the causal/experiment readout layer started in r7_ops.py on
+the reference's logged-feedback data model (app/word_item_similarity/
+make_click_train_data.py). Shared determinism discipline: exact int64
+sums everywhere; transcendental constants (SPRT log-likelihood
+increments) precomputed driver-side as nano-unit integers and embedded
+as the SAME literals in both engines; doubles only in final scalar
+formulas on exact integers.
+"""
+
+from __future__ import annotations
+
+from redshells_spark.operators.sequential import sprt_llr_literals
+from redshells_spark.queries._shared import *  # noqa: F401,F403
+
+_CENTS_SQL = "CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+# ------------------------------------------------------- qini uplift
+
+
+@q(
+    "qini_uplift_curve",
+    """WITH u AS (SELECT user_id,
+            max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treat,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS score,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp
+          FROM events GROUP BY 1),
+       lvl AS (SELECT score, CAST(count(*) AS BIGINT) AS n_l FROM u GROUP BY 1),
+       lv2 AS (SELECT score, n_l,
+               CAST(coalesce(sum(n_l) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+               FROM lvl),
+       ut AS (SELECT CAST(sum(n_l) AS BIGINT) AS u_total FROM lvl),
+       st AS (SELECT l.score, CAST(10 * l.cum_before // t.u_total AS BIGINT)
+                       AS bucket
+              FROM lv2 l CROSS JOIN ut t),
+       per AS (SELECT s.bucket,
+            CAST(sum(CASE WHEN u.treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+            CAST(sum(CASE WHEN u.treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+            CAST(sum(CASE WHEN u.treat = 1 THEN u.resp ELSE 0 END) AS BIGINT) AS r_t,
+            CAST(sum(CASE WHEN u.treat = 0 THEN u.resp ELSE 0 END) AS BIGINT) AS r_c
+          FROM u JOIN st s ON s.score = u.score GROUP BY 1),
+       cum AS (SELECT bucket, n_t, n_c, r_t, r_c,
+            CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+            CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+            CAST(sum(r_t) OVER w AS BIGINT) AS cum_r_t,
+            CAST(sum(r_c) OVER w AS BIGINT) AS cum_r_c
+          FROM per
+          WINDOW w AS (ORDER BY bucket ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT CAST(bucket AS BIGINT) AS bucket, n_t, n_c, r_t, r_c,
+              cum_n_t, cum_n_c, cum_r_t, cum_r_c,
+              CASE WHEN cum_n_c > 0 THEN
+                round(CAST(cum_r_t AS DOUBLE)
+                      - CAST(cum_r_c AS DOUBLE) * CAST(cum_n_t AS DOUBLE)
+                        / CAST(cum_n_c AS DOUBLE), 6)
+              END AS qini
+       FROM cum ORDER BY bucket""",
+)
+def _qini_uplift_curve(spark, sf_dir):
+    """Qini uplift curve (Radcliffe 2007) over the event log as an
+    uplift-modeling readout: unit = user, treatment = signup exposure,
+    targeting score = click count, response = purchased. Decile
+    boundaries come from the distinct-score level table (window over
+    score VALUES, not users), per-decile cells are exact int64, and the
+    cumulative incremental-responder curve divides once at the end —
+    the targeting-policy evaluation for the reference's click-feedback
+    models. operators/experiment.py:qini_uplift_deciles."""
+    from redshells_spark.operators.experiment import qini_uplift_deciles
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+                "treat"
+            ),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("score"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "resp"
+            ),
+        )
+    )
+    return qini_uplift_deciles(u, "treat", "score", "resp", n_buckets=10)
+
+
+# ------------------------------------------------------- SPRT monitor
+
+_SPRT_LA, _SPRT_LB = sprt_llr_literals(0.45, 0.55)
+_SPRT_UP = 2_944_438_979  # round(1e9 * ln(0.95/0.05))
+_SPRT_LO = -2_944_438_979
+
+
+@q(
+    "sprt_conversion_monitor",
+    f"""WITH d AS (SELECT epoch_us(ts) // {_DAY_US} AS period,
+            CAST(sum(CASE WHEN event_type IN ('view', 'purchase')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_trials,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_success
+          FROM events GROUP BY 1),
+       l AS (SELECT period, n_trials, n_success,
+            CAST(n_success * {_SPRT_LA}
+                 + (n_trials - n_success) * {_SPRT_LB} AS BIGINT) AS llr_e9
+          FROM d),
+       c AS (SELECT *, CAST(sum(llr_e9) OVER (ORDER BY period ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_llr_e9
+          FROM l)
+       SELECT CAST(period AS BIGINT) AS period, n_trials, n_success,
+              llr_e9, cum_llr_e9,
+              CASE WHEN cum_llr_e9 >= {_SPRT_UP} THEN 'accept_h1'
+                   WHEN cum_llr_e9 <= {_SPRT_LO} THEN 'accept_h0'
+                   ELSE 'continue' END AS decision
+       FROM c ORDER BY period""",
+)
+def _sprt_conversion_monitor(spark, sf_dir):
+    """Wald SPRT replay on daily purchase-vs-view conversion
+    (H0: p=0.45, H1: p=0.55, alpha=beta=0.05) — always-valid sequential
+    monitoring in pure integer arithmetic: the two ln likelihood
+    increments are driver-side nano-unit literals shared with the
+    oracle, per-day LLR is linear in (successes, trials), and the only
+    window runs over days. operators/sequential.py:sprt_monitor; the
+    same per-day counts fold additively in the streaming twin."""
+    from redshells_spark.operators.sequential import sprt_monitor
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", event_us(ev, "ts"))
+    daily = ev.groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("period")).agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "purchase"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_success"),
+    )
+    return sprt_monitor(
+        daily, "period", "n_trials", "n_success", p0=0.45, p1=0.55
+    )
+
+
+# ------------------------------------------------- robust means
+
+
+@q(
+    "trimmed_mean_by_type",
+    f"""WITH v AS (SELECT event_type, {_CENTS_SQL} AS v FROM events),
+       lvl AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_l
+               FROM v GROUP BY 1, 2),
+       lv2 AS (SELECT event_type, v, n_l,
+               CAST(coalesce(sum(n_l) OVER (PARTITION BY event_type
+                 ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+               FROM lvl),
+       tot AS (SELECT event_type, CAST(sum(n_l) AS BIGINT) AS n
+               FROM lvl GROUP BY 1),
+       j AS (SELECT l.*, t.n, CAST((t.n * 10) // 100 AS BIGINT) AS lo
+             FROM lv2 l JOIN tot t USING (event_type)),
+       agg AS (SELECT event_type,
+            CAST(max(n) AS BIGINT) AS n,
+            CAST(max(lo) AS BIGINT) AS lo,
+            CAST(sum(greatest(0, least(cum_before + n_l, n - lo)
+                                 - greatest(cum_before, lo)) * v)
+                 AS BIGINT) AS trimmed_sum,
+            CAST(min(CASE WHEN cum_before + n_l >= lo + 1 THEN v END)
+                 AS BIGINT) AS v_lo,
+            CAST(min(CASE WHEN cum_before + n_l >= n - lo THEN v END)
+                 AS BIGINT) AS v_hi
+          FROM j GROUP BY 1)
+       SELECT event_type, n, CAST(n - 2 * lo AS BIGINT) AS n_kept, v_lo, v_hi,
+              round(CAST(trimmed_sum AS DOUBLE)
+                    / CAST(n - 2 * lo AS DOUBLE), 6) AS trimmed_mean,
+              round(CAST(trimmed_sum + lo * v_lo + lo * v_hi AS DOUBLE)
+                    / CAST(n AS DOUBLE), 6) AS winsorized_mean
+       FROM agg ORDER BY event_type""",
+)
+def _trimmed_mean_by_type(spark, sf_dir):
+    """10%-per-tail trimmed and winsorized mean value per event type —
+    the robust-location readout heavy-tailed metrics need. Exact order
+    statistics on the distinct-value level table (the weighted-median
+    pattern): the only window runs over distinct cent values per
+    group, every sum is int64, one double division per mean at the
+    end. operators/robust.py:trimmed_winsorized_means."""
+    from redshells_spark.operators.experiment import cents
+    from redshells_spark.operators.robust import trimmed_winsorized_means
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c")
+    )
+    return trimmed_winsorized_means(ev, ["event_type"], "c", trim_pct=10).orderBy(
+        "event_type"
+    )
+
+
+# ------------------------------------------------- delta-method ratio CI
+
+
+@q(
+    "delta_method_ratio_ci",
+    f"""WITH u AS (SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN {_CENTS_SQL}
+                          ELSE 0 END) AS BIGINT) AS x,
+            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS y
+          FROM events GROUP BY 1),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM u),
+       d AS (SELECT n, sx, sy,
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+              AS varx,
+            (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+              AS vary,
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+              AS covxy,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+          FROM m),
+       r AS (SELECT *, xbar / ybar AS rr FROM d),
+       v AS (SELECT *, sqrt((varx - CAST(2.0 AS DOUBLE) * rr * covxy
+                             + rr * rr * vary)
+                            / (CAST(n AS DOUBLE) * ybar * ybar)) AS se
+          FROM r)
+       SELECT 'revenue_per_view' AS metric, n,
+              sx AS sum_num_cents, sy AS sum_den,
+              round(rr, 6) AS ratio_cents,
+              round(se, 6) AS se_cents,
+              round(rr - CAST(1.959964 AS DOUBLE) * se, 6) AS ci_lo_cents,
+              round(rr + CAST(1.959964 AS DOUBLE) * se, 6) AS ci_hi_cents
+       FROM v""",
+)
+def _delta_method_ratio_ci(spark, sf_dir):
+    """Delta-method CI for the ratio metric revenue-per-view when the
+    randomization unit is the USER (Deng et al. KDD 2018): five exact
+    int64 moments in one pass over per-user cells, variance combine in
+    double on those exact ints — the CUPED/grouped-OLS determinism
+    class. operators/experiment.py:delta_method_ratio."""
+    from redshells_spark.operators.experiment import cents, delta_method_ratio
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return delta_method_ratio(u, "x", "y", "revenue_per_view")
+
+
+# ------------------------------------------------- switchback readout
+
+
+@q(
+    "switchback_readout",
+    f"""WITH b AS (SELECT epoch_us(ts) // {_HOUR_US} AS bucket,
+                          {_CENTS_SQL} AS c FROM events),
+       per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+                      CAST(sum(c) AS BIGINT) AS s_b
+               FROM b GROUP BY 1),
+       pm AS (SELECT CAST(bucket % 2 AS BIGINT) AS arm,
+                     CAST((100 * s_b) // n_b AS BIGINT) AS m_e2, n_b
+              FROM per),
+       arm AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_buckets,
+                      CAST(sum(n_b) AS BIGINT) AS n_events,
+                      CAST(sum(m_e2) AS BIGINT) AS sm,
+                      CAST(sum(m_e2 * m_e2) AS BIGINT) AS smm
+               FROM pm GROUP BY 1)
+       SELECT arm, n_buckets, n_events,
+              CAST(sm AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                / CAST(100.0 AS DOUBLE) AS mean_cents,
+              sqrt((CASE WHEN n_buckets > 1 THEN
+                      (CAST(n_buckets AS DOUBLE) * CAST(smm AS DOUBLE)
+                       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                      / (CAST(n_buckets AS DOUBLE)
+                         * (CAST(n_buckets AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                    END) / CAST(n_buckets AS DOUBLE)) AS se_cluster_e2
+       FROM arm ORDER BY arm""",
+)
+def _switchback_readout(spark, sf_dir):
+    """Switchback experiment readout: alternating hour buckets as
+    treat/control, per-bucket mean value as an EXACT e2 integer (so
+    the arm-level moments Σm, Σm² stay associative int64), and the
+    cluster-robust SE computed in double on those exact ints. The
+    bucket relation is time-bounded — cluster-level inference never
+    touches fact-scale rows twice.
+    operators/experiment.py:switchback_readout."""
+    from redshells_spark.operators.experiment import cents, switchback_readout
+
+    ev0 = _t(spark, sf_dir, "events")
+    ev = ev0.select(event_us(ev0, "ts").alias("us"), cents("value").alias("c"))
+    return switchback_readout(ev, "us", "c", bucket_us=_HOUR_US)
+
+
+# ------------------------------------------------- regression discontinuity
+
+
+@q(
+    "regression_discontinuity",
+    f"""WITH u AS (SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN {_CENTS_SQL}
+                          ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+       c AS (SELECT CAST(sum(x) // count(*) AS BIGINT) AS cutoff FROM u),
+       z AS (SELECT u.x - c.cutoff AS z, u.y, c.cutoff
+             FROM u CROSS JOIN c
+             WHERE u.x - c.cutoff BETWEEN -5 AND 5),
+       s AS (SELECT CASE WHEN z < 0 THEN 'left' ELSE 'right' END AS side,
+            CAST(max(cutoff) AS BIGINT) AS cutoff,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(z) AS BIGINT) AS sz, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(z * z) AS BIGINT) AS szz,
+            CAST(sum(z * y) AS BIGINT) AS szy
+          FROM z GROUP BY 1),
+       f AS (SELECT side, cutoff, n, sz, sy, szz, szy,
+            CASE WHEN CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                      <> CAST(0 AS DOUBLE) THEN
+              (CAST(n AS DOUBLE) * CAST(szy AS DOUBLE)
+               - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                 - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+            END AS slope
+          FROM s)
+       SELECT side, cutoff, CAST(5 AS BIGINT) AS bandwidth, n,
+              round(slope, 6) AS slope_cents,
+              round(CASE WHEN slope IS NOT NULL THEN
+                      (CAST(sy AS DOUBLE) - slope * CAST(sz AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                    ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+                AS intercept_cents
+       FROM f ORDER BY side""",
+)
+def _regression_discontinuity(spark, sf_dir):
+    """Sharp RD readout (Imbens & Lemieux 2008): running variable =
+    per-user click count, cutoff = its exact integer mean, bandwidth 5,
+    outcome = purchase cents. Local-linear fits on each side come from
+    five exact int64 moments via the closed normal equations
+    (grouped_ols determinism class); the treatment-effect jump is the
+    difference of the two boundary intercepts.
+    operators/experiment.py:regression_discontinuity."""
+    from redshells_spark.operators.experiment import cents, regression_discontinuity
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return regression_discontinuity(u, "x", "y", bandwidth=5)
+
+
+# ------------------------------------------------- Neyman allocation
+
+
+@q(
+    "neyman_allocation",
+    f"""WITH v AS (SELECT event_type AS stratum, {_CENTS_SQL} AS v FROM events),
+       per AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(v) AS BIGINT) AS sv,
+                      CAST(sum(v * v) AS BIGINT) AS svv
+               FROM v GROUP BY 1),
+       sw AS (SELECT stratum, n,
+            CASE WHEN n > 1 THEN
+              sqrt(greatest((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                             - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))),
+                            CAST(0.0 AS DOUBLE)))
+            ELSE CAST(0.0 AS DOUBLE) END AS s_value
+          FROM per),
+       wq AS (SELECT stratum, n, s_value,
+            CAST(floor(CAST(n AS DOUBLE) * s_value * CAST(1000000.0 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS weight_e6
+          FROM sw),
+       tot AS (SELECT CAST(sum(weight_e6) AS BIGINT) AS wt FROM wq),
+       base AS (SELECT stratum, n, s_value, weight_e6,
+            CAST((1000 * weight_e6) // t.wt AS BIGINT) AS floor_share,
+            CAST((1000 * weight_e6) % t.wt AS BIGINT) AS rem
+          FROM wq CROSS JOIN tot t),
+       sh AS (SELECT CAST(1000 - sum(floor_share) AS BIGINT) AS short FROM base),
+       r AS (SELECT b.*, CAST(row_number() OVER (ORDER BY rem DESC, stratum ASC)
+                              AS BIGINT) AS rk
+             FROM base b)
+       SELECT stratum, n, round(s_value, 6) AS s_value, weight_e6, floor_share,
+              CAST(CASE WHEN rk <= s.short THEN 1 ELSE 0 END AS BIGINT) AS extra,
+              CAST(floor_share + CASE WHEN rk <= s.short THEN 1 ELSE 0 END
+                   AS BIGINT) AS allocation
+       FROM r CROSS JOIN sh s ORDER BY stratum""",
+)
+def _neyman_allocation(spark, sf_dir):
+    """Neyman-optimal allocation of a 1000-row sample budget across
+    event-type strata (n_h ∝ N_h·S_h, Neyman 1934): exact int64
+    moments per stratum, S_h in double on exact ints, weights
+    re-quantized to e6 integers with half-up floor so the
+    largest-remainder split is pure integer arithmetic — allocations
+    sum exactly to the budget. data/sampling.py:neyman_allocation."""
+    from redshells_spark.data.sampling import neyman_allocation
+    from redshells_spark.operators.experiment import cents
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stratum"), cents("value").alias("c")
+    )
+    return neyman_allocation(ev, "stratum", "c", total_budget=1000)
+
+
+# ------------------------------------------------- multi-touch attribution
+
+
+@q(
+    "attribution_revenue",
+    f"""WITH p AS (SELECT user_id AS u, epoch_us(ts) AS cts, event_id AS cid,
+                          {_CENTS_SQL} AS cents
+                   FROM events WHERE event_type = 'purchase'),
+       t AS (SELECT user_id AS u, epoch_us(ts) AS tts, event_id AS tid
+             FROM events WHERE event_type = 'click'),
+       pr AS (SELECT p.cid, p.cents, t.tts, t.tid
+              FROM p JOIN t USING (u)
+              WHERE t.tts <= p.cts AND t.tts > p.cts - {7 * _DAY_US}),
+       rk AS (SELECT *,
+            CAST(row_number() OVER (PARTITION BY cid
+                                    ORDER BY tts ASC, tid ASC) AS BIGINT) AS rk,
+            CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS k,
+            CAST((tts // {_HOUR_US}) % 24 AS BIGINT) AS touch_hour
+          FROM pr),
+       m AS (
+         SELECT 'first_touch' AS model, touch_hour, cents AS credit
+         FROM rk WHERE rk = 1
+         UNION ALL
+         SELECT 'last_touch' AS model, touch_hour, cents AS credit
+         FROM rk WHERE rk = k
+         UNION ALL
+         SELECT 'linear' AS model, touch_hour,
+                CAST(cents // k + CASE WHEN rk = k THEN cents % k ELSE 0 END
+                     AS BIGINT) AS credit
+         FROM rk)
+       SELECT model, touch_hour,
+              CAST(count(*) AS BIGINT) AS n_touches_credited,
+              CAST(sum(credit) AS BIGINT) AS credited_cents
+       FROM m GROUP BY 1, 2 ORDER BY model, touch_hour""",
+)
+def _attribution_revenue(spark, sf_dir):
+    """Multi-touch revenue attribution (first/last/linear) of purchase
+    cents to the user's clicks inside a 7-day lookback, reported by
+    touch hour-of-day. The purchase×click join is user-keyed and
+    window-bounded; per-conversion ranking windows run over that
+    bounded touch list; linear credit is exact integer division with
+    the remainder pinned to the last touch, so per-model totals
+    reconcile to the cent. operators/attribution.py."""
+    from redshells_spark.operators.attribution import multi_touch_attribution
+    from redshells_spark.operators.experiment import cents
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", event_us(ev, "ts"))
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("ts_us"), "event_id", cents("value").alias("c")
+    )
+    touch = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("ts_us"), "event_id"
+    )
+    return multi_touch_attribution(
+        conv,
+        touch,
+        user_col="user_id",
+        ts_us_col="ts_us",
+        id_col="event_id",
+        cents_col="c",
+        lookback_days=7,
+    )
+
+
+# ------------------------------------------------- power / MDE planning
+
+_Z_SUM = 1.959964 + 0.841621  # z_{0.025} + z_{0.20}: 80% power at 5%
+
+
+@q(
+    "ab_power_mde",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_success,
+            CAST(count(DISTINCT epoch_us(ts) // {_DAY_US}) AS BIGINT) AS n_days
+          FROM events),
+       h AS (SELECT c.*, CAST(t.h AS BIGINT) AS horizon_days
+             FROM c CROSS JOIN (VALUES (7), (14), (28)) t(h)),
+       e AS (SELECT horizon_days,
+            CAST((horizon_days * (n_events // n_days)) // 2 AS BIGINT)
+              AS n_per_arm,
+            CAST(n_success AS DOUBLE) / CAST(n_events AS DOUBLE) AS p
+          FROM h),
+       f AS (SELECT horizon_days, n_per_arm, p,
+            CAST('{_Z_SUM!r}' AS DOUBLE)
+              * sqrt(CAST(2.0 AS DOUBLE) * p * (CAST(1.0 AS DOUBLE) - p)
+                     / CAST(n_per_arm AS DOUBLE)) AS mde
+          FROM e)
+       SELECT horizon_days, n_per_arm, round(p, 6) AS p_base,
+              round(mde, 6) AS mde_abs, round(mde / p, 6) AS mde_rel
+       FROM f ORDER BY horizon_days""",
+)
+def _ab_power_mde(spark, sf_dir):
+    """Pre-experiment power planning: the minimum detectable effect of
+    a two-proportion test (80% power, 5% two-sided) per 7/14/28-day
+    horizon given the log's base purchase rate and integer daily
+    traffic. The z-constant sum is interpolated into BOTH engines from
+    the same Python repr so the doubles parse identically.
+    operators/experiment.py:power_mde_table."""
+    from redshells_spark.operators.experiment import power_mde_table
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", event_us(ev, "ts"))
+    counts = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_success"),
+        F.countDistinct(F.expr(f"us div {_DAY_US}")).cast("long").alias("n_days"),
+    )
+    return power_mde_table(counts, [7, 14, 28], z_alpha=1.959964, z_beta=0.841621)
+
+
+# ------------------------------------------------- Mann-Kendall trend
+
+
+@q(
+    "mann_kendall_purchases",
+    f"""WITH days AS (SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS t FROM events),
+       pc AS (SELECT epoch_us(ts) // {_DAY_US} AS t,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       s AS (SELECT d.t, CAST(coalesce(pc.v, 0) AS BIGINT) AS v
+             FROM days d LEFT JOIN pc USING (t)),
+       pr AS (SELECT CAST(coalesce(sum(CASE WHEN b.v > a.v THEN 1
+                                            WHEN b.v < a.v THEN -1
+                                            ELSE 0 END), 0) AS BIGINT) AS s_stat
+              FROM s a JOIN s b ON b.t > a.t),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n_periods FROM s),
+       ties AS (SELECT CAST(coalesce(sum(CASE WHEN tg > 1
+                        THEN tg * (tg - 1) * (2 * tg + 5) ELSE 0 END), 0)
+                        AS BIGINT) AS tie_term
+                FROM (SELECT CAST(count(*) AS BIGINT) AS tg
+                      FROM s GROUP BY v)),
+       r AS (SELECT s_stat, n_periods,
+            CAST(n_periods * (n_periods - 1) * (2 * n_periods + 5) - tie_term
+                 AS BIGINT) AS var_s_x18
+          FROM pr CROSS JOIN nn CROSS JOIN ties),
+       zz AS (SELECT *, CASE WHEN var_s_x18 > 0 THEN
+                round(CAST(s_stat - CASE WHEN s_stat > 0 THEN 1
+                                         WHEN s_stat < 0 THEN -1
+                                         ELSE 0 END AS DOUBLE)
+                      / sqrt(CAST(var_s_x18 AS DOUBLE)
+                             / CAST(18.0 AS DOUBLE)), 6)
+              END AS z
+          FROM r)
+       SELECT n_periods, s_stat, var_s_x18, z,
+              CASE WHEN z > CAST(1.959964 AS DOUBLE) THEN 'increasing'
+                   WHEN z < CAST(-1.959964 AS DOUBLE) THEN 'decreasing'
+                   ELSE 'none' END AS trend
+       FROM zz""",
+)
+def _mann_kendall_purchases(spark, sf_dir):
+    """Mann-Kendall trend test on the dense daily purchase-count
+    series (zero-filled over the log's observed days): S and the
+    tie-corrected variance stay exact int64 (the pair self-join runs
+    over the time-bounded day relation, never fact rows), z applies
+    the continuity correction in double on exact ints.
+    operators/drift.py:mann_kendall_trend."""
+    from redshells_spark.operators.drift import mann_kendall_trend
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", event_us(ev, "ts"))
+    days = ev.select(
+        F.expr(f"us div {_DAY_US}").cast("long").alias("t")
+    ).distinct()
+    pc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    series = days.join(pc, "t", "left").select(
+        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+    )
+    return mann_kendall_trend(series, "t", "v")
