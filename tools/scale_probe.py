@@ -122,6 +122,29 @@ PROBE_QUERIES_R6_GRAPH = [
     "graph_ann_search",
 ]
 
+# round-7 tier (VERDICT r6 #6): the heavy entries that ran the f10
+# correctness differential but not the f100 perf probe, plus the new
+# session-2 readout chains. prefix_filter_jaccard probes at factor 10
+# (doc-level near-dup: the salted replicas keep cross-replica Jaccard
+# ~0.5 < the 0.8 threshold, but candidate OUTPUT still grows with the
+# within-replica near-dup density — same corpus-artifact reasoning as
+# the r6dedup tier).
+#   python tools/scale_probe.py run 100 /root/testdata/sf0.1 scale_data/sf10 r7
+#   python tools/scale_probe.py run 10  /root/testdata/sf0.1 scale_data/sf1  r7dedup
+PROBE_QUERIES_R7 = [
+    "knn_shapley_values",
+    "kcenter_coreset",
+    "greedy_max_coverage",
+    "qini_uplift_curve",
+    "attribution_revenue",
+    "trimmed_mean_by_type",
+    "sprt_conversion_monitor",
+]
+
+PROBE_QUERIES_R7_DEDUP = [
+    "prefix_filter_jaccard",
+]
+
 
 def _semantic_dedup_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redshells_spark.dedup.semantic import semantic_dedup
@@ -297,6 +320,10 @@ def main() -> None:
         names = PROBE_QUERIES_R6_DEDUP
     if names == ["r6graph"]:
         names = PROBE_QUERIES_R6_GRAPH
+    if names == ["r7"]:
+        names = PROBE_QUERIES_R7
+    if names == ["r7dedup"]:
+        names = PROBE_QUERIES_R7_DEDUP
 
     from redshells_spark import get_spark_session
 
