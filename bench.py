@@ -192,6 +192,9 @@ HEADLINE = [
     "attribution_revenue",
     "ab_power_mde",
     "mann_kendall_purchases",
+    "containment_dedup_join",
+    "eb_shrunk_return_rates",
+    "group_sequential_monitor",
 ]
 
 

@@ -227,3 +227,105 @@ def prefix_filter_jaccard_pairs(
         _LAST_DOCARR.unpersist()
     _LAST_DOCARR = docarr
     return pairs_from_rank_sorted(docarr, threshold_num, threshold_den)
+
+
+def containment_pairs_from_rank_sorted(
+    docarr: DataFrame,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """→ (id_a, id_b, inter, size_a, size_b, cont_e4): ALL ordered
+    pairs with exact containment |A∩B|/|A| ≥ num/den (a ≠ b), from the
+    same ``build_rank_sorted_sets`` index the Jaccard join uses.
+
+    Containment is the ASYMMETRIC dedup relation — "doc a is mostly
+    inside doc b" — the quote/boilerplate/"onion-layer" case Jaccard
+    misses when |B| ≫ |A|. Prefix filtering still applies on the A
+    side (A must land ≥ α = ⌈τ·|A|⌉ elements in B, so one of A's first
+    |A|−α+1 rarest elements must be in B), but B has no upper length
+    bound, so the probe side joins A-prefixes against the FULL
+    inverted index (Vernica et al. SIGMOD 2010 probe-index shape) —
+    linear in corpus elements, never pair-quadratic. Both of Xiao's
+    positional bounds carry over with the Jaccard α replaced by the
+    containment α (the global element order splits shared elements
+    consistently around any match, so overlap ≤ kept + min(remaining)
+    holds unchanged). Verification is the same shuffle-join
+    array_intersect — nothing corpus-sized is broadcast."""
+    num, den = threshold_num, threshold_den
+    plen = (
+        F.col("__sz")
+        - F.expr(f"cast(({num} * __sz + {den} - 1) div {den} as bigint)")
+        + 1
+    ).cast("int")
+    pre_a = docarr.select(
+        F.col("__id").alias("__ida"),
+        F.col("__sz").alias("__sza"),
+        F.posexplode(F.slice(F.col("__rk"), F.lit(1), plen)).alias("__i", "__s"),
+    ).select(
+        "__ida",
+        "__sza",
+        F.col("__s.__el").alias("__el"),
+        (F.col("__i") + 1).cast("long").alias("__pa"),
+    )
+    full_b = docarr.select(
+        F.col("__id").alias("__idb"),
+        F.col("__sz").alias("__szb"),
+        F.posexplode("__rk").alias("__i", "__s"),
+    ).select(
+        "__idb",
+        "__szb",
+        F.col("__s.__el").alias("__el"),
+        (F.col("__i") + 1).cast("long").alias("__pb"),
+    )
+    # α = ⌈num·|A|/den⌉; integer x ≥ α ⟺ x·den ≥ num·|A|
+    row_ub = F.lit(1) + F.least(
+        F.col("__sza") - F.col("__pa"), F.col("__szb") - F.col("__pb")
+    )
+    matched = pre_a.join(full_b, "__el").filter(
+        (F.col("__ida") != F.col("__idb"))
+        # B must be able to hold α of A's elements at all
+        & (F.col("__szb") * den >= F.col("__sza") * num)
+        & (row_ub * den >= F.col("__sza") * num)
+    )
+    grp_ub = F.col("__o") + F.least(
+        F.col("__sza") - F.col("__mpa"), F.col("__szb") - F.col("__mpb")
+    )
+    cand = (
+        matched.groupBy("__ida", "__idb")
+        .agg(
+            F.count(F.lit(1)).alias("__o"),
+            F.max("__pa").alias("__mpa"),
+            F.max("__pb").alias("__mpb"),
+            F.max("__sza").alias("__sza"),
+            F.max("__szb").alias("__szb"),
+        )
+        .filter(grp_ub * den >= F.col("__sza") * num)
+        .select("__ida", "__idb", "__sza", "__szb")
+    )
+    arrs = docarr.select(
+        "__id", F.expr("transform(__rk, x -> x.__el)").alias("__arr")
+    )
+    aa = arrs.select(F.col("__id").alias("__ida"), F.col("__arr").alias("__aa"))
+    ab = arrs.select(F.col("__id").alias("__idb"), F.col("__arr").alias("__ab"))
+    inter = (
+        cand.join(aa, "__ida")
+        .join(ab, "__idb")
+        .select(
+            "__ida",
+            "__idb",
+            "__sza",
+            "__szb",
+            F.size(F.array_intersect("__aa", "__ab")).cast("long").alias("inter"),
+        )
+    )
+    return (
+        inter.filter(F.col("inter") * den >= num * F.col("__sza"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            "inter",
+            F.col("__sza").alias("size_a"),
+            F.col("__szb").alias("size_b"),
+            F.expr("cast(inter * 10000 div __sza as bigint)").alias("cont_e4"),
+        )
+    )

@@ -71,3 +71,76 @@ def sprt_monitor(
         .when(F.col("cum_llr_e9") <= F.lit(lo_e9), F.lit("accept_h0"))
         .otherwise(F.lit("continue")),
     ).orderBy("period")
+
+
+def group_sequential_z(
+    look_counts: DataFrame,
+    look_col: str,
+    arm_col: str,
+    trials_col: str,
+    success_col: str,
+    z_final: float = 1.959964,
+) -> DataFrame:
+    """Group-sequential two-proportion monitor with Pocock-style
+    sqrt(K/k) inflated boundaries (the O'Brien-Fleming shape):
+    → one row per look: cumulative (n, s) per arm, the pooled
+    two-proportion z, the look's boundary z_final·sqrt(K/k), and the
+    stop flag.
+
+    ``look_counts`` has one row per (look, arm∈{0,1}) with exact
+    integer trials/successes. Cumulative sums run over the look
+    relation (time-bounded); z and the boundary are doubles computed
+    from exact ints (identical expression trees both engines). K is
+    data-derived (count of looks), so the boundary needs no plan-time
+    constant beyond z_final."""
+    t = look_counts.select(
+        F.col(look_col).cast("long").alias("look"),
+        F.col(arm_col).cast("long").alias("arm"),
+        F.col(trials_col).cast("long").alias("nt"),
+        F.col(success_col).cast("long").alias("ns"),
+    )
+    w = Window.partitionBy("arm").orderBy(F.col("look").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = t.select(
+        "look",
+        "arm",
+        F.sum("nt").over(w).cast("long").alias("cn"),
+        F.sum("ns").over(w).cast("long").alias("cs"),
+    )
+    wide = cum.groupBy("look").agg(
+        F.max(F.when(F.col("arm") == 1, F.col("cn"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("cs"))).cast("long").alias("s1"),
+        F.max(F.when(F.col("arm") == 0, F.col("cn"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("cs"))).cast("long").alias("s0"),
+    )
+    ktot = wide.agg(F.count(F.lit(1)).cast("long").alias("k_total"))
+    wk = Window.orderBy(F.col("look").asc())
+    wide = (
+        wide.crossJoin(F.broadcast(ktot))
+        .withColumn("k_idx", F.row_number().over(wk).cast("long"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pp = (d("s1") + d("s0")) / (d("n1") + d("n0"))
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n0"))
+    )
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n0") > 0) & (se > F.lit(0.0)),
+        F.round((d("s1") / d("n1") - d("s0") / d("n0")) / se, 6),
+    )
+    bound = F.round(F.lit(z_final) * F.sqrt(d("k_total") / d("k_idx")), 6)
+    return (
+        wide.withColumn("z", z)
+        .withColumn("z_bound", bound)
+        .withColumn(
+            "stop",
+            F.coalesce(
+                (F.abs(F.col("z")) >= F.col("z_bound")).cast("long"), F.lit(0)
+            ),
+        )
+        .select(
+            "look", "k_idx", "k_total", "n1", "s1", "n0", "s0", "z", "z_bound", "stop"
+        )
+        .orderBy("look")
+    )

@@ -44,6 +44,9 @@ _FRONT = [
     # never-driver-sampled backlog names (oldest tiers first) = 44 of
     # 50 slots never sampled before.
     # --- round 7 session 2: new operators ---
+    "containment_dedup_join",  # r7b: NEW — asymmetric onion-layer dedup
+    "eb_shrunk_return_rates",  # r7b: NEW — beta-binomial rate shrinkage
+    "group_sequential_monitor",  # r7b: NEW — scheduled-peeking z boundaries
     "qini_uplift_curve",  # r7b: NEW — uplift targeting readout at deciles
     "sprt_conversion_monitor",  # r7b: NEW — Wald SPRT sequential monitor
     "trimmed_mean_by_type",  # r7b: NEW — exact trimmed/winsorized means

@@ -621,3 +621,225 @@ def _mann_kendall_purchases(spark, sf_dir):
         "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
     )
     return mann_kendall_trend(series, "t", "v")
+
+
+# ------------------------------------------------- containment join
+
+from redshells_spark.queries.dedup import _SHINGLE_SQL  # noqa: E402
+
+
+@q(
+    "containment_dedup_join",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
+       freq AS (SELECT shingle AS el, count(*) AS f FROM shingles GROUP BY 1),
+       ord AS (SELECT el, row_number() OVER (ORDER BY f ASC, el ASC) AS erk
+               FROM freq),
+       szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+               FROM shingles GROUP BY 1),
+       rk AS (
+         SELECT s.doc_id, s.shingle AS el, z.sz,
+                row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY o.erk ASC) AS pos
+         FROM shingles s JOIN ord o ON o.el = s.shingle
+         JOIN szs z USING (doc_id)),
+       pre AS (SELECT doc_id, el, sz FROM rk
+               WHERE pos <= sz - CAST((8 * sz + 9) // 10 AS BIGINT) + 1),
+       idx AS (SELECT doc_id, el, sz FROM rk),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+                a.sz AS sza, b.sz AS szb
+         FROM pre a JOIN idx b ON a.el = b.el
+         WHERE a.doc_id <> b.doc_id AND b.sz * 10 >= a.sz * 8),
+       arrs AS (SELECT doc_id, list_sort(list(shingle)) AS arr
+                FROM shingles GROUP BY 1),
+       itr AS (
+         SELECT c.ida, c.idb, c.sza, c.szb,
+                CAST(len(list_intersect(a0.arr, a1.arr)) AS BIGINT) AS inter
+         FROM cand c
+         JOIN arrs a0 ON a0.doc_id = c.ida
+         JOIN arrs a1 ON a1.doc_id = c.idb)
+       SELECT ida AS id_a, idb AS id_b, inter,
+              CAST(sza AS BIGINT) AS size_a, CAST(szb AS BIGINT) AS size_b,
+              CAST(inter * 10000 // sza AS BIGINT) AS cont_e4
+       FROM itr WHERE inter * 10 >= 8 * sza""",
+)
+def _containment_dedup_join(spark, sf_dir):
+    """EXACT asymmetric containment join |A∩B|/|A| >= 0.8 over bigram
+    shingle sets — the 'onion-layer' dedup relation (quote /
+    boilerplate inclusion) that symmetric Jaccard misses when
+    |B| >> |A|. A-side prefix filtering against the FULL inverted
+    index (Vernica et al. 2010 probe-index shape) with both of Xiao's
+    positional bounds carried over at the containment alpha; exact
+    array_intersect verification, no corpus-sized broadcast.
+    Shares the persisted rank-sorted index with prefix_filter_jaccard
+    (one param-hash target, two join semantics).
+    dedup/ppjoin.py:containment_pairs_from_rank_sorted; the oracle
+    replays candidate generation WITHOUT the positional prunes (a
+    sound superset — the exact final filter equalizes), so a hash
+    MATCH also certifies the prunes lose no qualifying pair."""
+    from redshells_spark.dedup.ppjoin import containment_pairs_from_rank_sorted
+    from redshells_spark.queries.r6c_ops import _ppjoin_index
+
+    return containment_pairs_from_rank_sorted(
+        _ppjoin_index(spark, sf_dir), 8, 10
+    )
+
+
+# ------------------------------------------------- EB shrinkage
+
+
+@q(
+    "eb_shrunk_return_rates",
+    """WITH g AS (SELECT l_partkey,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS s
+          FROM lineitem GROUP BY 1),
+       g2 AS (SELECT l_partkey, n, s,
+              CAST((1000 * s) // n AS BIGINT) AS raw_rate_e3 FROM g),
+       pm AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(raw_rate_e3) AS BIGINT) AS sr,
+              CAST(sum(raw_rate_e3 * raw_rate_e3) AS BIGINT) AS srr
+          FROM g2 WHERE n >= 5),
+       mv AS (SELECT cnt,
+            CAST(sr AS DOUBLE) / CAST(cnt AS DOUBLE)
+              / CAST(1000.0 AS DOUBLE) AS m,
+            (CAST(cnt AS DOUBLE) * CAST(srr AS DOUBLE)
+             - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+              / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE)
+                 - CAST(1.0 AS DOUBLE)))
+              / CAST(1000000.0 AS DOUBLE) AS v
+          FROM pm),
+       kk AS (SELECT cnt, m, v,
+              m * (CAST(1.0 AS DOUBLE) - m) / v - CAST(1.0 AS DOUBLE) AS k
+          FROM mv),
+       ab AS (SELECT
+            CASE WHEN cnt > 1 AND v > CAST(0.0 AS DOUBLE)
+                      AND k > CAST(0.0 AS DOUBLE)
+                 THEN m * k ELSE CAST(1.0 AS DOUBLE) END AS alpha,
+            CASE WHEN cnt > 1 AND v > CAST(0.0 AS DOUBLE)
+                      AND k > CAST(0.0 AS DOUBLE)
+                 THEN (CAST(1.0 AS DOUBLE) - m) * k
+                 ELSE CAST(1.0 AS DOUBLE) END AS beta
+          FROM kk)
+       SELECT l_partkey, n, s, raw_rate_e3,
+              round(alpha, 6) AS alpha, round(beta, 6) AS beta,
+              round((alpha + CAST(s AS DOUBLE))
+                    / (alpha + beta + CAST(n AS DOUBLE)), 6) AS shrunk_rate
+       FROM g2 CROSS JOIN ab
+       ORDER BY round((alpha + CAST(s AS DOUBLE))
+                      / (alpha + beta + CAST(n AS DOUBLE)), 6) DESC,
+                l_partkey ASC
+       LIMIT 100""",
+)
+def _eb_shrunk_return_rates(spark, sf_dir):
+    """Empirical-Bayes shrunk return rate per part (beta-binomial,
+    Robinson's construction): the method-of-moments prior is fit on
+    e3-QUANTIZED observed rates so both moments are exact int64 and
+    alpha/beta are doubles-from-ints; small-n parts collapse to the
+    prior mean instead of topping the leaderboard at 1/1. Top-100 by
+    shrunk rate (TakeOrdered — distributed, no global window).
+    operators/shrinkage.py:eb_beta_binomial_shrinkage."""
+    from redshells_spark.operators.shrinkage import eb_beta_binomial_shrinkage
+
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    out = eb_beta_binomial_shrinkage(per, ["l_partkey"], "s", "n", min_n_prior=5)
+    return out.orderBy(
+        F.col("shrunk_rate").desc(), F.col("l_partkey").asc()
+    ).limit(100)
+
+
+# ------------------------------------------------- group-sequential looks
+
+_WEEK_US = 7 * _DAY_US
+
+
+@q(
+    "group_sequential_monitor",
+    f"""WITH e AS (SELECT epoch_us(ts) // {_WEEK_US} AS look,
+                          CAST(user_id % 2 AS BIGINT) AS arm, event_type
+                   FROM events),
+       lc AS (SELECT look, arm,
+            CAST(sum(CASE WHEN event_type IN ('view', 'purchase')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ns
+          FROM e GROUP BY 1, 2),
+       cum AS (SELECT look, arm,
+            CAST(sum(nt) OVER (PARTITION BY arm ORDER BY look ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cn,
+            CAST(sum(ns) OVER (PARTITION BY arm ORDER BY look ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cs
+          FROM lc),
+       wide AS (SELECT look,
+            CAST(max(CASE WHEN arm = 1 THEN cn END) AS BIGINT) AS n1,
+            CAST(max(CASE WHEN arm = 1 THEN cs END) AS BIGINT) AS s1,
+            CAST(max(CASE WHEN arm = 0 THEN cn END) AS BIGINT) AS n0,
+            CAST(max(CASE WHEN arm = 0 THEN cs END) AS BIGINT) AS s0
+          FROM cum GROUP BY 1),
+       kt AS (SELECT CAST(count(*) AS BIGINT) AS k_total FROM wide),
+       wk AS (SELECT w.*, t.k_total,
+              CAST(row_number() OVER (ORDER BY look ASC) AS BIGINT) AS k_idx
+          FROM wide w CROSS JOIN kt t),
+       zz AS (SELECT *,
+            (CAST(s1 AS DOUBLE) + CAST(s0 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)) AS pp
+          FROM wk),
+       z2 AS (SELECT *,
+            sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+                 * (CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    + CAST(1.0 AS DOUBLE) / CAST(n0 AS DOUBLE))) AS se
+          FROM zz),
+       z3 AS (SELECT look, k_idx, k_total, n1, s1, n0, s0,
+            CASE WHEN n1 > 0 AND n0 > 0 AND se > CAST(0.0 AS DOUBLE) THEN
+              round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / se, 6)
+            END AS z,
+            round(CAST(1.959964 AS DOUBLE)
+                  * sqrt(CAST(k_total AS DOUBLE) / CAST(k_idx AS DOUBLE)), 6)
+              AS z_bound
+          FROM z2)
+       SELECT look, k_idx, k_total, n1, s1, n0, s0, z, z_bound,
+              CAST(coalesce(abs(z) >= z_bound, false) AS BIGINT) AS stop
+       FROM z3 ORDER BY look""",
+)
+def _group_sequential_monitor(spark, sf_dir):
+    """Group-sequential two-proportion monitor over weekly looks
+    (arm = user parity, conversion = purchase vs view) with
+    sqrt(K/k)-inflated interim boundaries — the scheduled-peeking
+    counterpart of the SPRT's continuous monitor. Cumulative cells per
+    (arm, look) are exact int64 from one pass + a window over weeks;
+    z and boundary are doubles-from-ints rounded for export.
+    operators/sequential.py:group_sequential_z."""
+    from redshells_spark.operators.sequential import group_sequential_z
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", event_us(ev, "ts"))
+    lc = (
+        ev.groupBy(
+            F.expr(f"us div {_WEEK_US}").cast("long").alias("look"),
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type").isin("view", "purchase"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("nt"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("ns"),
+        )
+    )
+    return group_sequential_z(lc, "look", "arm", "nt", "ns", z_final=1.959964)

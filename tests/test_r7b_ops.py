@@ -283,3 +283,118 @@ def test_power_mde_shrinks_with_horizon(spark):
     assert out[0]["p_base"] == pytest.approx(0.2)
     # n_per_arm exact integer: (7 * (10000 div 10)) div 2
     assert out[0]["n_per_arm"] == 3500
+
+
+# ------------------------------------------------------------ containment
+
+
+def test_containment_equals_brute_force(spark):
+    # exactness gate: prefix filter + positional bounds must lose NO
+    # qualifying ordered pair vs the all-pairs containment join
+    import itertools
+
+    sets = {
+        1: ["a", "b", "c", "d", "e"],
+        2: ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"],  # contains 1
+        3: ["a", "b", "c", "d", "x"],  # 4/5 of 1 in 3
+        4: ["z", "y", "x", "w"],
+        5: ["a", "b", "c", "d", "e"],  # duplicate of 1
+    }
+    rows = [(i, e) for i, els in sets.items() for e in els]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        containment_pairs_from_rank_sorted,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_from_rank_sorted(
+            build_rank_sorted_sets(df), 8, 10
+        ).collect()
+    }
+    want = set()
+    for a, b in itertools.permutations(sets, 2):
+        inter = len(set(sets[a]) & set(sets[b]))
+        if inter * 10 >= 8 * len(sets[a]):
+            want.add((a, b))
+    assert got == want
+    assert (1, 2) in got and (2, 1) not in got  # asymmetry
+    assert (1, 5) in got and (5, 1) in got  # exact dup both ways
+
+
+def test_containment_cont_e4_exact(spark):
+    rows = [(1, e) for e in "abcde"] + [(2, e) for e in "abcdefghij"]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        containment_pairs_from_rank_sorted,
+    )
+
+    out = containment_pairs_from_rank_sorted(build_rank_sorted_sets(df), 8, 10).collect()
+    r = [x for x in out if x["id_a"] == 1][0]
+    assert r["inter"] == 5 and r["size_a"] == 5 and r["size_b"] == 10
+    assert r["cont_e4"] == 10000
+
+
+# ------------------------------------------------------------ EB shrinkage
+
+
+def test_eb_shrinkage_pulls_small_n_to_prior(spark):
+    # many well-measured entities at rate 0.5 (n=20), one 1/1 entity:
+    # its shrunk rate must land near the prior mean, far below 1.0
+    rows = [(f"g{i}", 10 + (i % 5) - 2, 20) for i in range(40)] + [("tiny", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, s long, n long")
+    from redshells_spark.operators.shrinkage import eb_beta_binomial_shrinkage
+
+    out = {r["g"]: r for r in eb_beta_binomial_shrinkage(df, ["g"], "s", "n").collect()}
+    tiny = out["tiny"]
+    assert tiny["raw_rate_e3"] == 1000
+    assert tiny["shrunk_rate"] < 0.75  # pulled hard toward ~0.5
+    big = out["g0"]
+    assert abs(big["shrunk_rate"] - big["s"] / big["n"]) < 0.1
+
+
+def test_eb_shrinkage_flat_prior_fallback(spark):
+    # all rates identical -> v = 0 -> Beta(1,1) fallback
+    rows = [(f"g{i}", 5, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s long, n long")
+    from redshells_spark.operators.shrinkage import eb_beta_binomial_shrinkage
+
+    out = eb_beta_binomial_shrinkage(df, ["g"], "s", "n").collect()
+    assert all(r["alpha"] == 1.0 and r["beta"] == 1.0 for r in out)
+    assert all(r["shrunk_rate"] == 0.5 for r in out)  # (1+5)/(2+10)
+
+
+# ------------------------------------------------------------ group-sequential
+
+
+def test_group_sequential_boundary_shape(spark):
+    # boundaries shrink toward z_final as looks accumulate; stop fires
+    # where |z| clears the inflated bound
+    rows = []
+    for look in range(4):
+        rows.append((look, 1, 1000, 700))  # treated converts at 0.7
+        rows.append((look, 0, 1000, 500))  # control at 0.5
+    df = spark.createDataFrame(rows, "look long, arm long, nt long, ns long")
+    from redshells_spark.operators.sequential import group_sequential_z
+
+    out = group_sequential_z(df, "look", "arm", "nt", "ns").collect()
+    bounds = [r["z_bound"] for r in out]
+    assert bounds == sorted(bounds, reverse=True)  # sqrt(K/k) decreasing
+    assert bounds[-1] == pytest.approx(1.959964, abs=1e-6)  # final look
+    assert all(r["stop"] == 1 for r in out)  # effect is massive
+    assert out[-1]["n1"] == 4000 and out[-1]["s0"] == 2000  # cumulative
+
+
+def test_group_sequential_null_effect_no_stop(spark):
+    rows = []
+    for look in range(4):
+        rows.append((look, 1, 1000, 500))
+        rows.append((look, 0, 1000, 500))
+    df = spark.createDataFrame(rows, "look long, arm long, nt long, ns long")
+    from redshells_spark.operators.sequential import group_sequential_z
+
+    out = group_sequential_z(df, "look", "arm", "nt", "ns").collect()
+    assert all(r["stop"] == 0 for r in out)
+    assert all(r["z"] == 0.0 for r in out)
