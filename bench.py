@@ -195,6 +195,7 @@ HEADLINE = [
     "containment_dedup_join",
     "eb_shrunk_return_rates",
     "group_sequential_monitor",
+    "bm25_wand_topk",
 ]
 
 

@@ -44,6 +44,7 @@ _FRONT = [
     # never-driver-sampled backlog names (oldest tiers first) = 44 of
     # 50 slots never sampled before.
     # --- round 7 session 2: new operators ---
+    "bm25_wand_topk",  # r7b: NEW — lossless upper-bound-pruned retrieval
     "containment_dedup_join",  # r7b: NEW — asymmetric onion-layer dedup
     "eb_shrunk_return_rates",  # r7b: NEW — beta-binomial rate shrinkage
     "group_sequential_monitor",  # r7b: NEW — scheduled-peeking z boundaries

@@ -843,3 +843,48 @@ def _group_sequential_monitor(spark, sf_dir):
         )
     )
     return group_sequential_z(lc, "look", "arm", "nt", "ns", z_final=1.959964)
+
+
+# ------------------------------------------------- WAND-pruned BM25
+
+
+@q(
+    "bm25_wand_topk",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS term
+         FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM dl),
+       p AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN ('spark', 'hash', 'stream')
+             GROUP BY 1, 2),
+       dft AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+       s AS (
+         SELECT p.doc_id,
+                ln(CAST(1.0 AS DOUBLE)
+                   + (st.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                     / (dft.df + CAST(0.5 AS DOUBLE)))
+                  * p.tf
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * dl.dl
+                          / (st.dl_sum / st.n_docs))) AS t
+         FROM p JOIN dl USING (doc_id) JOIN dft USING (term), st)
+       SELECT doc_id, round(sum(t), 4) AS score
+       FROM s GROUP BY doc_id
+       ORDER BY score DESC, doc_id ASC LIMIT 15""",
+)
+def _bm25_wand_topk(spark, sf_dir):
+    """BM25 top-15 through WAND upper-bound pruning (Broder et al.
+    2003; text/bm25.py:bm25_wand_topk): per-term max-contribution
+    bounds + a score floor from the rarest term's posting list prune
+    the exact-scoring pass to documents still competitive at rank k.
+    The ORACLE is the plain exact ranking — a hash MATCH certifies the
+    pruning is lossless, the same grading contract as
+    containment_dedup_join and the minhash eval."""
+    from redshells_spark.text.bm25 import bm25_wand_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_wand_topk(docs, ("spark", "hash", "stream"), k=15)

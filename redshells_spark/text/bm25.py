@@ -140,3 +140,108 @@ def bm25_batch_scores(
         .agg(F.sum("t").alias("score"))
         .withColumnRenamed("qid", query_id_column)
     )
+
+
+def bm25_wand_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    score_decimals: int = 4,
+    prune_eps: float = 1e-9,
+) -> DataFrame:
+    """Top-k BM25 with WAND-style upper-bound pruning (Broder et al.
+    CIKM 2003) — LOSSLESSLY identical output to :func:`bm25_topk`,
+    with the expensive exact-scoring pass run only on documents that
+    can still beat a score floor:
+
+    1. per-term upper bound ub_t = max posting contribution (a max of
+       the SAME computed doubles, so ub_t ≥ every contribution
+       exactly);
+    2. score floor θ = the k-th best exact score among documents
+       matching the RAREST query term (any k docs give a valid floor;
+       the rarest posting list is the cheapest source — if it has
+       fewer than k docs the floor disables itself);
+    3. prune: keep documents whose Σ matched-term ub_t ≥ θ − eps (the
+       eps absorbs float-summation-order ULPs, keeping the prune
+       conservative);
+    4. exact-score the survivors with the SAME expression and take
+       top-k (rounded score, id tie-break).
+
+    At 100 TB this is the difference between scoring every matching
+    posting and scoring the few documents competitive at rank k —
+    the pruning is a semi-join ON TOP of the postings relation, never
+    a second corpus scan."""
+    require_columns(docs, [id_column, text_column])
+    query_terms = tuple(t.lower() for t in query_terms)
+    toks = _tokens(text_column)
+    base = docs.select(id_column, F.explode(toks).alias("term"))
+    dl = base.groupBy(id_column).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    postings = (
+        base.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_column, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    half = F.lit(0.5)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + half) / (F.col("df") + half)
+    )
+    avgdl = F.col("dl_sum") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl") / avgdl
+    )
+    contribs = (
+        postings.join(dl, id_column)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_column, "term", (idf * F.col("tf") / denom).alias("t"))
+    )
+    # per-term upper bounds (|q| rows) — max of the same doubles
+    ubs = contribs.groupBy("term").agg(F.max("t").alias("ub"))
+    # the rarest query term (fewest postings, term tie-break)
+    rarest = df_t.orderBy(F.col("df").asc(), F.col("term").asc()).limit(1)
+    seed_ids = postings.join(
+        F.broadcast(rarest.select("term")), "term"
+    ).select(id_column)
+    seed_scores = (
+        contribs.join(F.broadcast(seed_ids), id_column)
+        .groupBy(id_column)
+        .agg(F.round(F.sum("t"), score_decimals).alias("score"))
+    )
+    theta = (
+        seed_scores.orderBy(F.col("score").desc(), F.col(id_column).asc())
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("n_seed"),
+            F.min("score").alias("kth"),
+        )
+        .select(
+            F.when(F.col("n_seed") >= k, F.col("kth"))
+            .otherwise(F.lit(-1e18))
+            .alias("theta")
+        )
+    )
+    cand = (
+        contribs.join(F.broadcast(ubs), "term")
+        .groupBy(id_column)
+        .agg(F.sum("ub").alias("ub_sum"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("ub_sum") >= F.col("theta") - F.lit(float(prune_eps)))
+        .select(id_column)
+    )
+    final = (
+        contribs.join(cand, id_column, "left_semi")
+        .groupBy(id_column)
+        .agg(F.round(F.sum("t"), score_decimals).alias("score"))
+    )
+    return final.orderBy(
+        F.col("score").desc(), F.col(id_column).asc()
+    ).limit(k)

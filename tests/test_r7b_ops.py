@@ -398,3 +398,29 @@ def test_group_sequential_null_effect_no_stop(spark):
     out = group_sequential_z(df, "look", "arm", "nt", "ns").collect()
     assert all(r["stop"] == 0 for r in out)
     assert all(r["z"] == 0.0 for r in out)
+
+
+# ------------------------------------------------------------ WAND BM25
+
+
+def test_wand_equals_exact_bm25(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from redshells_spark.text.bm25 import bm25_topk, bm25_wand_topk
+
+    terms = ("spark", "join", "hash")
+    got = bm25_wand_topk(docs, terms, k=12).collect()
+    want = bm25_topk(docs, terms, k=12).collect()
+    assert got == want  # lossless pruning: identical ranking
+
+
+def test_wand_floor_disables_when_seed_too_small(spark):
+    # a term matching fewer than k docs cannot set the floor; the
+    # result must still equal the exact ranking
+    rows = [(1, "rare common"), (2, "common common"), (3, "common x"), (4, "x y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from redshells_spark.text.bm25 import bm25_topk, bm25_wand_topk
+
+    terms = ("rare", "common")
+    got = bm25_wand_topk(docs, terms, k=3).collect()
+    want = bm25_topk(docs, terms, k=3).collect()
+    assert got == want
