@@ -196,6 +196,8 @@ HEADLINE = [
     "eb_shrunk_return_rates",
     "group_sequential_monitor",
     "bm25_wand_topk",
+    "cusum_daily_purchases",
+    "seasonal_naive_mase",
 ]
 
 

@@ -153,3 +153,57 @@ def mean_shift_changepoint_sql(
     SELECT {group}, CAST(n AS BIGINT) AS n_points, CAST(t AS BIGINT) AS cp_pos,
            mean_before, mean_after, (base - cost) / 10000.0 AS gain
     FROM best WHERE rn = 1"""
+
+
+def cusum_monitor(
+    series: DataFrame,
+    t_col: str,
+    n_col: str,
+    slack: int = 0,
+) -> DataFrame:
+    """Page's CUSUM control chart over an integer time series →
+    (t, v, cusum_pos, cusum_neg, threshold, flag).
+
+    The textbook recursion s_t = max(0, s_{t−1} + (x_t − μ0 − k)) is
+    not window-expressible, but its CLOSED FORM is: with
+    C_t = Σ_{i≤t}(x_i − μ0 − k),  s_t = C_t − min_{i≤t} C_i — a
+    running sum minus a running min, BOTH plain window functions over
+    the time-bounded series relation (the same trick that makes EWMA
+    relational in queries/analytics.py). μ0 is the exact integer mean
+    (Σx div n), deviations and both CUSUM sides stay int64, and the
+    Poissonish decision threshold 5·sqrt(μ0) is the only double.
+    Page 1954; the sequential drift monitor between the SPRT (known
+    alternatives) and Mann-Kendall (monotone trend)."""
+    s = series.select(
+        F.col(t_col).alias("t"), F.col(n_col).cast("long").alias("v")
+    )
+    mu = s.agg(F.expr("sum(v) div count(*)").cast("long").alias("mu0"))
+    s = s.crossJoin(F.broadcast(mu))
+    w = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sk = int(slack)
+    s = s.withColumn(
+        "cp", F.sum(F.col("v") - F.col("mu0") - F.lit(sk)).over(w).cast("long")
+    ).withColumn(
+        "cn", F.sum(F.col("mu0") - F.col("v") - F.lit(sk)).over(w).cast("long")
+    )
+    s = s.withColumn(
+        "cusum_pos",
+        (F.col("cp") - F.least(F.min("cp").over(w), F.lit(0))).cast("long"),
+    ).withColumn(
+        "cusum_neg",
+        (F.col("cn") - F.least(F.min("cn").over(w), F.lit(0))).cast("long"),
+    )
+    thr = F.round(F.lit(5.0) * F.sqrt(F.col("mu0").cast("double")), 6)
+    return s.select(
+        "t",
+        "v",
+        "cusum_pos",
+        "cusum_neg",
+        thr.alias("threshold"),
+        F.greatest(
+            (F.col("cusum_pos").cast("double") >= thr).cast("long"),
+            (F.col("cusum_neg").cast("double") >= thr).cast("long"),
+        ).alias("flag"),
+    ).orderBy("t")

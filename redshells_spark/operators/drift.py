@@ -401,3 +401,44 @@ def mann_kendall_trend(
         .otherwise(F.lit("none"))
         .alias("trend"),
     )
+
+
+def seasonal_naive_mase(
+    series: DataFrame,
+    t_col: str,
+    n_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """MASE-style seasonality check on an integer series → one row:
+    (n_terms, sae_seasonal, sae_naive, mase). Compares the seasonal-
+    naive forecast x̂_t = x_{t−season} against the one-step naive
+    x̂_t = x_{t−1} by summed absolute error over the index range where
+    both are defined; mase < 1 means the weekly (seasonal) structure
+    beats persistence — the quick 'is there real seasonality' gate
+    before any heavier model (Hyndman & Koehler 2006). The series must
+    be DENSE on ``t_col``; both error sums are exact int64 from one
+    self-join over the time-bounded relation."""
+    s = series.select(F.col(t_col).alias("t"), F.col(n_col).cast("long").alias("v"))
+    lag1 = s.select((F.col("t") + 1).alias("t"), F.col("v").alias("v1"))
+    lags = s.select(
+        (F.col("t") + int(season)).alias("t"), F.col("v").alias("vs")
+    )
+    j = s.join(lag1, "t").join(lags, "t")
+    out = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.abs(F.col("v") - F.col("vs"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.abs(F.col("v") - F.col("v1"))).cast("long").alias("sae_naive"),
+    )
+    return out.select(
+        "n_terms",
+        "sae_seasonal",
+        "sae_naive",
+        F.when(
+            F.col("sae_naive") > 0,
+            F.round(
+                F.col("sae_seasonal").cast("double")
+                / F.col("sae_naive").cast("double"),
+                6,
+            ),
+        ).alias("mase"),
+    )

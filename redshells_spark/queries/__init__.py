@@ -44,6 +44,8 @@ _FRONT = [
     # never-driver-sampled backlog names (oldest tiers first) = 44 of
     # 50 slots never sampled before.
     # --- round 7 session 2: new operators ---
+    "cusum_daily_purchases",  # r7b: NEW — Page's CUSUM via closed form
+    "seasonal_naive_mase",  # r7b: NEW — weekly-structure MASE gate
     "bm25_wand_topk",  # r7b: NEW — lossless upper-bound-pruned retrieval
     "containment_dedup_join",  # r7b: NEW — asymmetric onion-layer dedup
     "eb_shrunk_return_rates",  # r7b: NEW — beta-binomial rate shrinkage

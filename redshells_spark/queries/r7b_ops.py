@@ -888,3 +888,101 @@ def _bm25_wand_topk(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bm25_wand_topk(docs, ("spark", "hash", "stream"), k=15)
+
+
+# ------------------------------------------------- CUSUM + MASE
+
+_DAILY_PURCHASES_SQL = f"""days AS (SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS t
+                FROM events),
+       pc AS (SELECT epoch_us(ts) // {_DAY_US} AS t,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       s AS (SELECT d.t, CAST(coalesce(pc.v, 0) AS BIGINT) AS v
+             FROM days d LEFT JOIN pc USING (t))"""
+
+
+@q(
+    "cusum_daily_purchases",
+    f"""WITH {_DAILY_PURCHASES_SQL},
+       mu AS (SELECT CAST(sum(v) // count(*) AS BIGINT) AS mu0 FROM s),
+       c AS (SELECT s.t, s.v, m.mu0,
+            CAST(sum(s.v - m.mu0 - 0) OVER wt AS BIGINT) AS cp,
+            CAST(sum(m.mu0 - s.v - 0) OVER wt AS BIGINT) AS cn
+          FROM s CROSS JOIN mu m
+          WINDOW wt AS (ORDER BY s.t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       mm AS (SELECT t, v, mu0,
+            CAST(cp - least(min(cp) OVER wt, 0) AS BIGINT) AS cusum_pos,
+            CAST(cn - least(min(cn) OVER wt, 0) AS BIGINT) AS cusum_neg
+          FROM c
+          WINDOW wt AS (ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       ff AS (SELECT *, round(CAST(5.0 AS DOUBLE) * sqrt(CAST(mu0 AS DOUBLE)), 6)
+                        AS threshold
+              FROM mm)
+       SELECT t, v, cusum_pos, cusum_neg, threshold,
+              greatest(
+                CAST(CAST(cusum_pos AS DOUBLE) >= threshold AS BIGINT),
+                CAST(CAST(cusum_neg AS DOUBLE) >= threshold AS BIGINT)
+              ) AS flag
+       FROM ff ORDER BY t""",
+)
+def _cusum_daily_purchases(spark, sf_dir):
+    """Page's CUSUM over the dense daily purchase-count series: the
+    reset-at-zero recursion evaluated by its closed form (running
+    deviation cumsum minus running min — two plain windows over the
+    day relation, no iteration); both CUSUM sides stay exact int64 and
+    the only double is the 5·sqrt(mu0) decision threshold.
+    operators/changepoint.py:cusum_monitor."""
+    from redshells_spark.operators.changepoint import cusum_monitor
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", event_us(ev, "ts"))
+    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
+    pc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    series = days.join(pc, "t", "left").select(
+        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+    )
+    return cusum_monitor(series, "t", "v", slack=0)
+
+
+@q(
+    "seasonal_naive_mase",
+    f"""WITH {_DAILY_PURCHASES_SQL},
+       j AS (SELECT s.t, s.v, l1.v AS v1, ls.v AS vs
+             FROM s JOIN s l1 ON s.t = l1.t + 1
+                    JOIN s ls ON s.t = ls.t + 7),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                    CAST(sum(abs(v - vs)) AS BIGINT) AS sae_seasonal,
+                    CAST(sum(abs(v - v1)) AS BIGINT) AS sae_naive
+             FROM j)
+       SELECT n_terms, sae_seasonal, sae_naive,
+              CASE WHEN sae_naive > 0 THEN
+                round(CAST(sae_seasonal AS DOUBLE) / CAST(sae_naive AS DOUBLE), 6)
+              END AS mase
+       FROM a""",
+)
+def _seasonal_naive_mase(spark, sf_dir):
+    """Seasonal-naive vs one-step-naive absolute error on daily
+    purchases (MASE-style, Hyndman & Koehler 2006): mase < 1 certifies
+    weekly structure beats persistence before any heavier forecaster.
+    Exact int64 error sums over the time-bounded day relation.
+    operators/drift.py:seasonal_naive_mase."""
+    from redshells_spark.operators.drift import seasonal_naive_mase
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", event_us(ev, "ts"))
+    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
+    pc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    series = days.join(pc, "t", "left").select(
+        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+    )
+    return seasonal_naive_mase(series, "t", "v", season=7)

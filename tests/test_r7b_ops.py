@@ -424,3 +424,48 @@ def test_wand_floor_disables_when_seed_too_small(spark):
     got = bm25_wand_topk(docs, terms, k=3).collect()
     want = bm25_topk(docs, terms, k=3).collect()
     assert got == want
+
+
+# ------------------------------------------------------------ CUSUM / MASE
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    # the window closed form must equal Page's reset-at-zero recursion
+    vals = [5, 5, 6, 4, 5, 9, 9, 10, 9, 5, 5]
+    rows = [(t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    from redshells_spark.operators.changepoint import cusum_monitor
+
+    out = cusum_monitor(df, "t", "v", slack=0).collect()
+    mu0 = sum(vals) // len(vals)
+    sp = sn = 0
+    for r, v in zip(out, vals):
+        sp = max(0, sp + (v - mu0))
+        sn = max(0, sn + (mu0 - v))
+        assert r["cusum_pos"] == sp and r["cusum_neg"] == sn
+
+
+def test_cusum_flags_level_shift(spark):
+    rows = [(t, 10) for t in range(20)] + [(20 + t, 40) for t in range(10)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    from redshells_spark.operators.changepoint import cusum_monitor
+
+    out = cusum_monitor(df, "t", "v").collect()
+    # mu0 is the GLOBAL mean (20), so both regimes deviate from it:
+    # the first day hasn't accumulated enough yet, the tail has
+    assert out[0]["flag"] == 0
+    assert out[-1]["flag"] == 1  # shift accumulates past 5*sqrt(mu0)
+    # positive side reacts to the upward shift specifically
+    assert out[-1]["cusum_pos"] > out[19]["cusum_pos"]
+
+
+def test_mase_pure_weekly_signal(spark):
+    # perfectly 7-periodic series: seasonal error 0, naive error > 0
+    rows = [(t, 10 + (t % 7)) for t in range(28)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    from redshells_spark.operators.drift import seasonal_naive_mase
+
+    r = seasonal_naive_mase(df, "t", "v", season=7).collect()[0]
+    assert r["sae_seasonal"] == 0 and r["sae_naive"] > 0
+    assert r["mase"] == 0.0
+    assert r["n_terms"] == 21  # 28 days minus the 7-day burn-in

@@ -85,6 +85,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "qini_uplift_curve": "decile-boundary + cumulative windows over distinct per-user click-count scores, then 10 decile rows (level-table pattern)",
     "sprt_conversion_monitor": "cumulative-LLR window over days (time-bounded period relation)",
     "group_sequential_monitor": "look-index window over weeks (time-bounded look relation)",
+    "cusum_daily_purchases": "running sum/min windows over days (time-bounded period relation)",
     "neyman_allocation": "largest-remainder window over strata (event types)",
     # --- vocabulary / merge-table relations (bounded by the vocabulary)
     "vocab_coverage_curve": "occurrence-rank window over the token vocabulary",

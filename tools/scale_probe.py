@@ -132,17 +132,32 @@ PROBE_QUERIES_R6_GRAPH = [
 #   python tools/scale_probe.py run 100 /root/testdata/sf0.1 scale_data/sf10 r7
 #   python tools/scale_probe.py run 10  /root/testdata/sf0.1 scale_data/sf1  r7dedup
 PROBE_QUERIES_R7 = [
-    "knn_shapley_values",
     "kcenter_coreset",
     "greedy_max_coverage",
     "qini_uplift_curve",
     "attribution_revenue",
     "trimmed_mean_by_type",
     "sprt_conversion_monitor",
+    "bm25_wand_topk",
+    "eb_shrunk_return_rates",
 ]
 
+# factor-10 members, each with a reason it cannot run f100:
+# - prefix_filter_jaccard / containment_dedup_join: doc-level near-dup
+#   output density (the r6dedup corpus-artifact rule). Measured r7:
+#   containment OUTPUT grows 343x at factor 10 on this corpus (tiny
+#   shingle sets of a 31-token vocabulary are trivially contained in
+#   everything) while wall time grows 17.5x — per-output-row cost
+#   FALLS; the flag is output-bound, not a plan defect (the
+#   token_jaccard_join class);
+# - knn_shapley_values: the REGISTRY query derives the validation set
+#   proportionally (vec_id % 25), so the probe corpus makes |val|·N
+#   quadratic by construction — production pins |val| FIXED, which is
+#   the operator's linear contract (ml/valuation.py docstring).
 PROBE_QUERIES_R7_DEDUP = [
     "prefix_filter_jaccard",
+    "containment_dedup_join",
+    "knn_shapley_values",
 ]
 
 
