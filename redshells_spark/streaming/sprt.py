@@ -106,3 +106,35 @@ def run_sprt_ingest(stream: DataFrame, ingest: SprtIngest, query_name: str):
         )
         .start()
     )
+
+
+def cusum_from_sprt_state(ingest: SprtIngest, spark: SparkSession, slack: int = 0):
+    """Page's CUSUM over the SAME per-period success counts the SPRT
+    ingest maintains — one state, a second monitor (the drift triad
+    pattern of streaming/drift.py). Bit-identical to the batch
+    operator on the full log because the state IS the batch sufficient
+    statistic."""
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.changepoint import cusum_monitor
+
+    state = _read_or_empty(spark, ingest._p(), _STATE_SCHEMA)
+    return cusum_monitor(
+        state.select("period", F.col("n_success").alias("v")),
+        "period",
+        "v",
+        slack=slack,
+    )
+
+
+def trend_from_sprt_state(ingest: SprtIngest, spark: SparkSession):
+    """Mann-Kendall trend test over the maintained per-period success
+    counts — the third monitor from the same folded state."""
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.drift import mann_kendall_trend
+
+    state = _read_or_empty(spark, ingest._p(), _STATE_SCHEMA)
+    return mann_kendall_trend(
+        state.select("period", F.col("n_success").alias("v")), "period", "v"
+    )

@@ -77,3 +77,38 @@ def test_state_bounded_by_periods_not_events(spark, tmp_path):
     df = spark.createDataFrame(ROWS, SCHEMA)
     n_tv = df.filter(F.expr("event_type in ('view','purchase')")).count()
     assert total == n_tv
+
+
+def test_cusum_and_trend_from_same_state(spark, tmp_path):
+    # one folded state serves SPRT + CUSUM + Mann-Kendall, each equal
+    # to its batch operator on the full log
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.changepoint import cusum_monitor
+    from redshells_spark.operators.drift import mann_kendall_trend
+    from redshells_spark.streaming.sprt import (
+        cusum_from_sprt_state,
+        trend_from_sprt_state,
+    )
+
+    ingest = SprtIngest(
+        base_path=str(tmp_path / "state3"),
+        period_expr=f"us div {DAY}",
+        trial_expr="event_type in ('view','purchase')",
+        success_expr="event_type = 'purchase'",
+    )
+    ingest.process_batch(spark.createDataFrame(ROWS[:200], SCHEMA), 0)
+    ingest.process_batch(spark.createDataFrame(ROWS[200:], SCHEMA), 1)
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    series = (
+        df.filter(F.expr("event_type = 'purchase'"))
+        .groupBy(F.expr(f"us div {DAY}").cast("long").alias("period"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    got_c = cusum_from_sprt_state(ingest, spark).collect()
+    want_c = cusum_monitor(series, "period", "v").collect()
+    assert got_c == want_c
+    got_t = trend_from_sprt_state(ingest, spark).collect()
+    want_t = mann_kendall_trend(series, "period", "v").collect()
+    assert got_t == want_t
