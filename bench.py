@@ -198,6 +198,7 @@ HEADLINE = [
     "bm25_wand_topk",
     "cusum_daily_purchases",
     "seasonal_naive_mase",
+    "iv_wald_late",
 ]
 
 

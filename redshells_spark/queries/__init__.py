@@ -44,6 +44,7 @@ _FRONT = [
     # never-driver-sampled backlog names (oldest tiers first) = 44 of
     # 50 slots never sampled before.
     # --- round 7 session 2: new operators ---
+    "iv_wald_late",  # r7b: NEW — instrumental-variable LATE readout
     "cusum_daily_purchases",  # r7b: NEW — Page's CUSUM via closed form
     "seasonal_naive_mase",  # r7b: NEW — weekly-structure MASE gate
     "bm25_wand_topk",  # r7b: NEW — lossless upper-bound-pruned retrieval

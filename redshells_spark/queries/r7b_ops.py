@@ -986,3 +986,63 @@ def _seasonal_naive_mase(spark, sf_dir):
         "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
     )
     return seasonal_naive_mase(series, "t", "v", season=7)
+
+
+# ------------------------------------------------- IV / LATE
+
+
+@q(
+    "iv_wald_late",
+    f"""WITH u AS (SELECT user_id,
+            CAST(user_id % 2 AS BIGINT) AS z,
+            max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS d,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN {_CENTS_SQL}
+                          ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+       a AS (SELECT
+            CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_z1,
+            CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z0,
+            CAST(sum(CASE WHEN z = 1 THEN d ELSE 0 END) AS BIGINT) AS d_z1,
+            CAST(sum(CASE WHEN z = 0 THEN d ELSE 0 END) AS BIGINT) AS d_z0,
+            CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS y_z1,
+            CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS y_z0
+          FROM u),
+       f AS (SELECT *,
+            CAST(y_z1 AS DOUBLE) / CAST(n_z1 AS DOUBLE)
+              - CAST(y_z0 AS DOUBLE) / CAST(n_z0 AS DOUBLE) AS itt,
+            CAST(d_z1 AS DOUBLE) / CAST(n_z1 AS DOUBLE)
+              - CAST(d_z0 AS DOUBLE) / CAST(n_z0 AS DOUBLE) AS fs
+          FROM a)
+       SELECT n_z1, n_z0,
+              round(CAST(d_z1 AS DOUBLE) / CAST(n_z1 AS DOUBLE), 6) AS take_up_z1,
+              round(CAST(d_z0 AS DOUBLE) / CAST(n_z0 AS DOUBLE), 6) AS take_up_z0,
+              round(fs, 6) AS first_stage,
+              round(itt, 6) AS itt_cents,
+              CASE WHEN fs <> CAST(0 AS DOUBLE)
+                   THEN round(itt / fs, 6) END AS late_cents
+       FROM f""",
+)
+def _iv_wald_late(spark, sf_dir):
+    """Wald IV / LATE readout (Angrist & Imbens 1994): instrument =
+    user parity (the deterministic stand-in for randomized
+    encouragement), treatment = signed up, outcome = purchase cents —
+    the estimator for randomized-assignment-imperfect-compliance,
+    completing the causal family (DiD, RD, stratified ATE, IV). Six
+    exact int64 cells from one pass.
+    operators/experiment.py:iv_wald_estimate."""
+    from redshells_spark.operators.experiment import cents, iv_wald_estimate
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("d"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("z", (F.col("user_id") % 2).cast("long"))
+    )
+    return iv_wald_estimate(u, "z", "d", "y")

@@ -469,3 +469,36 @@ def test_mase_pure_weekly_signal(spark):
     assert r["sae_seasonal"] == 0 and r["sae_naive"] > 0
     assert r["mase"] == 0.0
     assert r["n_terms"] == 21  # 28 days minus the 7-day burn-in
+
+
+# ------------------------------------------------------------ IV / LATE
+
+
+def test_iv_wald_hand_value(spark):
+    # encouraged arm takes up at 0.8, control at 0.2; outcome is
+    # 100 cents per treated unit and 0 otherwise:
+    # ITT = 80 - 20 = 60, first stage = 0.6, LATE = 100 exactly
+    rows = []
+    for i in range(10):
+        d = 1 if i < 8 else 0
+        rows.append((1, d, 100 * d))  # z=1
+    for i in range(10):
+        d = 1 if i < 2 else 0
+        rows.append((0, d, 100 * d))  # z=0
+    df = spark.createDataFrame(rows, "z long, d int, y long")
+    from redshells_spark.operators.experiment import iv_wald_estimate
+
+    r = iv_wald_estimate(df, "z", "d", "y").collect()[0]
+    assert r["first_stage"] == pytest.approx(0.6)
+    assert r["itt_cents"] == pytest.approx(60.0)
+    assert r["late_cents"] == pytest.approx(100.0)
+
+
+def test_iv_wald_null_instrument(spark):
+    # identical take-up in both arms -> first stage 0 -> LATE NULL
+    rows = [(z, 1, 100) for z in (0, 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, "z long, d int, y long")
+    from redshells_spark.operators.experiment import iv_wald_estimate
+
+    r = iv_wald_estimate(df, "z", "d", "y").collect()[0]
+    assert r["first_stage"] == 0.0 and r["late_cents"] is None
