@@ -346,3 +346,81 @@ def partition_modularity(
         F.round(F.sum("q_term"), 6).alias("q_term"),
     ).select(F.lit("__total__").alias("community"), "internal_arcs", "degree_sum", "q_term")
     return per.unionByName(total_row).orderBy("community")
+
+
+def min_label_propagation(
+    edges: DataFrame, rounds: int = 3, checkpoint_every: int = 2
+) -> DataFrame:
+    """Deterministic label propagation: every node starts labeled with
+    its own id and each synchronous round takes the MIN label over
+    itself and its in-neighbors. With min() as the combiner the fix
+    point is connected components; a bounded round count gives the
+    radius-k community structure (the deterministic variant of
+    Raghavan et al. 2007 — mode-with-random-ties is not reproducible
+    across engines, min is).
+
+    Scale shape: each round is one co-partitioned hash join edge⋈label
+    plus one min-combine groupBy — the relational Pregel step, same as
+    :func:`pagerank`. Labels are checkpointed every ``checkpoint_every``
+    rounds to truncate lineage. → (node, lab) after ``rounds``."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    lab = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("lab", F.col("node"))
+    )
+    for it in range(rounds):
+        msgs = edges.join(
+            lab.withColumnRenamed("node", "src"), on="src"
+        ).select(F.col("dst").alias("node"), "lab")
+        lab = (
+            msgs.unionByName(lab.select("node", "lab"))
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            lab = lab.localCheckpoint(eager=True)
+    return lab
+
+
+def katz_walk_counts(edges: DataFrame, weights: tuple = (16, 4, 1)) -> DataFrame:
+    """Truncated Katz centrality with attenuation beta = 1/4 kept as
+    EXACT integer walk counts: w_k(i) = number of length-k walks ending
+    at i, and katz_x64 = 16*w1 + 4*w2 + w3 = 4^3 * sum(beta^k w_k) —
+    the integer-scaled 3-term Katz score (Katz 1953). No double ever
+    appears; walk counts are plain groupBy sums chained through two
+    hash joins (A^T applied twice to the degree vector).
+
+    → (node, w1, w2, w3, katz_x64). int64 holds to ~1e5 average degree
+    (w3 <= E * dmax^2); beyond that widen to decimal(38,0)."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    w1 = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w1")
+    )
+    w2 = (
+        edges.join(w1.withColumnRenamed("node", "src"), on="src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("w1").cast("long").alias("w2"))
+    )
+    w3 = (
+        edges.join(w2.withColumnRenamed("node", "src"), on="src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("w2").cast("long").alias("w3"))
+    )
+    return (
+        w1.join(w2, on="node")
+        .join(w3, on="node")
+        .select(
+            "node",
+            "w1",
+            "w2",
+            "w3",
+            (
+                F.lit(int(weights[0])) * F.col("w1")
+                + F.lit(int(weights[1])) * F.col("w2")
+                + F.lit(int(weights[2])) * F.col("w3")
+            )
+            .cast("long")
+            .alias("katz_x64"),
+        )
+    )

@@ -32,6 +32,7 @@ from redshells_spark.queries import r6d_ops  # noqa: F401,E402
 from redshells_spark.queries import r6e_ops  # noqa: F401,E402
 from redshells_spark.queries import r7_ops  # noqa: F401,E402
 from redshells_spark.queries import r7b_ops  # noqa: F401,E402
+from redshells_spark.queries import r7c_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -39,10 +40,25 @@ from redshells_spark.queries import r7b_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # ================= ROUND-7 WINDOW (first 50 = driver correctness
-    # gate). Composition per the r6 verdict's rotation ask: 10 NEW
-    # round-7 queries + 6 changed-since-r6 re-verifications + 34
-    # never-driver-sampled backlog names (oldest tiers first) = 44 of
-    # 50 slots never sampled before.
+    # gate). Composition per the r6 verdict's rotation ask: 40 NEW
+    # round-7 queries (13 r7c + 17 r7b + 10 r7) + 6 changed-since-r6
+    # re-verifications + 4 never-driver-sampled TPC-H backlog names =
+    # 44 of 50 slots never sampled before (the remaining TPC-H/window
+    # backlog stays queued right behind the cut for round 8).
+    # --- round 7 session 3: new operators ---
+    "nelson_aalen_hazard",  # r7c: NEW — integer-exact cumulative hazard
+    "log_rank_churn",  # r7c: NEW — two-sample survival test, e9-quantized
+    "pareto_frontier_spend",  # r7c: NEW — level-table exact skyline
+    "ams_f2_join_size",  # r7c: NEW — tug-of-war F2 sketch vs exact
+    "grouped_pca_2d",  # r7c: NEW — closed-form eigen from int moments
+    "label_propagation_communities",  # r7c: NEW — deterministic min-LPA
+    "katz_centrality_paths",  # r7c: NEW — exact integer walk counts
+    "pinball_forecast_eval",  # r7c: NEW — quantile-loss forecast grading
+    "l_diversity_audit",  # r7c: NEW — entropy l-diversity release gate
+    "good_turing_bigrams",  # r7c: NEW — GT smoothing level table
+    "zipf_law_fit",  # r7c: NEW — e6-quantized log-log OLS
+    "frequent_event_sequences",  # r7c: NEW — first-occurrence order motifs
+    "quantile_treatment_effect",  # r7c: NEW — per-arm exact decile QTE
     # --- round 7 session 2: new operators ---
     "iv_wald_late",  # r7b: NEW — instrumental-variable LATE readout
     "cusum_daily_purchases",  # r7b: NEW — Page's CUSUM via closed form

@@ -86,6 +86,10 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "sprt_conversion_monitor": "cumulative-LLR window over days (time-bounded period relation)",
     "group_sequential_monitor": "look-index window over weeks (time-bounded look relation)",
     "cusum_daily_purchases": "running sum/min windows over days (time-bounded period relation)",
+    "nelson_aalen_hazard": "at-risk/cumulative-hazard windows over distinct lifetime hours (bounded by the observation window, not user count)",
+    "log_rank_churn": "at-risk windows over distinct lifetime hours (bounded by the observation window, not user count)",
+    "pareto_frontier_spend": "suffix-max window over the order-count LEVEL table (bounded by per-customer order multiplicity, never customer count)",
+    "ams_f2_join_size": "median-rank window over the 16 sketch replicas",
     "neyman_allocation": "largest-remainder window over strata (event types)",
     # --- vocabulary / merge-table relations (bounded by the vocabulary)
     "vocab_coverage_curve": "occurrence-rank window over the token vocabulary",
