@@ -199,6 +199,29 @@ HEADLINE = [
     "cusum_daily_purchases",
     "seasonal_naive_mase",
     "iv_wald_late",
+    # round 7 session 3: survival / skyline / graph / causal batch
+    "nelson_aalen_hazard",
+    "log_rank_churn",
+    "pareto_frontier_spend",
+    "ams_f2_join_size",
+    "grouped_pca_2d",
+    "label_propagation_communities",
+    "katz_centrality_paths",
+    "pinball_forecast_eval",
+    "l_diversity_audit",
+    "good_turing_bigrams",
+    "zipf_law_fit",
+    "frequent_event_sequences",
+    "quantile_treatment_effect",
+    # round 7 session 3: product/marketing analytics batch
+    "markov_attribution",
+    "rfm_segmentation",
+    "growth_accounting_weekly",
+    "dau_mau_stickiness",
+    "weekday_seasonal_outliers",
+    "price_elasticity_by_flag",
+    "mcnemar_rule_compare",
+    "source_token_kl",
 ]
 
 

@@ -33,6 +33,7 @@ from redshells_spark.queries import r6e_ops  # noqa: F401,E402
 from redshells_spark.queries import r7_ops  # noqa: F401,E402
 from redshells_spark.queries import r7b_ops  # noqa: F401,E402
 from redshells_spark.queries import r7c_ops  # noqa: F401,E402
+from redshells_spark.queries import r7d_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -40,11 +41,21 @@ from redshells_spark.queries import r7c_ops  # noqa: F401,E402
 # returned dicts, everything else keeping registration (file) order.
 _FRONT = [
     # ================= ROUND-7 WINDOW (first 50 = driver correctness
-    # gate). Composition per the r6 verdict's rotation ask: 40 NEW
-    # round-7 queries (13 r7c + 17 r7b + 10 r7) + 6 changed-since-r6
-    # re-verifications + 4 never-driver-sampled TPC-H backlog names =
-    # 44 of 50 slots never sampled before (the remaining TPC-H/window
-    # backlog stays queued right behind the cut for round 8).
+    # gate). Composition per the r6 verdict's rotation ask: 44 NEW
+    # round-7 queries (8 r7d + 13 r7c + 17 r7b + 6 r7) + 6
+    # changed-since-r6 re-verifications = 44 of 50 slots never sampled
+    # before (4 more r7 names and the TPC-H/window backlog sit right
+    # behind the cut, all verified in the committed differential logs;
+    # they rotate in next round).
+    # --- round 7 session 3 batch 4: new operators ---
+    "markov_attribution",  # r7d: NEW — removal-effect channel credit
+    "rfm_segmentation",  # r7d: NEW — exact quintile RFM cube
+    "growth_accounting_weekly",  # r7d: NEW — new/retained/resurrected/churned
+    "dau_mau_stickiness",  # r7d: NEW — integer e6 engagement ratio
+    "weekday_seasonal_outliers",  # r7d: NEW — median+MAD seasonal flags
+    "price_elasticity_by_flag",  # r7d: NEW — log-log integer OLS
+    "mcnemar_rule_compare",  # r7d: NEW — paired filter significance
+    "source_token_kl",  # r7d: NEW — lexical drift per source
     # --- round 7 session 3: new operators ---
     "nelson_aalen_hazard",  # r7c: NEW — integer-exact cumulative hazard
     "log_rank_churn",  # r7c: NEW — two-sample survival test, e9-quantized
@@ -82,12 +93,8 @@ _FRONT = [
     "propensity_stratified_ate",  # r7: NEW — subclassification causal effect
     "diff_in_diff",  # r7: NEW — two-period two-group DiD readout
     "cuped_adjusted_metrics",  # r7: NEW — CUPED variance-reduced A/B means
-    "autocorrelation_lags",  # r7: NEW — daily-count ACF, dense zero-filled
     "kaplan_meier_churn",  # r7: NEW — right-censored survival curve
-    "frechet_embedding_distance",  # r7: NEW — diagonal-FID distribution drift
-    "heaps_law_fit",  # r7: NEW — vocabulary-growth log-log OLS
     "graph_modularity",  # r7: NEW — Newman Q of the nation partition
-    "brier_decomposition",  # r7: NEW — Murphy REL/RES/UNC calibration split
     # --- changed since the r6 window: re-verify through the driver ---
     "prefix_filter_jaccard",  # ppjoin rewritten: positional filter, no corpus broadcast
     "knn_graph_nn_descent",  # k-NN graph now persists via param-hash target
@@ -95,6 +102,10 @@ _FRONT = [
     "time_to_convert_quantiles",  # converted to data/sharding.distributed_rank
     "customer_spend_quartiles",  # same conversion (also never sampled before)
     "dsir_importance_weights",  # top-k resample now per-partition pruned
+    "brier_decomposition",  # r7: NEW — Murphy REL/RES/UNC calibration split
+    "heaps_law_fit",  # r7: NEW — vocabulary-growth log-log OLS
+    "frechet_embedding_distance",  # r7: NEW — diagonal-FID distribution drift
+    "autocorrelation_lags",  # r7: NEW — daily-count ACF, dense zero-filled
     # --- rotation: never-driver-sampled backlog, oldest tiers first ---
     "q2_min_balance_supplier",  # TPC-H q2 correlated-min join
     "q4_late_shipments_exists",  # TPC-H q4 EXISTS semi-join

@@ -200,3 +200,79 @@ def test_quantile_treatment_effect_decile_monotone(spark):
     assert qts == sorted(qts) and qcs == sorted(qcs)
     for r in rows:
         assert r["qte_e2"] == r["q_treat_e2"] - r["q_ctrl_e2"]
+
+
+# --------------------------------------------- Markov attribution
+
+
+def test_markov_journey_transition_counts(spark):
+    from redshells_spark.operators.markov import journey_transition_counts
+
+    rows = [
+        (1, "view", 10, 100), (1, "click", 20, 101), (1, "purchase", 30, 102),
+        (2, "view", 10, 200), (2, "purchase", 20, 201),
+        (3, "view", 10, 300),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long, event_id long"
+    )
+    cnt = {
+        (r["src"], r["dst"]): r["c"]
+        for r in journey_transition_counts(ev).collect()
+    }
+    assert cnt == {
+        ("start", "view"): 3,
+        ("view", "click"): 1,
+        ("click", "conv"): 1,
+        ("view", "conv"): 1,
+        ("view", "null"): 1,
+    }
+
+
+def test_markov_removal_effects_hand_chain(spark):
+    from redshells_spark.operators.markov import (
+        journey_transition_counts,
+        removal_effect_attribution,
+    )
+
+    rows = [
+        (1, "view", 10, 100), (1, "click", 20, 101), (1, "purchase", 30, 102),
+        (2, "view", 10, 200), (2, "purchase", 20, 201),
+        (3, "view", 10, 300),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long, event_id long"
+    )
+    cnt = journey_transition_counts(ev)
+    out = {
+        r["channel"]: r
+        for r in removal_effect_attribution(
+            spark, cnt, ["view", "click"], horizon=16
+        ).collect()
+    }
+    # base chain: P(conv) = 1/3 + 1/3 = 2/3; cutting click loses half
+    # of it; cutting view loses everything
+    assert out["view"]["pc_base"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["click"]["pc_removed"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["view"]["pc_removed"] == pytest.approx(0.0, abs=1e-9)
+    assert out["view"]["removal_effect"] == pytest.approx(1.0, abs=1e-6)
+    assert out["click"]["removal_effect"] == pytest.approx(0.5, abs=1e-6)
+    assert out["view"]["attribution_share"] == pytest.approx(2 / 3, abs=1e-5)
+    assert out["click"]["attribution_share"] == pytest.approx(1 / 3, abs=1e-5)
+
+
+def test_rfm_segment_invariants(spark):
+    from redshells_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["rfm_segmentation"](spark, sf).collect()
+    n_cust = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        for k in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[k] <= 5

@@ -90,6 +90,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "log_rank_churn": "at-risk windows over distinct lifetime hours (bounded by the observation window, not user count)",
     "pareto_frontier_spend": "suffix-max window over the order-count LEVEL table (bounded by per-customer order multiplicity, never customer count)",
     "ams_f2_join_size": "median-rank window over the 16 sketch replicas",
+    "weekday_seasonal_outliers": "MAD cumulative-weight window over the |residual|-COUNT level table (bounded by the daily-count value domain, not day rows)",
     "neyman_allocation": "largest-remainder window over strata (event types)",
     # --- vocabulary / merge-table relations (bounded by the vocabulary)
     "vocab_coverage_curve": "occurrence-rank window over the token vocabulary",
