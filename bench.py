@@ -222,6 +222,12 @@ HEADLINE = [
     "price_elasticity_by_flag",
     "mcnemar_rule_compare",
     "source_token_kl",
+    # round 7 session 3: clustering-eval / calibration / inequality
+    "adjusted_rand_index",
+    "nmi_clusterings",
+    "centroid_silhouette",
+    "spiegelhalter_z",
+    "theil_atkinson_inequality",
 ]
 
 

@@ -34,6 +34,7 @@ from redshells_spark.queries import r7_ops  # noqa: F401,E402
 from redshells_spark.queries import r7b_ops  # noqa: F401,E402
 from redshells_spark.queries import r7c_ops  # noqa: F401,E402
 from redshells_spark.queries import r7d_ops  # noqa: F401,E402
+from redshells_spark.queries import r7e_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -42,11 +43,17 @@ from redshells_spark.queries import r7d_ops  # noqa: F401,E402
 _FRONT = [
     # ================= ROUND-7 WINDOW (first 50 = driver correctness
     # gate). Composition per the r6 verdict's rotation ask: 44 NEW
-    # round-7 queries (8 r7d + 13 r7c + 17 r7b + 6 r7) + 6
+    # round-7 queries (5 r7e + 8 r7d + 13 r7c + 12 r7b + 6 r7) + 6
     # changed-since-r6 re-verifications = 44 of 50 slots never sampled
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 3 batch 5: new operators ---
+    "adjusted_rand_index",  # r7e: NEW — chance-corrected partition agreement
+    "nmi_clusterings",  # r7e: NEW — normalized mutual information
+    "centroid_silhouette",  # r7e: NEW — O(N*k) simplified silhouette
+    "spiegelhalter_z",  # r7e: NEW — global calibration significance
+    "theil_atkinson_inequality",  # r7e: NEW — entropy inequality indices
     # --- round 7 session 3 batch 4: new operators ---
     "markov_attribution",  # r7d: NEW — removal-effect channel credit
     "rfm_segmentation",  # r7d: NEW — exact quintile RFM cube
@@ -83,11 +90,6 @@ _FRONT = [
     "trimmed_mean_by_type",  # r7b: NEW — exact trimmed/winsorized means
     "delta_method_ratio_ci",  # r7b: NEW — ratio-metric delta-method CI
     "switchback_readout",  # r7b: NEW — time-split arms, cluster-robust SE
-    "regression_discontinuity",  # r7b: NEW — sharp RD local-linear jump
-    "neyman_allocation",  # r7b: NEW — minimum-variance sample allocation
-    "attribution_revenue",  # r7b: NEW — first/last/linear multi-touch credit
-    "ab_power_mde",  # r7b: NEW — pre-experiment MDE planning table
-    "mann_kendall_purchases",  # r7b: NEW — tie-corrected trend test
     # --- round 7: new operators ---
     "ips_policy_value",  # r7: NEW — clipped IPS/SNIPS off-policy value
     "propensity_stratified_ate",  # r7: NEW — subclassification causal effect
@@ -102,6 +104,11 @@ _FRONT = [
     "time_to_convert_quantiles",  # converted to data/sharding.distributed_rank
     "customer_spend_quartiles",  # same conversion (also never sampled before)
     "dsir_importance_weights",  # top-k resample now per-partition pruned
+    "regression_discontinuity",  # r7b: NEW — sharp RD local-linear jump
+    "neyman_allocation",  # r7b: NEW — minimum-variance sample allocation
+    "attribution_revenue",  # r7b: NEW — first/last/linear multi-touch credit
+    "ab_power_mde",  # r7b: NEW — pre-experiment MDE planning table
+    "mann_kendall_purchases",  # r7b: NEW — tie-corrected trend test
     "brier_decomposition",  # r7: NEW — Murphy REL/RES/UNC calibration split
     "heaps_law_fit",  # r7: NEW — vocabulary-growth log-log OLS
     "frechet_embedding_distance",  # r7: NEW — diagonal-FID distribution drift
