@@ -228,6 +228,24 @@ HEADLINE = [
     "centroid_silhouette",
     "spiegelhalter_z",
     "theil_atkinson_inequality",
+    # round 7 session 4: distributional-distance / robust-statistics
+    "emd_price_histogram",
+    "t_closeness_audit",
+    "mmd_label_shift",
+    "cramers_v_matrix",
+    "kendall_tau_by_flag",
+    "gpd_tail_fit",
+    "chao1_vocab_richness",
+    "friedman_event_types",
+    "bh_fdr_return_rates",
+    "procrustes_embedding_align",
+    "local_clustering_coefficient",
+    "degree_assortativity",
+    "link_prediction_scores",
+    "yule_k_diversity",
+    "token_burstiness_topk",
+    "page_hinkley_drift",
+    "theils_u_matrix",
 ]
 
 

@@ -35,6 +35,8 @@ from redshells_spark.queries import r7b_ops  # noqa: F401,E402
 from redshells_spark.queries import r7c_ops  # noqa: F401,E402
 from redshells_spark.queries import r7d_ops  # noqa: F401,E402
 from redshells_spark.queries import r7e_ops  # noqa: F401,E402
+from redshells_spark.queries import r7f_ops  # noqa: F401,E402
+from redshells_spark.queries import r7g_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -48,6 +50,25 @@ _FRONT = [
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 4 batch 7: graph/diversity/drift tier ---
+    "local_clustering_coefficient",  # r7g: NEW — per-node lcc + network avg
+    "degree_assortativity",  # r7g: NEW — endpoint-degree Pearson r
+    "link_prediction_scores",  # r7g: NEW — CN / Jaccard / Adamic-Adar top-k
+    "yule_k_diversity",  # r7g: NEW — length-invariant repeat rate per lang
+    "token_burstiness_topk",  # r7g: NEW — tf/df concentration signal
+    "page_hinkley_drift",  # r7g: NEW — running-mean drift monitor
+    "theils_u_matrix",  # r7g: NEW — asymmetric categorical association
+    # --- round 7 session 4 batch 6: distributional-distance tier ---
+    "emd_price_histogram",  # r7f: NEW — exact 1-D Wasserstein over 1000 buckets
+    "t_closeness_audit",  # r7f: NEW — EMD-based privacy release gate
+    "mmd_label_shift",  # r7f: NEW — linear-kernel MMD embedding drift
+    "cramers_v_matrix",  # r7f: NEW — categorical association profile
+    "kendall_tau_by_flag",  # r7f: NEW — tau-b via joint level-table algebra
+    "gpd_tail_fit",  # r7f: NEW — peaks-over-threshold GPD moments
+    "chao1_vocab_richness",  # r7f: NEW — unseen-vocabulary estimate per lang
+    "friedman_event_types",  # r7f: NEW — within-user rank test across types
+    "bh_fdr_return_rates",  # r7f: NEW — BH step-up over per-nation z-tests
+    "procrustes_embedding_align",  # r7f: NEW — closed-form 2-D rotation readout
     # --- round 7 session 3 batch 5: new operators ---
     "adjusted_rand_index",  # r7e: NEW — chance-corrected partition agreement
     "nmi_clusterings",  # r7e: NEW — normalized mutual information

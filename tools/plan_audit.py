@@ -109,6 +109,13 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "lsh_parameter_plan": "window over the (bands, rows) parameter grid",
     "compaction_plan": "bin-packing prefix window over the file manifest (metadata-scale)",
     "rag_context_pack": "greedy-pack window over the per-query top-ranked chunks",
+    # --- round-7 batch-7 drift tier
+    "page_hinkley_drift": "running mean/min windows over days (time-bounded period relation)",
+    # --- round-7 batch-6 distributional tier: value-domain level tables
+    "emd_price_histogram": "CDF window over <=1000 fixed price-histogram buckets",
+    "t_closeness_audit": "global-decile cumsum over a 10-row bucket level table",
+    "gpd_tail_fit": "threshold-selection window over distinct dollar values of a bounded price domain",
+    "bh_fdr_return_rates": "rank/step-up windows over the 25-row nation level table",
     # --- bounded candidate sets from map-side pruning
     "dsir_importance_weights": "top-k window over per-partition-pruned candidates (<= k*P rows)",
     # --- reference-parity composites: the reference's own id-map /
