@@ -246,6 +246,12 @@ HEADLINE = [
     "token_burstiness_topk",
     "page_hinkley_drift",
     "theils_u_matrix",
+    "holt_linear_forecast",
+    "zonemap_prune_report",
+    "doc_length_emd_by_source",
+    "vocab_oov_rate",
+    "effect_size_by_segment",
+    "mcc_threshold_scan",
 ]
 
 

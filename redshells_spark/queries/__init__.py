@@ -37,6 +37,7 @@ from redshells_spark.queries import r7d_ops  # noqa: F401,E402
 from redshells_spark.queries import r7e_ops  # noqa: F401,E402
 from redshells_spark.queries import r7f_ops  # noqa: F401,E402
 from redshells_spark.queries import r7g_ops  # noqa: F401,E402
+from redshells_spark.queries import r7h_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -50,6 +51,13 @@ _FRONT = [
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 4 batch 8: forecasting/layout/eval tier ---
+    "holt_linear_forecast",  # r7h: NEW — double exponential smoothing, engine-exact
+    "zonemap_prune_report",  # r7h: NEW — data-skipping layout readout
+    "doc_length_emd_by_source",  # r7h: NEW — pairwise source drift matrix
+    "vocab_oov_rate",  # r7h: NEW — tokenizer coverage per lang
+    "effect_size_by_segment",  # r7h: NEW — Cohen's d / Hedges' g
+    "mcc_threshold_scan",  # r7h: NEW — imbalance-honest threshold pick
     # --- round 7 session 4 batch 7: graph/diversity/drift tier ---
     "local_clustering_coefficient",  # r7g: NEW — per-node lcc + network avg
     "degree_assortativity",  # r7g: NEW — endpoint-degree Pearson r

@@ -109,6 +109,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "lsh_parameter_plan": "window over the (bands, rows) parameter grid",
     "compaction_plan": "bin-packing prefix window over the file manifest (metadata-scale)",
     "rag_context_pack": "greedy-pack window over the per-query top-ranked chunks",
+    # --- round-7 batch-8 forecasting/eval tier
+    "mcc_threshold_scan": "window over the distinct score-level table (pr_curve idiom)",
     # --- round-7 batch-7 drift tier
     "page_hinkley_drift": "running mean/min windows over days (time-bounded period relation)",
     # --- round-7 batch-6 distributional tier: value-domain level tables
