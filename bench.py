@@ -252,6 +252,11 @@ HEADLINE = [
     "vocab_oov_rate",
     "effect_size_by_segment",
     "mcc_threshold_scan",
+    "wilcoxon_signed_rank",
+    "cochran_q_event_types",
+    "runs_test_daily",
+    "rmst_churn",
+    "ljung_box_daily",
 ]
 
 

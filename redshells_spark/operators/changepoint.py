@@ -207,3 +207,61 @@ def cusum_monitor(
             (F.col("cusum_neg").cast("double") >= thr).cast("long"),
         ).alias("flag"),
     ).orderBy("t")
+
+
+def page_hinkley_monitor(
+    series: DataFrame,
+    t_col: str,
+    n_col: str,
+) -> DataFrame:
+    """Page-Hinkley upward-drift monitor over an integer time series →
+    (t, v, m_e6, ph_e6, threshold_e6, alarm).
+
+    m_t = Σ_{i≤t}(x_i − x̄_i) with the RUNNING mean folded to exact
+    integers per step (x·1e6 − cum·1e6 div i), and
+    PH_t = m_t − min_{s≤t} m_s — the reset-free closed form of the
+    drift statistic (Page 1954), two plain windows over the
+    time-bounded series relation just like :func:`cusum_monitor`.
+    All chart columns are exact int64; the alarm threshold
+    5·sqrt(μ0)·1e6 is the only double."""
+    require_columns(series, [t_col, n_col])
+    s = series.select(
+        F.col(t_col).alias("t"), F.col(n_col).cast("long").alias("v")
+    )
+    mu = s.agg(F.expr("cast(sum(v) div count(*) as long)").alias("mu0"))
+    wt = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = s.select(
+        "t",
+        "v",
+        F.sum("v").over(wt).cast("long").alias("cum"),
+        F.row_number().over(Window.orderBy(F.col("t").asc())).cast("long").alias("i"),
+    )
+    m = c.select(
+        "t",
+        "v",
+        F.sum(F.expr("v * 1000000 - (cum * 1000000 div i)"))
+        .over(wt)
+        .cast("long")
+        .alias("m_e6"),
+    )
+    ph = m.select(
+        "t",
+        "v",
+        "m_e6",
+        (F.col("m_e6") - F.min("m_e6").over(wt)).cast("long").alias("ph_e6"),
+    )
+    thr = F.lit(5.0) * F.sqrt(F.col("mu0").cast("double")) * F.lit(1000000.0)
+    return (
+        ph.crossJoin(F.broadcast(mu))
+        .select(
+            "t",
+            "v",
+            "m_e6",
+            "ph_e6",
+            F.round(thr, 6).alias("threshold_e6"),
+            (F.col("ph_e6").cast("double") > thr).cast("long").alias("alarm"),
+        )
+        .orderBy("t")
+    )

@@ -38,6 +38,7 @@ from redshells_spark.queries import r7e_ops  # noqa: F401,E402
 from redshells_spark.queries import r7f_ops  # noqa: F401,E402
 from redshells_spark.queries import r7g_ops  # noqa: F401,E402
 from redshells_spark.queries import r7h_ops  # noqa: F401,E402
+from redshells_spark.queries import r7i_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -51,6 +52,12 @@ _FRONT = [
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 4 batch 9: nonparametric tests / survival ---
+    "wilcoxon_signed_rank",  # r7i: NEW — paired rank test, tie-corrected
+    "cochran_q_event_types",  # r7i: NEW — binary-reach treatment test
+    "runs_test_daily",  # r7i: NEW — Wald-Wolfowitz serial dependence
+    "rmst_churn",  # r7i: NEW — area under the KM curve to tau
+    "ljung_box_daily",  # r7i: NEW — portmanteau white-noise gate
     # --- round 7 session 4 batch 8: forecasting/layout/eval tier ---
     "holt_linear_forecast",  # r7h: NEW — double exponential smoothing, engine-exact
     "zonemap_prune_report",  # r7h: NEW — data-skipping layout readout

@@ -451,7 +451,12 @@ def _page_hinkley_drift(spark, sf_dir):
     min_s<=t m_s via one running-min window — the reset-free closed
     form, no recursion. All chart columns exact int64; the only double
     is the 5*sqrt(mu0) alarm threshold. Windows run over the
-    day-level relation (time-bounded, never fact-scale)."""
+    day-level relation (time-bounded, never fact-scale).
+    operators/changepoint.py:page_hinkley_monitor; the same monitor
+    runs from the streaming SPRT ingest state
+    (streaming/sprt.py:page_hinkley_from_sprt_state, parity-pinned)."""
+    from redshells_spark.operators.changepoint import page_hinkley_monitor
+
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("us", event_us(ev, "ts"))
     days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
@@ -463,43 +468,7 @@ def _page_hinkley_drift(spark, sf_dir):
     s = days.join(pc, "t", "left").select(
         "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
     )
-    mu = s.agg(F.expr("cast(sum(v) div count(*) as long)").alias("mu0"))
-    wt = Window.orderBy(F.col("t").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    c = s.select(
-        "t",
-        "v",
-        F.sum("v").over(wt).cast("long").alias("cum"),
-        F.row_number().over(Window.orderBy(F.col("t").asc())).cast("long").alias("i"),
-    )
-    m = c.select(
-        "t",
-        "v",
-        F.sum(F.expr("v * 1000000 - (cum * 1000000 div i)"))
-        .over(wt)
-        .cast("long")
-        .alias("m_e6"),
-    )
-    ph = m.select(
-        "t",
-        "v",
-        "m_e6",
-        (F.col("m_e6") - F.min("m_e6").over(wt)).cast("long").alias("ph_e6"),
-    )
-    thr = F.lit(5.0) * F.sqrt(F.col("mu0").cast("double")) * F.lit(1000000.0)
-    return (
-        ph.crossJoin(F.broadcast(mu))
-        .select(
-            "t",
-            "v",
-            "m_e6",
-            "ph_e6",
-            F.round(thr, 6).alias("threshold_e6"),
-            (F.col("ph_e6").cast("double") > thr).cast("long").alias("alarm"),
-        )
-        .orderBy("t")
-    )
+    return page_hinkley_monitor(s, "t", "v")
 
 
 # ----------------------------------------- Theil's U (uncertainty coef)

@@ -138,3 +138,19 @@ def trend_from_sprt_state(ingest: SprtIngest, spark: SparkSession):
     return mann_kendall_trend(
         state.select("period", F.col("n_success").alias("v")), "period", "v"
     )
+
+
+def page_hinkley_from_sprt_state(ingest: SprtIngest, spark: SparkSession):
+    """Page-Hinkley drift monitor over the maintained per-period
+    success counts — the fourth monitor from the same folded state
+    (SPRT / CUSUM / Mann-Kendall / Page-Hinkley all read one additive
+    per-period relation). Bit-identical to the batch operator on the
+    full log because the state IS the batch sufficient statistic."""
+    from pyspark.sql import functions as F
+
+    from redshells_spark.operators.changepoint import page_hinkley_monitor
+
+    state = _read_or_empty(spark, ingest._p(), _STATE_SCHEMA)
+    return page_hinkley_monitor(
+        state.select("period", F.col("n_success").alias("v")), "period", "v"
+    )

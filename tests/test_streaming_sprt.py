@@ -112,3 +112,45 @@ def test_cusum_and_trend_from_same_state(spark, tmp_path):
     got_t = trend_from_sprt_state(ingest, spark).collect()
     want_t = mann_kendall_trend(series, "period", "v").collect()
     assert got_t == want_t
+
+
+def test_page_hinkley_from_state_matches_batch(spark, tmp_path):
+    from redshells_spark.operators.changepoint import page_hinkley_monitor
+    from redshells_spark.streaming.sprt import page_hinkley_from_sprt_state
+
+    ingest = SprtIngest(
+        base_path=str(tmp_path / "state_ph"),
+        period_expr=f"us div {DAY}",
+        trial_expr="event_type in ('view','purchase')",
+        success_expr="event_type = 'purchase'",
+    )
+    ingest.process_batch(spark.createDataFrame(ROWS[:150], SCHEMA), 0)
+    ingest.process_batch(spark.createDataFrame(ROWS[150:], SCHEMA), 1)
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    series = (
+        df.filter(F.expr("event_type = 'purchase'"))
+        .groupBy(F.expr(f"us div {DAY}").cast("long").alias("period"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    got = page_hinkley_from_sprt_state(ingest, spark).collect()
+    want = page_hinkley_monitor(series, "period", "v").collect()
+    assert got == want
+
+
+def test_page_hinkley_closed_form_equals_recursion(spark):
+    # PH_t = m_t - min m == the reset-free textbook statistic replayed
+    # sequentially over the same integer deviation terms
+    from redshells_spark.operators.changepoint import page_hinkley_monitor
+
+    rows = [(t, v) for t, v in enumerate([5, 7, 6, 9, 14, 13, 20, 4, 5, 30])]
+    out = page_hinkley_monitor(
+        spark.createDataFrame(rows, "t long, v long"), "t", "v"
+    ).collect()
+    cum, m, mn = 0, 0, 0
+    for i, (t, v) in enumerate(rows, start=1):
+        cum += v
+        m += v * 1_000_000 - (cum * 1_000_000 // i)
+        mn = min(mn, m)
+        r = out[i - 1]
+        assert r["m_e6"] == m and r["ph_e6"] == m - mn

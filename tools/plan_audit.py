@@ -109,6 +109,11 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "lsh_parameter_plan": "window over the (bands, rows) parameter grid",
     "compaction_plan": "bin-packing prefix window over the file manifest (metadata-scale)",
     "rag_context_pack": "greedy-pack window over the per-query top-ranked chunks",
+    # --- round-7 batch-9 nonparametric/survival tier
+    "wilcoxon_signed_rank": "midrank window over distinct |diff| values (bounded count domain)",
+    "cochran_q_event_types": "median window over the distinct cell-count level table (bounded count domain)",
+    "runs_test_daily": "median/lag windows over day and count-value level tables (time-bounded)",
+    "rmst_churn": "KM survival + lead windows over the distinct-duration hour domain",
     # --- round-7 batch-8 forecasting/eval tier
     "mcc_threshold_scan": "window over the distinct score-level table (pr_curve idiom)",
     # --- round-7 batch-7 drift tier
