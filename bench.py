@@ -257,6 +257,10 @@ HEADLINE = [
     "runs_test_daily",
     "rmst_churn",
     "ljung_box_daily",
+    "anova_order_totals",
+    "levene_variance_check",
+    "auc_delong_ci",
+    "t5_span_corruption",
 ]
 
 

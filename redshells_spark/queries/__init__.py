@@ -39,6 +39,7 @@ from redshells_spark.queries import r7f_ops  # noqa: F401,E402
 from redshells_spark.queries import r7g_ops  # noqa: F401,E402
 from redshells_spark.queries import r7h_ops  # noqa: F401,E402
 from redshells_spark.queries import r7i_ops  # noqa: F401,E402
+from redshells_spark.queries import r7j_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -52,6 +53,11 @@ _FRONT = [
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 4 batch 10: classical inference / transforms ---
+    "anova_order_totals",  # r7j: NEW — omnibus one-way F test
+    "levene_variance_check",  # r7j: NEW — Brown-Forsythe homogeneity gate
+    "auc_delong_ci",  # r7j: NEW — placement-variance AUC standard error
+    "t5_span_corruption",  # r7j: NEW — span-mask length accounting
     # --- round 7 session 4 batch 9: nonparametric tests / survival ---
     "wilcoxon_signed_rank",  # r7i: NEW — paired rank test, tie-corrected
     "cochran_q_event_types",  # r7i: NEW — binary-reach treatment test
