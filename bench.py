@@ -261,6 +261,8 @@ HEADLINE = [
     "levene_variance_check",
     "auc_delong_ci",
     "t5_span_corruption",
+    "minhash_estimate_calibration",
+    "dedup_method_agreement",
 ]
 
 

@@ -40,6 +40,7 @@ from redshells_spark.queries import r7g_ops  # noqa: F401,E402
 from redshells_spark.queries import r7h_ops  # noqa: F401,E402
 from redshells_spark.queries import r7i_ops  # noqa: F401,E402
 from redshells_spark.queries import r7j_ops  # noqa: F401,E402
+from redshells_spark.queries import r7k_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -53,6 +54,9 @@ _FRONT = [
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 4 batch 11: dedup meta-evaluation ---
+    "minhash_estimate_calibration",  # r7k: NEW — sketch-vs-exact bias per bucket
+    "dedup_method_agreement",  # r7k: NEW — cross-method pair-set agreement
     # --- round 7 session 4 batch 10: classical inference / transforms ---
     "anova_order_totals",  # r7j: NEW — omnibus one-way F test
     "levene_variance_check",  # r7j: NEW — Brown-Forsythe homogeneity gate
