@@ -263,6 +263,9 @@ HEADLINE = [
     "t5_span_corruption",
     "minhash_estimate_calibration",
     "dedup_method_agreement",
+    "hodges_lehmann_shift",
+    "series_strength_features",
+    "bigram_entropy_rate",
 ]
 
 

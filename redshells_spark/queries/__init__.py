@@ -41,6 +41,7 @@ from redshells_spark.queries import r7h_ops  # noqa: F401,E402
 from redshells_spark.queries import r7i_ops  # noqa: F401,E402
 from redshells_spark.queries import r7j_ops  # noqa: F401,E402
 from redshells_spark.queries import r7k_ops  # noqa: F401,E402
+from redshells_spark.queries import r7l_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -54,6 +55,10 @@ _FRONT = [
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 4 batch 12: robust estimation / series features ---
+    "hodges_lehmann_shift",  # r7l: NEW — median-of-pairwise-diffs location
+    "series_strength_features",  # r7l: NEW — seasonal/trend strength (tsfeatures)
+    "bigram_entropy_rate",  # r7l: NEW — conditional entropy per lang
     # --- round 7 session 4 batch 11: dedup meta-evaluation ---
     "minhash_estimate_calibration",  # r7k: NEW — sketch-vs-exact bias per bucket
     "dedup_method_agreement",  # r7k: NEW — cross-method pair-set agreement

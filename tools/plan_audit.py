@@ -109,6 +109,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "lsh_parameter_plan": "window over the (bands, rows) parameter grid",
     "compaction_plan": "bin-packing prefix window over the file manifest (metadata-scale)",
     "rag_context_pack": "greedy-pack window over the per-query top-ranked chunks",
+    # --- round-7 batch-12 robust-estimation tier
+    "hodges_lehmann_shift": "cumweight window over the bounded pairwise-diff value domain (daily-count cross)",
     # --- round-7 batch-10 inference tier
     "auc_delong_ci": "placement windows over the distinct score-level table (pr_curve idiom)",
     # --- round-7 batch-9 nonparametric/survival tier
