@@ -266,6 +266,11 @@ HEADLINE = [
     "hodges_lehmann_shift",
     "series_strength_features",
     "bigram_entropy_rate",
+    "tail_dependence_lambda",
+    "mix_rate_decomposition",
+    "price_indices_periods",
+    "fellegi_sunter_weights",
+    "ucb_arm_indices",
 ]
 
 

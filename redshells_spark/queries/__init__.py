@@ -42,6 +42,7 @@ from redshells_spark.queries import r7i_ops  # noqa: F401,E402
 from redshells_spark.queries import r7j_ops  # noqa: F401,E402
 from redshells_spark.queries import r7k_ops  # noqa: F401,E402
 from redshells_spark.queries import r7l_ops  # noqa: F401,E402
+from redshells_spark.queries import r7m_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -55,6 +56,12 @@ _FRONT = [
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 4 batch 13: dependence / decomposition / decisions ---
+    "tail_dependence_lambda",  # r7m: NEW — copula joint-extremes coefficients
+    "mix_rate_decomposition",  # r7m: NEW — shift-share period decomposition
+    "price_indices_periods",  # r7m: NEW — Laspeyres/Paasche/Fisher
+    "fellegi_sunter_weights",  # r7m: NEW — linkage m/u field weights
+    "ucb_arm_indices",  # r7m: NEW — UCB1 optimism indices per arm
     # --- round 7 session 4 batch 12: robust estimation / series features ---
     "hodges_lehmann_shift",  # r7l: NEW — median-of-pairwise-diffs location
     "series_strength_features",  # r7l: NEW — seasonal/trend strength (tsfeatures)

@@ -109,6 +109,11 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "lsh_parameter_plan": "window over the (bands, rows) parameter grid",
     "compaction_plan": "bin-packing prefix window over the file manifest (metadata-scale)",
     "rag_context_pack": "greedy-pack window over the per-query top-ranked chunks",
+    # --- round-7 batch-13 dependence/decomposition tier
+    "tail_dependence_lambda": "quantile-threshold windows over the two value level tables (bounded domains)",
+    "mix_rate_decomposition": "median-day window over the date level table (time-bounded)",
+    "price_indices_periods": "median-day window over the date level table (time-bounded)",
+    "ucb_arm_indices": "rank window over the <=10-row arm level table",
     # --- round-7 batch-12 robust-estimation tier
     "hodges_lehmann_shift": "cumweight window over the bounded pairwise-diff value domain (daily-count cross)",
     # --- round-7 batch-10 inference tier
