@@ -271,6 +271,9 @@ HEADLINE = [
     "price_indices_periods",
     "fellegi_sunter_weights",
     "ucb_arm_indices",
+    "generalized_means_by_segment",
+    "pareto_share_curve",
+    "lognormal_spend_fit",
 ]
 
 

@@ -43,6 +43,7 @@ from redshells_spark.queries import r7j_ops  # noqa: F401,E402
 from redshells_spark.queries import r7k_ops  # noqa: F401,E402
 from redshells_spark.queries import r7l_ops  # noqa: F401,E402
 from redshells_spark.queries import r7m_ops  # noqa: F401,E402
+from redshells_spark.queries import r7n_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries
@@ -56,6 +57,10 @@ _FRONT = [
     # before (4 more r7 names and the TPC-H/window backlog sit right
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
+    # --- round 7 session 4 batch 14: distributional summaries ---
+    "generalized_means_by_segment",  # r7n: NEW — AM/GM/HM ladder + CV
+    "pareto_share_curve",  # r7n: NEW — top-x% revenue shares
+    "lognormal_spend_fit",  # r7n: NEW — body model beside the GPD tail
     # --- round 7 session 4 batch 13: dependence / decomposition / decisions ---
     "tail_dependence_lambda",  # r7m: NEW — copula joint-extremes coefficients
     "mix_rate_decomposition",  # r7m: NEW — shift-share period decomposition

@@ -109,6 +109,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "lsh_parameter_plan": "window over the (bands, rows) parameter grid",
     "compaction_plan": "bin-packing prefix window over the file manifest (metadata-scale)",
     "rag_context_pack": "greedy-pack window over the per-query top-ranked chunks",
+    # --- round-7 batch-14 distributional summaries
+    "pareto_share_curve": "cumweight window over the distinct per-customer revenue level table (bounded value domain)",
     # --- round-7 batch-13 dependence/decomposition tier
     "tail_dependence_lambda": "quantile-threshold windows over the two value level tables (bounded domains)",
     "mix_rate_decomposition": "median-day window over the date level table (time-bounded)",
