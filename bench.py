@@ -262,7 +262,11 @@ HEADLINE = [
     "auc_delong_ci",
     "t5_span_corruption",
     "minhash_estimate_calibration",
-    "dedup_method_agreement",
+    # dedup_method_agreement excluded for the token_jaccard_join reason:
+    # its word-bigram side joins the full same-source pair universe, and
+    # the 31-token synthetic vocab makes that OUTPUT-quadratic (~10s at
+    # sf0.1, a corpus artifact not an operator cost); it stays in the
+    # correctness registry and the f10 differential
     "hodges_lehmann_shift",
     "series_strength_features",
     "bigram_entropy_rate",
