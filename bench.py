@@ -278,6 +278,7 @@ HEADLINE = [
     "generalized_means_by_segment",
     "pareto_share_curve",
     "lognormal_spend_fit",
+    "cvm_two_sample",
 ]
 
 

@@ -58,6 +58,7 @@ _FRONT = [
     # behind the cut, all verified in the committed differential logs;
     # they rotate in next round).
     # --- round 7 session 4 batch 14: distributional summaries ---
+    "cvm_two_sample",  # r7n: NEW — L2 drift test beside KS and EMD
     "generalized_means_by_segment",  # r7n: NEW — AM/GM/HM ladder + CV
     "pareto_share_curve",  # r7n: NEW — top-x% revenue shares
     "lognormal_spend_fit",  # r7n: NEW — body model beside the GPD tail

@@ -284,3 +284,113 @@ def _lognormal_spend_fit(spark, sf_dir):
         F.round(F.exp(m), 4).alias("implied_median"),
         F.round(F.exp(m + var / F.lit(2.0)), 4).alias("implied_mean"),
     )
+
+
+# ------------------------------------------ Cramér-von Mises (L2)
+
+
+@q(
+    "cvm_two_sample",
+    """WITH b AS (
+         SELECT CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       pv AS (SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+                     CAST(sum(1 - is1) AS BIGINT) AS c2
+              FROM b GROUP BY 1),
+       n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                    CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+       cum AS (SELECT v, c1, c2,
+                      CAST(sum(c1) OVER (ORDER BY v ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                      CAST(sum(c2) OVER (ORDER BY v ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+               FROM pv),
+       tm AS (SELECT CAST(floor(
+                       CAST(c1 + c2 AS DOUBLE)
+                       * (CAST(cum1 * n.n2 - cum2 * n.n1 AS DOUBLE)
+                          / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)))
+                       * (CAST(cum1 * n.n2 - cum2 * n.n1 AS DOUBLE)
+                          / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)))
+                       * CAST(1000000000 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t_e9
+              FROM cum CROSS JOIN n)
+       SELECT n.n1, n.n2,
+              CAST(s.sum_t AS BIGINT) AS sum_t_e9,
+              round(CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+                    / (CAST(n.n1 + n.n2 AS DOUBLE)
+                       * CAST(n.n1 + n.n2 AS DOUBLE))
+                    * CAST(s.sum_t AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6)
+                AS cvm_t,
+              CAST(CASE WHEN CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+                    / (CAST(n.n1 + n.n2 AS DOUBLE)
+                       * CAST(n.n1 + n.n2 AS DOUBLE))
+                    * CAST(s.sum_t AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+                    > CAST(0.461 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
+                AS reject_005
+       FROM (SELECT sum(t_e9) AS sum_t FROM tm) s CROSS JOIN n""",
+)
+def _cvm_two_sample(spark, sf_dir):
+    """Two-sample Cramér-von Mises test between the click and purchase
+    value distributions — the L2 companion to ks_two_sample (sup norm)
+    and emd_price_histogram (L1): T = n1*n2/(n1+n2)^2 * sum over the
+    pooled sample of (F1-F2)^2, folded over the value LEVEL table with
+    per-level multiplicity c1+c2. Each level's squared CDF gap is one
+    fixed IEEE tree over exact int64 cumsums, e9-quantized before the
+    sum; the 5% decision uses the asymptotic critical value 0.461
+    (Anderson 1962). CvM sees distributed small gaps KS misses."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        (F.col("event_type") == "click").cast("long").alias("is1"),
+    )
+    pv = b.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("c2"),
+    )
+    n = pv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pv.select(
+        "v",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+    )
+    gap = (
+        (F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    tm = cum.crossJoin(F.broadcast(n)).select(
+        F.floor(
+            (F.col("c1") + F.col("c2")).cast("double")
+            * gap
+            * gap
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t_e9")
+    )
+    s = tm.agg(F.sum("t_e9").cast("long").alias("sum_t"))
+    out = s.crossJoin(F.broadcast(n))
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    t = (
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / (nd * nd)
+        * F.col("sum_t").cast("double")
+        / F.lit(1000000000.0)
+    )
+    return out.select(
+        "n1",
+        "n2",
+        F.col("sum_t").alias("sum_t_e9"),
+        F.round(t, 6).alias("cvm_t"),
+        (t > F.lit(0.461)).cast("long").alias("reject_005"),
+    )

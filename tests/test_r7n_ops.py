@@ -47,3 +47,17 @@ def test_lognormal_fit_identities(spark):
         )
         < 0.01
     )
+
+
+def test_cvm_consistent_with_ks(spark):
+    from redshells_spark.queries import QUERIES
+
+    cvm = QUERIES["cvm_two_sample"](spark, SF).collect()[0]
+    ks = QUERIES["ks_two_sample"](spark, SF).collect()[0]
+    assert cvm["n1"] == ks["n1"] and cvm["n2"] == ks["n2"]
+    assert cvm["cvm_t"] >= 0.0
+    # L2 statistic bounded above by the sup-gap bound:
+    # T <= n1 n2 /(n1+n2)^2 * (n1+n2) * D^2
+    n1, n2 = cvm["n1"], cvm["n2"]
+    bound = n1 * n2 / (n1 + n2) * ks["d_stat"] ** 2
+    assert cvm["cvm_t"] <= bound + 1e-6

@@ -111,6 +111,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "rag_context_pack": "greedy-pack window over the per-query top-ranked chunks",
     # --- round-7 batch-14 distributional summaries
     "pareto_share_curve": "cumweight window over the distinct per-customer revenue level table (bounded value domain)",
+    "cvm_two_sample": "window over distinct cent values of a bounded price domain (ks_two_sample idiom)",
     # --- round-7 batch-13 dependence/decomposition tier
     "tail_dependence_lambda": "quantile-threshold windows over the two value level tables (bounded domains)",
     "mix_rate_decomposition": "median-day window over the date level table (time-bounded)",
