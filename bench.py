@@ -55,9 +55,11 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "edit_distance_join",
-    # token_jaccard_join excluded: the 31-token synthetic vocab makes its
-    # OUTPUT quadratic (~3M pairs at sf0.1) — an artifact of the corpus,
-    # not the operator; it stays in the correctness registry
+    # re-admitted r8 after the PPJoin delegation (113s → ~28s): its
+    # output IS corpus-quadratic here (~3M pairs at sf0.1, 31-token
+    # vocab) but the candidate algebra is now filtered and the slow
+    # number belongs in the headline rather than curated out
+    "token_jaccard_join",
     "kmv_set_overlap",
     "k_hop_reachability",
     "association_rules",
@@ -262,11 +264,11 @@ HEADLINE = [
     "auc_delong_ci",
     "t5_span_corruption",
     "minhash_estimate_calibration",
-    # dedup_method_agreement excluded for the token_jaccard_join reason:
-    # its word-bigram side joins the full same-source pair universe, and
-    # the 31-token synthetic vocab makes that OUTPUT-quadratic (~10s at
-    # sf0.1, a corpus artifact not an operator cost); it stays in the
-    # correctness registry and the f10 differential
+    # re-admitted r8: side B now generates candidates via the
+    # source-blocked prefix-filter join (no same-source pair universe,
+    # no documents-proportional broadcast) and both verifications are
+    # int-array intersects
+    "dedup_method_agreement",
     "hodges_lehmann_shift",
     "series_strength_features",
     "bigram_entropy_rate",

@@ -63,23 +63,41 @@ def build_rank_sorted_sets(
     sets_df: DataFrame,
     id_column: str = "doc_id",
     element_column: str = "shingle",
+    block_column: str | None = None,
 ) -> DataFrame:
-    """→ (__id, __rk: array<struct<__erk,__el>>, __sz): each set's
-    elements sorted by ascending global frequency (ties by element) —
-    the shared, threshold-independent prefix-filter index. ONE shuffle
-    keyed on doc id; the element ranking is a window over the
-    universe-bounded (vocabulary-sized) frequency relation and is
-    broadcast."""
-    require_columns(sets_df, [id_column, element_column])
-    sets = sets_df.select(
-        F.col(id_column).alias("__id"), F.col(element_column).alias("__el")
+    """→ (__id[, __blk], __rk: array<struct<__erk,__el>>, __sz): each
+    set's elements sorted by ascending global frequency (ties by
+    element) — the shared, threshold-independent prefix-filter index.
+    ONE shuffle keyed on doc id; the element ranking is a window over
+    the universe-bounded (vocabulary-sized) frequency relation and is
+    broadcast.
+
+    ``block_column`` (optional, functionally dependent on the id, e.g.
+    a document's source) is carried through so the candidate join can
+    additionally require block equality — prefix filtering and
+    blocking COMPOSE: the filter theorem needs only a consistent total
+    element order, so restricting candidates to same-block pairs keeps
+    the join exact for the "pairs within a block" relation while
+    multiplying the candidate reduction (element-frequency pruning ×
+    block fan-out). Essential when the element universe is small
+    (universal elements appear in most sets and frequency pruning
+    alone degenerates toward all-pairs)."""
+    require_columns(
+        sets_df,
+        [id_column, element_column]
+        + ([block_column] if block_column is not None else []),
     )
+    cols = [F.col(id_column).alias("__id"), F.col(element_column).alias("__el")]
+    if block_column is not None:
+        cols.append(F.col(block_column).alias("__blk"))
+    sets = sets_df.select(*cols)
     freq = sets.groupBy("__el").agg(F.count(F.lit(1)).alias("__f"))
     wt = Window.orderBy(F.col("__f").asc(), F.col("__el").asc())
     order = freq.select("__el", F.row_number().over(wt).alias("__erk"))
+    gb = ["__id"] + (["__blk"] if block_column is not None else [])
     return (
         sets.join(F.broadcast(order), "__el")
-        .groupBy("__id")
+        .groupBy(*gb)
         .agg(F.array_sort(F.collect_list(F.struct("__erk", "__el"))).alias("__rk"))
         .withColumn("__sz", F.size("__rk").cast("long"))
     )
@@ -90,23 +108,32 @@ def pairs_from_rank_sorted(
     threshold_num: int = 5,
     threshold_den: int = 10,
 ) -> DataFrame:
-    """→ (id_0, id_1, inter, union_sz, jac_e4): ALL pairs with exact
-    Jaccard ≥ num/den, id_0 < id_1, from a ``build_rank_sorted_sets``
-    index (possibly loaded from a parquet target)."""
+    """→ ([block,] id_0, id_1, inter, sz_0, sz_1, union_sz, jac_e4):
+    ALL pairs
+    with exact Jaccard ≥ num/den, id_0 < id_1, from a
+    ``build_rank_sorted_sets`` index (possibly loaded from a parquet
+    target). If the index was built with a ``block_column``, the
+    candidate join additionally requires block equality and the
+    output carries the shared ``block`` value — the exact "similar
+    pairs within a block" relation."""
     num, den = threshold_num, threshold_den
+    blocked = "__blk" in docarr.columns
     # prefix length p = sz − ceil(τ·sz) + 1, integer form
     plen = (
         F.col("__sz")
         - F.expr(f"cast(({num} * __sz + {den} - 1) div {den} as bigint)")
         + 1
     ).cast("int")
+    blk = ["__blk"] if blocked else []
     prefix = docarr.select(
         "__id",
         "__sz",
+        *blk,
         F.posexplode(F.slice(F.col("__rk"), F.lit(1), plen)).alias("__i", "__s"),
     ).select(
         "__id",
         "__sz",
+        *blk,
         F.col("__s.__el").alias("__el"),
         (F.col("__i") + 1).cast("long").alias("__pos"),
     )
@@ -117,12 +144,14 @@ def pairs_from_rank_sorted(
     a = prefix.select(
         F.col("__id").alias("__id0"),
         "__el",
+        *blk,
         F.col("__pos").alias("__p0"),
         F.col("__sz").alias("__sz0"),
     )
     b = prefix.select(
         F.col("__id").alias("__id1"),
         "__el",
+        *blk,
         F.col("__pos").alias("__p1"),
         F.col("__sz").alias("__sz1"),
     )
@@ -132,7 +161,7 @@ def pairs_from_rank_sorted(
     row_ub = F.lit(1) + F.least(
         F.col("__sz0") - F.col("__p0"), F.col("__sz1") - F.col("__p1")
     )
-    matched = a.join(b, "__el").filter(
+    matched = a.join(b, ["__el"] + blk).filter(
         (F.col("__id0") < F.col("__id1"))
         & (F.col("__sz0") * den >= F.col("__sz1") * num)
         & (F.col("__sz1") * den >= F.col("__sz0") * num)
@@ -148,7 +177,7 @@ def pairs_from_rank_sorted(
         F.col("__sz0") - F.col("__mp0"), F.col("__sz1") - F.col("__mp1")
     )
     cand = (
-        matched.groupBy("__id0", "__id1")
+        matched.groupBy("__id0", "__id1", *blk)
         .agg(
             F.count(F.lit(1)).alias("__o"),
             F.max("__p0").alias("__mp0"),
@@ -159,7 +188,7 @@ def pairs_from_rank_sorted(
         .filter(
             grp_ub * F.lit(num + den) >= F.lit(num) * (F.col("__sz0") + F.col("__sz1"))
         )
-        .select("__id0", "__id1", "__sz0", "__sz1")
+        .select("__id0", "__id1", *blk, "__sz0", "__sz1")
     )
     # verification: per-doc element arrays + one JVM array_intersect
     # per candidate pair, reached through plain shuffle joins keyed on
@@ -169,7 +198,11 @@ def pairs_from_rank_sorted(
     # by prefix + length + both positional filters, so the shuffle is
     # small. Derived from the same docarr subplan as the prefixes.
     arrs = docarr.select(
-        "__id", F.expr("transform(__rk, x -> x.__el)").alias("__arr")
+        "__id",
+        # intersect on the dense int element RANKS, not the element
+        # strings — __erk is a bijection of the element universe, so
+        # the count is identical and int hashing is far cheaper
+        F.expr("transform(__rk, x -> x.__erk)").alias("__arr")
     )
     a0 = arrs.select(F.col("__id").alias("__id0"), F.col("__arr").alias("__a0"))
     a1 = arrs.select(F.col("__id").alias("__id1"), F.col("__arr").alias("__a1"))
@@ -179,24 +212,25 @@ def pairs_from_rank_sorted(
         .select(
             "__id0",
             "__id1",
+            *blk,
             "__sz0",
             "__sz1",
             F.size(F.array_intersect("__a0", "__a1")).cast("long").alias("inter"),
         )
     )
     union_sz = (F.col("__sz0") + F.col("__sz1") - F.col("inter")).cast("long")
-    return (
-        inter.filter(F.col("inter") * den >= num * union_sz)
-        .select(
-            F.col("__id0").alias("id_0"),
-            F.col("__id1").alias("id_1"),
-            "inter",
-            union_sz.alias("union_sz"),
-            F.expr("cast(inter * 10000 div (__sz0 + __sz1 - inter) as bigint)").alias(
-                "jac_e4"
-            ),
-        )
-    )
+    out_cols = ([F.col("__blk").alias("block")] if blocked else []) + [
+        F.col("__id0").alias("id_0"),
+        F.col("__id1").alias("id_1"),
+        F.col("inter"),
+        F.col("__sz0").cast("long").alias("sz_0"),
+        F.col("__sz1").cast("long").alias("sz_1"),
+        union_sz.alias("union_sz"),
+        F.expr("cast(inter * 10000 div (__sz0 + __sz1 - inter) as bigint)").alias(
+            "jac_e4"
+        ),
+    ]
+    return inter.filter(F.col("inter") * den >= num * union_sz).select(*out_cols)
 
 
 def prefix_filter_jaccard_pairs(
@@ -205,6 +239,7 @@ def prefix_filter_jaccard_pairs(
     element_column: str = "shingle",
     threshold_num: int = 5,
     threshold_den: int = 10,
+    block_column: str | None = None,
 ) -> DataFrame:
     """Build the rank-sorted index from raw (id, element) rows and run
     the join (one-shot form). ``sets_df`` must be distinct rows.
@@ -219,9 +254,9 @@ def prefix_filter_jaccard_pairs(
     Long-lived callers should instead persist ``build_rank_sorted_sets``
     through the param-hash task target and call
     ``pairs_from_rank_sorted`` (queries/r6c_ops.py does)."""
-    docarr = build_rank_sorted_sets(sets_df, id_column, element_column).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    docarr = build_rank_sorted_sets(
+        sets_df, id_column, element_column, block_column
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     global _LAST_DOCARR
     if _LAST_DOCARR is not None:
         _LAST_DOCARR.unpersist()
@@ -233,6 +268,7 @@ def containment_pairs_from_rank_sorted(
     docarr: DataFrame,
     threshold_num: int = 8,
     threshold_den: int = 10,
+    min_size_a: int | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, inter, size_a, size_b, cont_e4): ALL ordered
     pairs with exact containment |A∩B|/|A| ≥ num/den (a ≠ b), from the
@@ -250,14 +286,29 @@ def containment_pairs_from_rank_sorted(
     containment α (the global element order splits shared elements
     consistently around any match, so overlap ≤ kept + min(remaining)
     holds unchanged). Verification is the same shuffle-join
-    array_intersect — nothing corpus-sized is broadcast."""
+    array_intersect — nothing corpus-sized is broadcast.
+
+    ``min_size_a`` (optional) floors the A side: sets smaller than the
+    floor are not probed. This is the output-boundedness knob SCALE.md
+    prescribes — tiny sets are contained in almost everything (a
+    3-shingle set clears τ=0.8 inside any superset of 3 of its
+    shingles), so at corpus scale the A-floor is what keeps the output
+    from going |tiny|×|corpus|. Default off to preserve the unfloored
+    relation (and its oracle); when set, the output is exactly the
+    containment relation restricted to |A| ≥ floor — a pre-filter on
+    the probe side, not an approximation."""
     num, den = threshold_num, threshold_den
     plen = (
         F.col("__sz")
         - F.expr(f"cast(({num} * __sz + {den} - 1) div {den} as bigint)")
         + 1
     ).cast("int")
-    pre_a = docarr.select(
+    a_side = (
+        docarr
+        if min_size_a is None
+        else docarr.filter(F.col("__sz") >= int(min_size_a))
+    )
+    pre_a = a_side.select(
         F.col("__id").alias("__ida"),
         F.col("__sz").alias("__sza"),
         F.posexplode(F.slice(F.col("__rk"), F.lit(1), plen)).alias("__i", "__s"),
@@ -303,7 +354,11 @@ def containment_pairs_from_rank_sorted(
         .select("__ida", "__idb", "__sza", "__szb")
     )
     arrs = docarr.select(
-        "__id", F.expr("transform(__rk, x -> x.__el)").alias("__arr")
+        "__id",
+        # intersect on the dense int element RANKS, not the element
+        # strings — __erk is a bijection of the element universe, so
+        # the count is identical and int hashing is far cheaper
+        F.expr("transform(__rk, x -> x.__erk)").alias("__arr")
     )
     aa = arrs.select(F.col("__id").alias("__ida"), F.col("__arr").alias("__aa"))
     ab = arrs.select(F.col("__id").alias("__idb"), F.col("__arr").alias("__ab"))

@@ -497,17 +497,35 @@ def _llm_corpus_pipeline(spark, sf_dir):
        WHERE i.inter * 1.0 / (z0.sz + z1.sz - i.inter) >= 0.1""",
 )
 def _ngram_jaccard(spark, sf_dir):
+    """Candidate pairs come from the SOURCE-BLOCKED exact prefix-filter
+    join (dedup/ppjoin.py) at τ=1/10 — the prefix filter is exact at
+    ANY threshold (only the prefix gets longer as τ drops), and the
+    relation is same-source by definition so block equality composes
+    into the candidate join for free: pairs are generated only where a
+    prefix bigram is shared WITHIN a source, never |D|²/source and
+    never the global shared-element fan-out. The output pair set is
+    identical to the oracle's quadratic same-source universe. Threshold
+    is the integer form inter·10 ≥ union ⟺ inter/union ≥ 0.1 exactly."""
+    from redshells_spark.dedup.ngram import word_ngrams
+    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
     docs = _tokens(spark, sf_dir)
-    ids = docs.select("doc_id", "source")
-    pairs = (
-        ids.alias("a")
-        .join(ids.alias("b"), on="source")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_id_0"), F.col("b.doc_id").alias("doc_id_1"))
-        .dropDuplicates()
+    grams = docs.select(
+        "doc_id", "source", F.explode(word_ngrams("tokens", 2)).alias("gram")
     )
-    out = ngram_jaccard_pairs(pairs, docs, n=2, threshold=0.1)
-    return out.select("doc_id_0", "doc_id_1", _r4(F.col("jaccard"), "jaccard"))
+    bp = prefix_filter_jaccard_pairs(
+        grams,
+        "doc_id",
+        "gram",
+        threshold_num=1,
+        threshold_den=10,
+        block_column="source",
+    )
+    return bp.select(
+        F.col("id_0").alias("doc_id_0"),
+        F.col("id_1").alias("doc_id_1"),
+        _r4(F.col("inter") / F.col("union_sz"), "jaccard"),
+    )
 
 
 # SimHash oracle: DuckDB recomputes the 60-bit portable signatures

@@ -1151,22 +1151,12 @@ def _weighted_shortest_paths(spark, sf_dir):
     relation checkpointed once. Integer weights keep every path length
     exact, so the distance table hash-MATCHes the unrolled oracle."""
     from redshells_spark.operators.graph import bounded_shortest_paths
+    from redshells_spark.queries.text import _copurchase_edges_weighted
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = F.expr("1000000 div cnt")
-    edges = e0.select("src", "dst", w.alias("w")).unionByName(
-        e0.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
-        )
+    # the symmetrized (src, dst, cnt) relation is the shared cached
+    # graph-tier materialization — the weight map is a narrow select
+    edges = _copurchase_edges_weighted(spark, sf_dir).select(
+        "src", "dst", F.expr("1000000 div cnt").alias("w")
     )
     sources = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
     return bounded_shortest_paths(edges, sources, k=3)

@@ -296,11 +296,12 @@ def _t_closeness_audit(spark, sf_dir):
     """WITH e2 AS (
          SELECT CAST(label AS BIGINT) AS label, embedding
          FROM embeddings WHERE label IN (0, 1)),
-       x AS (SELECT e2.label, t.i AS dim,
-                    CAST(floor(e2.embedding[CAST(t.i AS INT)]::DOUBLE
+       x AS (SELECT label,
+                    generate_subscripts(embedding, 1) AS dim,
+                    CAST(floor(unnest(embedding)::DOUBLE
                                * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                       AS qe6
-             FROM e2 CROSS JOIN range(1, 65) AS t(i)),
+             FROM e2),
        n AS (SELECT CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
                       AS n0,
                     CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -408,18 +409,21 @@ def _mmd_label_shift(spark, sf_dir):
                      CAST(count(DISTINCT a) AS BIGINT) AS r,
                      CAST(count(DISTINCT b) AS BIGINT) AS c
               FROM ct GROUP BY 1),
-       tm AS (SELECT ct.pair,
+       grid AS (SELECT ra.pair, ra.a, cb.b, ra.ri, cb.cj,
+                       CAST(coalesce(ct.nij, 0) AS BIGINT) AS nij
+                FROM ra JOIN cb ON cb.pair = ra.pair
+                LEFT JOIN ct ON ct.pair = ra.pair AND ct.a = ra.a
+                            AND ct.b = cb.b),
+       tm AS (SELECT g.pair,
                      CAST(floor(
-                       CAST(ct.nij * nn.n - ra.ri * cb.cj AS DOUBLE)
-                       * CAST(ct.nij * nn.n - ra.ri * cb.cj AS DOUBLE)
-                       / (CAST(nn.n AS DOUBLE) * CAST(ra.ri AS DOUBLE)
-                          * CAST(cb.cj AS DOUBLE))
+                       CAST(g.nij * nn.n - g.ri * g.cj AS DOUBLE)
+                       * CAST(g.nij * nn.n - g.ri * g.cj AS DOUBLE)
+                       / (CAST(nn.n AS DOUBLE) * CAST(g.ri AS DOUBLE)
+                          * CAST(g.cj AS DOUBLE))
                        * CAST(1000000 AS DOUBLE)
                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS term_e6
-              FROM ct
-              JOIN ra ON ra.pair = ct.pair AND ra.a = ct.a
-              JOIN cb ON cb.pair = ct.pair AND cb.b = ct.b
-              JOIN nn ON nn.pair = ct.pair),
+              FROM grid g
+              JOIN nn ON nn.pair = g.pair),
        chi AS (SELECT pair, CAST(sum(term_e6) AS BIGINT) AS chi2_e6
                FROM tm GROUP BY 1)
        SELECT nn.pair, nn.n, nn.r, nn.c,
@@ -440,10 +444,14 @@ def _cramers_v_matrix(spark, sf_dir):
     carry signal. Extends chi_square_independence from one pair to a
     profiled matrix with the V = sqrt(chi2/(n*min(r-1,c-1)))
     normalization. Contingency cells, margins, and n are exact int64;
-    each cell's chi2 term (nij*n - ri*cj)^2/(n*ri*cj) is one fixed
-    IEEE tree over exact ints, e6-quantized before the per-pair sum
-    (cells are domain-bounded: <=25 per pair). Fact-scale work is one
-    groupBy per source plus one broadcastable dim join."""
+    chi2 sums over the COMPLETE a x b margin grid (ra x cb with
+    observed cells left-joined, absent cells at nij=0 contributing
+    their full expected-count term ri*cj/n — the friedman/cochran
+    complete-grid convention), each term (nij*n - ri*cj)^2/(n*ri*cj)
+    one fixed IEEE tree over exact ints, e6-quantized before the
+    per-pair sum (cells are domain-bounded: <=25 per pair).
+    Fact-scale work is one groupBy per source plus one broadcastable
+    dim join."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
@@ -479,10 +487,17 @@ def _cramers_v_matrix(spark, sf_dir):
         F.countDistinct("b").cast("long").alias("c"),
     )
     d = (F.col("nij") * F.col("n") - F.col("ri") * F.col("cj")).cast("double")
+    # complete margin grid: absent cells enter at nij=0 so their
+    # expected-count term ri*cj/n is counted (both margin relations
+    # are domain-bounded level tables — the cross join is <=25 rows
+    # per pair)
+    grid = (
+        ra.join(cb, "pair")
+        .join(ct, ["pair", "a", "b"], "left")
+        .withColumn("nij", F.coalesce(F.col("nij"), F.lit(0)).cast("long"))
+    )
     tm = (
-        ct.join(ra, ["pair", "a"])
-        .join(cb, ["pair", "b"])
-        .join(F.broadcast(nn.select("pair", "n")), "pair")
+        grid.join(F.broadcast(nn.select("pair", "n")), "pair")
         .select(
             "pair",
             F.floor(

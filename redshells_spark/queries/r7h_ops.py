@@ -90,6 +90,18 @@ def _holt_linear_forecast(spark, sf_dir):
         .orderBy("t")
         .collect()
     )
+    schema_cols = [
+        T.StructField("t", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("fcst_next", T.DoubleType()),
+    ]
+    if len(s) < 2:
+        # degenerate corpus (<2 days): the recursive-CTE oracle's
+        # anchor needs i=1 AND i=2, so it returns no rows — mirror
+        # that instead of raising IndexError on s[1]
+        return spark.createDataFrame([], T.StructType(schema_cols))
     l = float(s[0]["v"])
     b = float(s[1]["v"] - s[0]["v"])
     rows = [Row(t=int(s[0]["t"]), v=int(s[0]["v"]), level=l, trend=b,

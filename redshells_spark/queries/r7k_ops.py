@@ -94,7 +94,7 @@ def _minhash_estimate_calibration(spark, sf_dir):
         minhash_signatures,
     )
 
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
     sig = minhash_signatures(sh, num_hashes=16)
     cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=4)
     g0 = sig.select(
@@ -113,25 +113,37 @@ def _minhash_estimate_calibration(spark, sf_dir):
             .alias("agree16")
         )
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    s0 = sh.select(F.col("doc_id").alias("doc_id_0"), "shingle")
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    inter = (
-        cand.join(s0, "doc_id_0")
-        .join(s1, ["doc_id_1", "shingle"])
-        .groupBy("doc_id_0", "doc_id_1")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    # exact side in array form (see _dedup_method_agreement): a
+    # bucket-collision pair can share no shingle — array_intersect
+    # yields inter = 0 for those naturally, matching the oracle's
+    # coalesce(inter, 0)
+    sharr = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
     )
     exact = (
-        cand.join(inter, ["doc_id_0", "doc_id_1"], "left")
-        .join(sz.select(F.col("doc_id").alias("doc_id_0"), F.col("sz").alias("sz0")), "doc_id_0")
-        .join(sz.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz1")), "doc_id_1")
+        cand.join(
+            sharr.select(
+                F.col("doc_id").alias("doc_id_0"),
+                F.col("arr").alias("a0"),
+                F.col("sz").alias("sz0"),
+            ),
+            "doc_id_0",
+        )
+        .join(
+            sharr.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("arr").alias("a1"),
+                F.col("sz").alias("sz1"),
+            ),
+            "doc_id_1",
+        )
+        .withColumn("inter", F.size(F.array_intersect("a0", "a1")).cast("long"))
         .select(
             "doc_id_0",
             "doc_id_1",
             F.expr(
-                "cast(coalesce(inter, 0) * 1000000"
-                " div (sz0 + sz1 - coalesce(inter, 0)) as long)"
+                "cast(inter * 1000000 div (sz0 + sz1 - inter) as long)"
             ).alias("exact_e6"),
         )
     )
@@ -220,12 +232,16 @@ def _dedup_method_agreement(spark, sf_dir):
     """Pair-set agreement between the engine's two word-level near-dup
     definitions, per source: (A) MinHash-LSH candidates verified by
     exact shingle Jaccard >= 0.5, restricted to same-source pairs, and
-    (B) blocked word-bigram Jaccard >= 0.5 (the ngram_jaccard
-    relation). The report a dedup owner reads before swapping methods:
-    where do they disagree, and does one dominate? Every membership is
-    an exact e6-threshold decision; the union/intersection counts fold
-    from one max-flag groupBy. Pair-bounded throughout (the bigram
-    universe is the same per-source join ngram_jaccard already pays)."""
+    (B) word-bigram Jaccard >= 0.5 with candidates from the exact
+    prefix-filter join (dedup/ppjoin.py — no false negatives at any
+    threshold), so side B is candidate-bounded instead of joining the
+    full same-source pair universe. The report a dedup owner reads
+    before swapping methods: where do they disagree, and does one
+    dominate? Every membership is an exact e6-threshold decision; the
+    union/intersection counts fold from one max-flag groupBy. The
+    source lookups are plain shuffle joins — nothing
+    documents-proportional is ever broadcast (the oracle keeps the
+    quadratic guniv form; DuckDB verifies the same pair set)."""
     from redshells_spark.dedup.minhash import (
         doc_shingles,
         minhash_lsh_candidates,
@@ -234,85 +250,82 @@ def _dedup_method_agreement(spark, sf_dir):
 
     toks = _tokens(spark, sf_dir)
     src = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    sh = doc_shingles(toks, _vocab(spark, sf_dir))
+    # shingles feed 4 branches (signatures, sizes, both verify sides) —
+    # cache so the shingle hash runs once (llm_corpus_pipeline idiom)
+    sh = doc_shingles(toks, _vocab(spark, sf_dir)).cache()
     sig = minhash_signatures(sh, num_hashes=16)
     cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=4)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    s0 = sh.select(F.col("doc_id").alias("doc_id_0"), "shingle")
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    inter = (
-        cand.join(s0, "doc_id_0")
-        .join(s1, ["doc_id_1", "shingle"])
-        .groupBy("doc_id_0", "doc_id_1")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    # exact verification in array form: per-doc shingle arrays joined
+    # to the candidate pairs, |A∩B| = one int array_intersect per pair
+    # (no exploded pair×shingle shuffle, no post-join groupBy)
+    sharr = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
     )
     exact = (
-        cand.join(inter, ["doc_id_0", "doc_id_1"], "left")
-        .join(sz.select(F.col("doc_id").alias("doc_id_0"), F.col("sz").alias("sz0")), "doc_id_0")
-        .join(sz.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz1")), "doc_id_1")
-        .filter(
-            F.expr(
-                "coalesce(inter, 0) * 1000000"
-                " div (sz0 + sz1 - coalesce(inter, 0)) >= 500000"
-            )
+        cand.join(
+            sharr.select(
+                F.col("doc_id").alias("doc_id_0"),
+                F.col("arr").alias("a0"),
+                F.col("sz").alias("sz0"),
+            ),
+            "doc_id_0",
         )
+        .join(
+            sharr.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("arr").alias("a1"),
+                F.col("sz").alias("sz1"),
+            ),
+            "doc_id_1",
+        )
+        .withColumn("inter", F.size(F.array_intersect("a0", "a1")).cast("long"))
+        .filter(F.expr("inter * 1000000 div (sz0 + sz1 - inter) >= 500000"))
         .select("doc_id_0", "doc_id_1")
     )
     a_pairs = (
         exact.join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_id_0"), F.col("source").alias("src0"))),
+            src.select(F.col("doc_id").alias("doc_id_0"), F.col("source").alias("src0")),
             "doc_id_0",
         )
         .join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_id_1"), F.col("source").alias("src1"))),
+            src.select(F.col("doc_id").alias("doc_id_1"), F.col("source").alias("src1")),
             "doc_id_1",
         )
         .filter(F.col("src0") == F.col("src1"))
         .select("doc_id_0", "doc_id_1", F.col("src0").alias("source"))
     )
-    # blocked word-bigram side (the ngram_jaccard relation, exact e6);
-    # _tokens already carries the documents schema incl. source
-    tokp = toks.select(
-        "doc_id", "source", F.posexplode("tokens").alias("p0", "token")
+    # word-bigram side (the ngram_jaccard relation, exact e6): candidate
+    # pairs come from the SOURCE-BLOCKED prefix-filter join — exact at
+    # τ=0.5, integer threshold (inter·10 ≥ 5·union ⟺
+    # inter·1e6 div union ≥ 5e5), with block equality composed into the
+    # candidate join (the relation is same-source by definition, so
+    # blocking is free exactness-wise and multiplies the candidate
+    # reduction — critical when the bigram universe is small and
+    # frequency pruning alone degenerates). Output is bit-identical to
+    # the oracle's quadratic guniv form.
+    from redshells_spark.dedup.ngram import word_ngrams
+    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    # word_ngrams is a narrow array expression (array_distinct built
+    # in): per-doc distinct bigrams with NO window shuffle and NO
+    # distinct shuffle — the gram separator differs from the oracle's
+    # '|' but set identity is unaffected (tokens carry neither glyph)
+    grams = toks.select(
+        "doc_id", "source", F.explode(word_ngrams("tokens", 2)).alias("gram")
     )
-    wl = Window.partitionBy("doc_id").orderBy(F.col("p0").asc())
-    grams = (
-        tokp.select(
-            "doc_id",
-            "source",
-            F.concat(F.col("token"), F.lit("|"), F.lead("token").over(wl)).alias(
-                "gram"
-            ),
-        )
-        .filter(F.col("gram").isNotNull())
-        .distinct()
+    bp = prefix_filter_jaccard_pairs(
+        grams,
+        "doc_id",
+        "gram",
+        threshold_num=5,
+        threshold_den=10,
+        block_column="source",
     )
-    gsz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    gdocs = grams.select("doc_id", "source").distinct()
-    guniv = (
-        gdocs.select(F.col("doc_id").alias("doc_id_0"), "source")
-        .join(
-            gdocs.select(F.col("doc_id").alias("doc_id_1"), F.col("source")),
-            "source",
-        )
-        .filter(F.col("doc_id_0") < F.col("doc_id_1"))
-    )
-    g0 = grams.select(F.col("doc_id").alias("doc_id_0"), "gram")
-    g1 = grams.select(F.col("doc_id").alias("doc_id_1"), "gram")
-    ginter = (
-        guniv.join(g0, "doc_id_0")
-        .join(g1, ["doc_id_1", "gram"])
-        .groupBy("doc_id_0", "doc_id_1")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    b_pairs = (
-        guniv.join(ginter, ["doc_id_0", "doc_id_1"])
-        .join(gsz.select(F.col("doc_id").alias("doc_id_0"), F.col("sz").alias("sz0")), "doc_id_0")
-        .join(gsz.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz1")), "doc_id_1")
-        .filter(
-            F.expr("inter * 1000000 div (sz0 + sz1 - inter) >= 500000")
-        )
-        .select("doc_id_0", "doc_id_1", "source")
+    b_pairs = bp.select(
+        F.col("id_0").alias("doc_id_0"),
+        F.col("id_1").alias("doc_id_1"),
+        F.col("block").alias("source"),
     )
     u = (
         a_pairs.select(

@@ -132,10 +132,11 @@ def _generalized_means_by_segment(spark, sf_dir):
               FROM lvl),
        fr AS (SELECT unnest([1, 5, 10, 20, 50]) AS pct),
        pick AS (SELECT fr.pct,
-                       CAST(max(cw.cum_n) AS BIGINT) AS n_top,
-                       CAST(max(cw.cum_r) AS BIGINT) AS r_top
-                FROM fr JOIN cw CROSS JOIN tot
-                  ON cw.cum_n * 100 <= tot.n * fr.pct
+                       CAST(coalesce(max(cwt.cum_n), 0) AS BIGINT) AS n_top,
+                       CAST(coalesce(max(cwt.cum_r), 0) AS BIGINT) AS r_top
+                FROM fr LEFT JOIN (SELECT cw.cum_n, cw.cum_r, tot.n
+                                   FROM cw CROSS JOIN tot) cwt
+                  ON cwt.cum_n * 100 <= cwt.n * fr.pct
                 GROUP BY 1)
        SELECT pick.pct, pick.n_top,
               CAST((pick.r_top // 1000) * 1000000 // (tot.r // 1000)
@@ -151,7 +152,11 @@ def _pareto_share_curve(spark, sf_dir):
     the top-x% cut is the largest cumulative-count prefix within the
     exact integer bound cum_n*100 <= n*pct (whole levels only — ties
     at the boundary stay together, deterministically); shares are
-    exact e6 integer divisions of cent sums."""
+    exact e6 integer divisions of cent sums. The pct list is LEFT
+    joined so the output is always exactly 5 rows — a pct whose bound
+    admits no level prefix (e.g. >1% of customers tie at the top
+    revenue level when pct=1) reports n_top=0, rev_share_e6=0 instead
+    of silently dropping the row."""
     o = _t(spark, sf_dir, "orders")
     cu = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
@@ -177,11 +182,12 @@ def _pareto_share_curve(spark, sf_dir):
         .join(
             cw.crossJoin(F.broadcast(tot)),
             F.col("cum_n") * 100 <= F.col("n") * F.col("pct"),
+            "left",
         )
         .groupBy("pct")
         .agg(
-            F.max("cum_n").cast("long").alias("n_top"),
-            F.max("cum_r").cast("long").alias("r_top"),
+            F.coalesce(F.max("cum_n"), F.lit(0)).cast("long").alias("n_top"),
+            F.coalesce(F.max("cum_r"), F.lit(0)).cast("long").alias("r_top"),
         )
     )
     return (

@@ -1,0 +1,533 @@
+"""Round-8 batch 1: dedup/sketch/sampling completions — the floored
+containment join (the output-boundedness knob SCALE.md prescribes,
+now oracled), the full make_similarity_data composite INCLUDING the
+MF-similarity branch (reference make_similarity_data.py:68-82, the one
+branch the r6 composite left unexercised), a Count-Min sketch error
+report and a Bloom-filter FPR audit (the two classic streaming
+membership/frequency sketches beside the repo's HLL/KMV/AMS family),
+and exact largest-remainder stratified sampling (the execution
+counterpart of neyman_allocation's planning table).
+
+House determinism rules: every hash is md5-derived (portable across
+Spark/DuckDB), every count/sum exact int64, every double a one-fixed
+IEEE tree over exact ints, thresholds compared as integers.
+"""
+
+from __future__ import annotations
+
+from redshells_spark.queries._shared import *  # noqa: F401,F403
+from redshells_spark.queries.dedup import _SHINGLE_SQL  # noqa: E402
+
+# 15 md5 hex chars → 60-bit non-negative int, identical in both engines
+_HEX2INT = " + ".join(
+    f"(instr('0123456789abcdef', substr(__h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+def _hex2int_sql(expr: str) -> str:
+    """DuckDB rendering of portable_token_hash(expr) (dedup/simhash.py:32)."""
+    return f"(SELECT {_HEX2INT} FROM (SELECT md5({expr}) AS __h) __t)"
+
+
+# ------------------------------------------------ floored containment
+
+
+@q(
+    "containment_dedup_floor",
+    f"""WITH {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
+       freq AS (SELECT shingle AS el, count(*) AS f FROM shingles GROUP BY 1),
+       ord AS (SELECT el, row_number() OVER (ORDER BY f ASC, el ASC) AS erk
+               FROM freq),
+       szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+               FROM shingles GROUP BY 1),
+       rk AS (
+         SELECT s.doc_id, s.shingle AS el, z.sz,
+                row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY o.erk ASC) AS pos
+         FROM shingles s JOIN ord o ON o.el = s.shingle
+         JOIN szs z USING (doc_id)),
+       pre AS (SELECT doc_id, el, sz FROM rk
+               WHERE sz >= 40
+                 AND pos <= sz - CAST((8 * sz + 9) // 10 AS BIGINT) + 1),
+       idx AS (SELECT doc_id, el, sz FROM rk),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+                a.sz AS sza, b.sz AS szb
+         FROM pre a JOIN idx b ON a.el = b.el
+         WHERE a.doc_id <> b.doc_id AND b.sz * 10 >= a.sz * 8),
+       arrs AS (SELECT doc_id, list_sort(list(shingle)) AS arr
+                FROM shingles GROUP BY 1),
+       itr AS (
+         SELECT c.ida, c.idb, c.sza, c.szb,
+                CAST(len(list_intersect(a0.arr, a1.arr)) AS BIGINT) AS inter
+         FROM cand c
+         JOIN arrs a0 ON a0.doc_id = c.ida
+         JOIN arrs a1 ON a1.doc_id = c.idb)
+       SELECT ida AS id_a, idb AS id_b, inter,
+              CAST(sza AS BIGINT) AS size_a, CAST(szb AS BIGINT) AS size_b,
+              CAST(inter * 10000 // sza AS BIGINT) AS cont_e4
+       FROM itr WHERE inter * 10 >= 8 * sza""",
+)
+def _containment_dedup_floor(spark, sf_dir):
+    """containment_dedup_join with the min-|A| floor ON (|A| >= 40,
+    around the corpus median shingle-set size): tiny sets are
+    contained in almost everything — a 3-shingle set clears tau=0.8
+    inside any superset of 3 of its shingles — so at corpus scale the
+    A-side floor is what bounds the output away from |tiny|x|corpus|.
+    The floor is a pre-filter on the probe side, not an approximation:
+    the output is exactly the containment relation restricted to
+    |A| >= 40, verified against the same positional-prune-free oracle
+    superset. dedup/ppjoin.py:containment_pairs_from_rank_sorted
+    (min_size_a); shares the persisted rank-sorted index."""
+    from redshells_spark.dedup.ppjoin import containment_pairs_from_rank_sorted
+    from redshells_spark.queries.r6c_ops import _ppjoin_index
+
+    return containment_pairs_from_rank_sorted(
+        _ppjoin_index(spark, sf_dir), 8, 10, min_size_a=40
+    )
+
+
+# -------------------------------- full similarity composite with MF
+
+
+@q(
+    "make_similarity_data_mf",
+    """WITH w2i AS (SELECT CAST(label AS VARCHAR) AS word, vec_id AS item_id
+                FROM embeddings),
+       a AS (SELECT word, item_id AS item_id_0,
+                    row_number() OVER (PARTITION BY word
+                                       ORDER BY item_id ASC) AS r
+             FROM w2i),
+       b AS (SELECT word, item_id AS item_id_1,
+                    row_number() OVER (PARTITION BY word
+                      ORDER BY md5(CAST(item_id AS VARCHAR) || '42') ASC) AS r
+             FROM w2i),
+       pos AS (
+         SELECT a.item_id_0, b.item_id_1, 1 AS similarity
+         FROM a JOIN b ON a.word = b.word AND a.r = b.r
+         WHERE a.item_id_0 <> b.item_id_1),
+       items AS (
+         SELECT item_id AS item_id_1,
+                row_number() OVER (
+                  ORDER BY md5(CAST(item_id AS VARCHAR) || '42') ASC) - 1 AS gr
+         FROM (SELECT DISTINCT item_id FROM w2i)),
+       grp AS (
+         SELECT word, item_id AS item_id_0,
+                (row_number() OVER (PARTITION BY word ORDER BY item_id ASC)
+                 * 2654435761 + 42) % (SELECT count(*) FROM items) AS gr
+         FROM w2i),
+       neg AS (
+         SELECT p.item_id_0, p.item_id_1, 0 AS similarity
+         FROM (SELECT g.word, g.item_id_0, i.item_id_1
+               FROM grp g JOIN items i ON i.gr = g.gr) p
+         ANTI JOIN w2i w ON w.word = p.word AND w.item_id = p.item_id_1),
+       xs AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                     CAST(floor(unnest(embedding)::DOUBLE * 1000
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+              FROM embeddings WHERE vec_id % 7 = 0),
+       s AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS s2
+             FROM xs GROUP BY 1),
+       d AS (SELECT x0.vec_id AS id0, x1.vec_id AS id1,
+                    CAST(sum(x0.q * x1.q) AS BIGINT) AS d
+             FROM xs x0 JOIN xs x1 ON x1.dim = x0.dim
+                                  AND x1.label = x0.label
+                                  AND x0.vec_id < x1.vec_id
+             GROUP BY 1, 2),
+       sim AS (SELECT id0, id1,
+                      CAST(floor(CAST(d.d AS DOUBLE)
+                                 / sqrt(CAST(s0.s2 AS DOUBLE))
+                                 / sqrt(CAST(s1.s2 AS DOUBLE))
+                                 * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                        AS sim_e6
+               FROM d JOIN s s0 ON s0.vec_id = d.id0
+               JOIN s s1 ON s1.vec_id = d.id1
+               WHERE s0.s2 > 0 AND s1.s2 > 0),
+       mf_pos AS (SELECT item_id_0, item_id_1, 1 AS similarity FROM (
+           SELECT id0 AS item_id_0, id1 AS item_id_1,
+                  row_number() OVER (
+                    ORDER BY sim_e6 DESC, id0 ASC, id1 ASC) AS rn
+           FROM sim WHERE sim_e6 > 700000) WHERE rn <= 200),
+       mf_neg AS (SELECT item_id_0, item_id_1, 0 AS similarity FROM (
+           SELECT id0 AS item_id_0, id1 AS item_id_1,
+                  row_number() OVER (
+                    ORDER BY sim_e6 DESC, id0 ASC, id1 ASC) AS rn
+           FROM sim WHERE sim_e6 < 300000) WHERE rn <= 200)
+       SELECT item_id_0, item_id_1, CAST(max(similarity) AS BIGINT) AS similarity
+       FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg
+             UNION ALL SELECT * FROM mf_pos UNION ALL SELECT * FROM mf_neg)
+       GROUP BY 1, 2""",
+)
+def _make_similarity_data_mf(spark, sf_dir):
+    """The FULL make_similarity_data composite including the
+    MF-similarity branch (reference make_similarity_data.py:68-82):
+    word-group positives (seeded permutation pairing) + outside-group
+    negatives (hash-mapped) + similarity-threshold positives/negatives
+    from a pairwise score relation, keep-positive pair dedup. Here the
+    "word" groups are the embeddings' labels and the score relation is
+    the exact e6-quantized cosine over a deterministic 1-in-7 sample
+    blocked by label (the ANN-candidate shape: same-cluster pairs
+    only, never all-pairs — at 100x the sample the per-label pair
+    count grows quadratically ONLY within the sampled block, which is
+    the knob). Element sums exact int64 over e3-quantized components;
+    the cosine is one fixed IEEE tree; the top-k cuts sort on the
+    integer score with full tie-breaks, so the composite is
+    value-verified end to end."""
+    from redshells_spark.pipelines.similarity_data import make_similarity_data
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w2i = emb.select(
+        F.col("label").cast("string").alias("word"),
+        F.col("vec_id").alias("item_id"),
+    )
+    qv = F.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000"
+        " + cast(0.5 as double)) as bigint))"
+    )
+    samp = emb.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        "label",
+        qv.alias("qv"),
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(floor(cast(x as double)"
+            " * 1000 + cast(0.5 as double)) as bigint)),"
+            " cast(0 as bigint), (acc, x) -> acc + x * x)"
+        ).alias("s2"),
+    ).filter(F.col("s2") > 0)
+    a0 = samp.select(
+        F.col("vec_id").alias("id0"), "label",
+        F.col("qv").alias("q0"), F.col("s2").alias("s20"),
+    )
+    a1 = samp.select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("label1"),
+        F.col("qv").alias("q1"), F.col("s2").alias("s21"),
+    )
+    sim = (
+        a0.join(a1, (F.col("label") == F.col("label1")) & (F.col("id0") < F.col("id1")))
+        .select(
+            "id0",
+            "id1",
+            F.expr(
+                "aggregate(zip_with(q0, q1, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("d"),
+            "s20",
+            "s21",
+        )
+        .select(
+            "id0",
+            "id1",
+            F.expr(
+                "cast(floor(cast(d as double) / sqrt(cast(s20 as double))"
+                " / sqrt(cast(s21 as double)) * 1000000"
+                " + cast(0.5 as double)) as bigint)"
+            ).alias("similarity"),
+        )
+    )
+    out = make_similarity_data(
+        w2i,
+        mf_similarity=sim,
+        positive_rate=700000,
+        negative_rate=300000,
+        max_pairs=200,
+    )
+    return out.select(
+        "item_id_0", "item_id_1", F.col("similarity").cast("long").alias("similarity")
+    )
+
+
+# ------------------------------------------- Count-Min error report
+
+
+@q(
+    "count_min_error_report",
+    f"""WITH {_TOK_SQL},
+       grams AS (
+         SELECT DISTINCT doc_id,
+                token || '␟' || lead(token) OVER (
+                  PARTITION BY doc_id ORDER BY pos ASC) AS gram
+         FROM tok QUALIFY gram IS NOT NULL),
+       df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+              FROM grams GROUP BY 1),
+       hj AS (SELECT gram, df, j,
+                     {_hex2int_sql("gram || '#' || CAST(j AS VARCHAR)")} % 256
+                       AS bucket
+              FROM df CROSS JOIN (SELECT unnest(range(4)) AS j)),
+       cms AS (SELECT j, bucket, CAST(sum(df) AS BIGINT) AS c
+               FROM hj GROUP BY 1, 2),
+       est AS (SELECT h.gram, CAST(min(c.c) AS BIGINT) AS est
+               FROM hj h JOIN cms c ON c.j = h.j AND c.bucket = h.bucket
+               GROUP BY 1),
+       top AS (SELECT gram, df,
+                      row_number() OVER (ORDER BY df DESC, gram ASC) AS rn
+               FROM df)
+       SELECT t.gram, t.df AS exact_df, e.est,
+              CAST(e.est - t.df AS BIGINT) AS overcount
+       FROM top t JOIN est e ON e.gram = t.gram
+       WHERE t.rn <= 20 ORDER BY t.df DESC, t.gram ASC""",
+)
+def _count_min_error_report(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) error audit
+    over word-bigram document frequencies: d=4 portable hash rows x
+    w=256 buckets, the estimate for the top-20 bigrams vs their exact
+    df, overcount = est - exact (CMS never underestimates). This is
+    the heavy-hitter companion to the HLL/KMV/AMS sketch family: the
+    sketch build is ONE map-combined groupBy over the (level-table,
+    4x) hash relation — 4*|vocab| rows total, never corpus-shaped —
+    and point queries are a broadcastable 1024-cell join. At 100x the
+    sketch size is unchanged (that is the point of a sketch); only
+    the exact-df level table grows with vocabulary."""
+    from redshells_spark.dedup.ngram import word_ngrams
+    from redshells_spark.dedup.simhash import portable_token_hash
+
+    grams = _tokens(spark, sf_dir).select(
+        "doc_id", F.explode(word_ngrams("tokens", 2)).alias("gram")
+    )
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    hj = df.crossJoin(
+        F.broadcast(
+            _tokens(spark, sf_dir)
+            .sparkSession.range(4)
+            .select(F.col("id").alias("j"))
+        )
+    ).select(
+        "gram",
+        "df",
+        "j",
+        (
+            portable_token_hash(F.concat(F.col("gram"), F.lit("#"), F.col("j").cast("string")))
+            % 256
+        ).alias("bucket"),
+    )
+    cms = hj.groupBy("j", "bucket").agg(F.sum("df").cast("long").alias("c"))
+    est = (
+        hj.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("gram")
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("gram").asc())
+    top = df.select("gram", "df", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 20
+    )
+    return (
+        top.join(est, "gram")
+        .select(
+            "gram",
+            F.col("df").alias("exact_df"),
+            "est",
+            (F.col("est") - F.col("df")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_df").desc(), F.col("gram").asc())
+    )
+
+
+# --------------------------------------------- Bloom-filter FPR audit
+
+
+@q(
+    "bloom_filter_fpr_audit",
+    f"""WITH bld AS (SELECT DISTINCT o_custkey AS k FROM orders
+                 WHERE o_totalprice > 480000),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM bld),
+       bpos AS (SELECT k, j,
+                       {_hex2int_sql("CAST(k AS VARCHAR) || '#' || CAST(j AS VARCHAR)")}
+                         % 65536 AS pos
+                FROM bld CROSS JOIN (SELECT unnest(range(3)) AS j)),
+       bloom AS (SELECT pos // 32 AS word,
+                        CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER))
+                             AS BIGINT) AS bits
+                 FROM bpos GROUP BY 1),
+       ppos AS (SELECT c_custkey AS k, j,
+                       {_hex2int_sql("CAST(c_custkey AS VARCHAR) || '#' || CAST(j AS VARCHAR)")}
+                         % 65536 AS pos
+                FROM customer CROSS JOIN (SELECT unnest(range(3)) AS j)),
+       hit AS (SELECT p.k,
+                      CAST(min(CASE WHEN b.bits IS NOT NULL
+                                     AND (b.bits & (1::BIGINT
+                                          << CAST(p.pos % 32 AS INTEGER))) <> 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS all3
+               FROM ppos p LEFT JOIN bloom b ON b.word = p.pos // 32
+               GROUP BY 1),
+       lab AS (SELECT h.k, h.all3,
+                      CASE WHEN bl.k IS NULL THEN 0 ELSE 1 END AS member
+               FROM hit h LEFT JOIN bld bl ON bl.k = h.k)
+       SELECT nb.n_build, CAST(count(*) AS BIGINT) AS n_probe,
+              CAST(sum(1 - member) AS BIGINT) AS n_neg,
+              CAST(sum(CASE WHEN member = 0 AND all3 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_fp,
+              CAST(sum(CASE WHEN member = 0 AND all3 = 1 THEN 1 ELSE 0 END)
+                   * 1000000 // sum(1 - member) AS BIGINT) AS fpr_e6,
+              CAST(floor(power(1 - exp(-(3.0 * nb.n_build) / 65536.0), 3.0)
+                         * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                AS pred_fpr_e6
+       FROM lab CROSS JOIN nb GROUP BY nb.n_build""",
+)
+def _bloom_filter_fpr_audit(spark, sf_dir):
+    """Bloom-filter build + false-positive-rate audit: m=65536 bits
+    (2048 x 32-bit-packed words, built by ONE bit_or groupBy over the k=3
+    md5-hash positions of the build keys — high-spend customers),
+    probed with the full customer relation against exact membership.
+    Reports observed FPR beside the textbook prediction
+    (1 - e^(-kn/m))^k. The bitmap relation is m/64 rows at ANY corpus
+    size (broadcastable by construction); build and probe are one
+    groupBy each over key x 3 hash rows. The m constant is the
+    capacity knob: at 100x build keys the audit correctly reports the
+    saturation (that IS the report's job); production sizing picks m
+    from the predicted-FPR column. No RNG anywhere — md5 positions
+    make the filter bit-identical across engines and cluster sizes."""
+    from redshells_spark.dedup.simhash import portable_token_hash
+
+    o = _t(spark, sf_dir, "orders")
+    bld = (
+        o.filter(F.col("o_totalprice") > 480000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    js = spark.range(3).select(F.col("id").alias("j"))
+    pos = portable_token_hash(
+        F.concat(F.col("k").cast("string"), F.lit("#"), F.col("j").cast("string"))
+    ) % 65536
+    bpos = bld.crossJoin(F.broadcast(js)).select("k", "j", pos.alias("pos"))
+    bloom = bpos.groupBy((F.col("pos") / 32).cast("long").alias("word")).agg(
+        F.expr(
+            "cast(bit_or(shiftleft(cast(1 as bigint),"
+            " cast(pos % 32 as int))) as bigint)"
+        ).alias("bits")
+    )
+    prb = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ppos = prb.crossJoin(F.broadcast(js)).select("k", "j", pos.alias("pos"))
+    hit = (
+        ppos.join(
+            F.broadcast(bloom),
+            (F.col("pos") / 32).cast("long") == F.col("word"),
+            "left",
+        )
+        .select(
+            "k",
+            F.expr(
+                "case when bits is not null and (bits &"
+                " shiftleft(cast(1 as bigint), cast(pos % 32 as int))) <> 0"
+                " then 1 else 0 end"
+            ).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.min("h").cast("long").alias("all3"))
+    )
+    lab = hit.join(
+        bld.select("k", F.lit(1).alias("member")), "k", "left"
+    ).select("k", "all3", F.coalesce(F.col("member"), F.lit(0)).alias("member"))
+    nb = bld.agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+    return (
+        lab.crossJoin(F.broadcast(nb))
+        .groupBy("n_build")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe"),
+            F.sum(1 - F.col("member")).cast("long").alias("n_neg"),
+            F.sum(
+                ((F.col("member") == 0) & (F.col("all3") == 1)).cast("long")
+            )
+            .cast("long")
+            .alias("n_fp"),
+            F.expr(
+                "cast(sum(case when member = 0 and all3 = 1 then 1 else 0 end)"
+                " * 1000000 div sum(1 - member) as bigint)"
+            ).alias("fpr_e6"),
+            F.expr(
+                "cast(floor(power(1 - exp(-(3.0 * first(n_build)) / 65536.0), 3.0)"
+                " * 1000000 + cast(0.5 as double)) as bigint)"
+            ).alias("pred_fpr_e6"),
+        )
+        .select("n_build", "n_probe", "n_neg", "n_fp", "fpr_e6", "pred_fpr_e6")
+    )
+
+
+# ------------------------------------------ exact stratified sampling
+
+
+@q(
+    "stratified_sample_exact",
+    """WITH pop AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_pop
+               FROM customer GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_pop) AS BIGINT) AS n FROM pop),
+       quo AS (SELECT seg, n_pop,
+                      CAST((500 * n_pop) // tot.n AS BIGINT) AS base,
+                      CAST((500 * n_pop) % tot.n AS BIGINT) AS rem
+               FROM pop CROSS JOIN tot),
+       sumb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM quo),
+       alloc AS (SELECT seg, n_pop,
+                        base + CASE WHEN row_number() OVER (
+                                 ORDER BY rem DESC, seg ASC)
+                               <= 500 - sumb.sb THEN 1 ELSE 0 END AS alloc
+                 FROM quo CROSS JOIN sumb),
+       rk AS (SELECT c_mktsegment AS seg, c_custkey AS k,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY md5(CAST(c_custkey AS VARCHAR) || '7') ASC,
+                                c_custkey ASC) AS rn
+              FROM customer),
+       samp AS (SELECT r.seg, r.k
+                FROM rk r JOIN alloc a ON a.seg = r.seg AND r.rn <= a.alloc)
+       SELECT a.seg AS segment, a.n_pop, CAST(a.alloc AS BIGINT) AS alloc,
+              CAST(coalesce(s.ck, 0) AS BIGINT) AS key_checksum
+       FROM alloc a LEFT JOIN (SELECT seg, CAST(sum(k) AS BIGINT) AS ck
+                               FROM samp GROUP BY 1) s ON s.seg = a.seg
+       ORDER BY a.seg""",
+)
+def _stratified_sample_exact(spark, sf_dir):
+    """Deterministic proportional stratified sampling, EXECUTED (the
+    companion to neyman_allocation's planning table): total n=500
+    split across market segments by largest-remainder quotas (the
+    token_budget_allocation idiom — exact integer base + remainder
+    ranking, sums to n by construction), then each stratum's sample is
+    its first alloc keys in portable md5 order (reproducible across
+    engines and cluster sizes — the seeded-permutation idiom of
+    make_similarity_data). Output is the per-stratum audit: population,
+    allocation, and the sampled-key checksum that certifies BOTH
+    engines picked the identical rows. Scale: one window per stratum
+    over the customer relation; at 100x the sample stays n=500 and
+    only the rank window grows — partitioned by segment, never
+    global."""
+    c = _t(spark, sf_dir, "customer")
+    pop = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop")
+    )
+    tot = pop.agg(F.sum("n_pop").cast("long").alias("n"))
+    quo = pop.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_pop",
+        F.expr("cast((500 * n_pop) div n as bigint)").alias("base"),
+        F.expr("cast((500 * n_pop) % n as bigint)").alias("rem"),
+    )
+    sumb = quo.agg(F.sum("base").cast("long").alias("sb"))
+    wr = Window.orderBy(F.col("rem").desc(), F.col("seg").asc())
+    alloc = (
+        quo.crossJoin(F.broadcast(sumb))
+        .select(
+            "seg",
+            "n_pop",
+            (
+                F.col("base")
+                + F.when(F.row_number().over(wr) <= 500 - F.col("sb"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    wk = Window.partitionBy("seg").orderBy(
+        F.md5(F.concat(F.col("k").cast("string"), F.lit("7"))).asc(),
+        F.col("k").asc(),
+    )
+    rk = c.select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_custkey").alias("k")
+    ).select("seg", "k", F.row_number().over(wk).alias("rn"))
+    samp = rk.join(F.broadcast(alloc.select("seg", "alloc")), "seg").filter(
+        F.col("rn") <= F.col("alloc")
+    )
+    ck = samp.groupBy("seg").agg(F.sum("k").cast("long").alias("ck"))
+    return (
+        alloc.join(ck, "seg", "left")
+        .select(
+            F.col("seg").alias("segment"),
+            "n_pop",
+            F.col("alloc").cast("long").alias("alloc"),
+            F.coalesce(F.col("ck"), F.lit(0)).cast("long").alias("key_checksum"),
+        )
+        .orderBy("segment")
+    )

@@ -539,19 +539,40 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-symmetrize dedup is skipped on purpose: ``symmetrize_edges``
     dedups the union anyway, so deduping e0 first only adds a
     shuffle."""
-    from redshells_spark.operators.graph import symmetrize_edges
+    return _copurchase_edges_weighted(spark, sf_dir).select("src", "dst")
 
+
+def _copurchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cnt): the cached relation itself — symmetrized edges
+    WITH the per-pair purchase count, so the whole graph tier (pagerank,
+    BFS, LPA, Katz, AND the weighted Bellman-Ford) shares ONE
+    materialization of the fact join. The count aggregate replaces the
+    former symmetrize-then-dropDuplicates (one shuffle, not two): the
+    groupBy yields distinct directed (c→s) pairs and the mirror's
+    prefixes are disjoint from them, so the union is distinct by
+    construction — bit-identical edge set to symmetrize_edges(e0)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGE_CACHE:
         while len(_EDGE_CACHE) >= _TOKEN_CACHE_MAX:
             _EDGE_CACHE.pop(next(iter(_EDGE_CACHE))).unpersist()
         li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-        e0 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        e0 = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
-        _EDGE_CACHE[key] = symmetrize_edges(e0).cache()
+        sym = e0.unionByName(
+            e0.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("cnt"),
+            )
+        )
+        _EDGE_CACHE[key] = sym.cache()
     return _EDGE_CACHE[key]
 
 

@@ -1,0 +1,283 @@
+"""Unit gates for the round-8 operators: blocked prefix-filter joins,
+floored containment, CMS/Bloom sketch audits, stratified sampling,
+theta forecast, exact PR-AUC, and the graph-structure readouts.
+Hand-computed fixtures pin the math; sf0.001 runs pin shapes and the
+documented invariants (no sketch underestimate, no Bloom false
+negative, k-core fixpoint)."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------- blocked prefix filter
+
+
+def test_blocked_ppjoin_equals_bruteforce(spark):
+    # sets across two blocks; exact same-block Jaccard >= 0.5 pairs
+    data = {
+        1: ("a", {"x", "y", "z"}),
+        2: ("a", {"x", "y", "w"}),
+        3: ("a", {"p", "q"}),
+        4: ("b", {"x", "y", "z"}),  # same set as 1 but other block
+        5: ("b", {"x", "y"}),
+    }
+    rows = [(i, b, e) for i, (b, s) in data.items() for e in s]
+    df = spark.createDataFrame(rows, "doc_id long, blk string, el string")
+    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    got = {
+        (r["id_0"], r["id_1"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "el", 5, 10, block_column="blk"
+        ).collect()
+    }
+    want = set()
+    for i, j in combinations(sorted(data), 2):
+        bi, si = data[i]
+        bj, sj = data[j]
+        if bi == bj and len(si & sj) * 2 >= len(si | sj):
+            want.add((i, j))
+    assert got == want and (1, 2) in got and (4, 5) in got
+
+
+def test_blocked_ppjoin_output_carries_block(spark):
+    rows = [(1, "a", "x"), (1, "a", "y"), (2, "a", "x"), (2, "a", "y")]
+    df = spark.createDataFrame(rows, "doc_id long, blk string, el string")
+    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    out = prefix_filter_jaccard_pairs(
+        df, "doc_id", "el", 5, 10, block_column="blk"
+    ).collect()
+    assert [(r["block"], r["id_0"], r["id_1"], r["jac_e4"]) for r in out] == [
+        ("a", 1, 2, 10000)
+    ]
+
+
+def test_unblocked_ppjoin_sizes_in_output(spark):
+    rows = [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, "doc_id long, el string")
+    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    out = prefix_filter_jaccard_pairs(df, "doc_id", "el", 5, 10).collect()
+    assert [(r["id_0"], r["id_1"], r["sz_0"], r["sz_1"], r["inter"]) for r in out] == [
+        (1, 2, 3, 2, 2)
+    ]
+
+
+# ----------------------------------------------- floored containment
+
+
+def test_containment_floor_is_subset(spark):
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        containment_pairs_from_rank_sorted,
+    )
+
+    rows = (
+        [(1, f"e{i}") for i in range(10)]
+        + [(2, f"e{i}") for i in range(8)]  # 2 ⊂ 1, |2|=8
+        + [(3, "e0"), (3, "e1")]  # tiny set, contained in 1 and 2
+    )
+    idx = build_rank_sorted_sets(
+        spark.createDataFrame(rows, "doc_id long, el string"),
+        element_column="el",
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_from_rank_sorted(idx, 8, 10).collect()
+    }
+    floored = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_from_rank_sorted(
+            idx, 8, 10, min_size_a=5
+        ).collect()
+    }
+    # (1,2) qualifies too: |1∩2|/|1| = 8/10 = 0.8 exactly
+    assert full == {(3, 1), (3, 2), (2, 1), (1, 2)}
+    assert floored == {(2, 1), (1, 2)}  # only |A| >= 5 probes survive
+    assert floored <= full
+
+
+# ----------------------------------------------------- CMS / Bloom
+
+
+def test_count_min_never_underestimates(spark):
+    from redshells_spark.queries.r8_ops import _count_min_error_report
+
+    out = _count_min_error_report(spark, SF).collect()
+    assert 0 < len(out) <= 20
+    assert all(r["overcount"] >= 0 for r in out)
+    assert all(r["est"] >= r["exact_df"] for r in out)
+
+
+def test_bloom_no_false_negatives_and_counts(spark):
+    from redshells_spark.queries.r8_ops import _bloom_filter_fpr_audit
+
+    r = _bloom_filter_fpr_audit(spark, SF).collect()[0]
+    # every member must hit: fp counted only among negatives, and
+    # n_fp <= n_neg; build keys are a subset of probes here
+    assert r["n_probe"] >= r["n_neg"] >= r["n_fp"] >= 0
+    assert r["n_build"] == r["n_probe"] - r["n_neg"]
+    assert 0 <= r["pred_fpr_e6"] <= 1_000_000
+
+
+# ----------------------------------------------- stratified sampling
+
+
+def test_stratified_allocation_sums_to_n(spark):
+    from redshells_spark.queries.r8_ops import _stratified_sample_exact
+
+    out = _stratified_sample_exact(spark, SF).collect()
+    assert sum(r["alloc"] for r in out) == 500
+    assert all(r["alloc"] <= r["n_pop"] or r["key_checksum"] >= 0 for r in out)
+    # allocation is proportional within 1 of the exact quota
+    tot = sum(r["n_pop"] for r in out)
+    for r in out:
+        exact = 500 * r["n_pop"] / tot
+        assert abs(r["alloc"] - exact) < 1.0
+
+
+# ------------------------------------------------- theta forecast
+
+
+def test_theta_forecast_hand_recurrence(spark):
+    from redshells_spark.queries.r8b_ops import _theta_forecast
+
+    out = _theta_forecast(spark, SF).orderBy("t").collect()
+    if len(out) < 2:
+        pytest.skip("degenerate corpus")
+    ts = [r["t"] for r in out]
+    vs = [r["v"] for r in out]
+    n = len(ts)
+    st, sv = sum(ts), sum(vs)
+    stv = sum(t * v for t, v in zip(ts, vs))
+    stt = sum(t * t for t in ts)
+    b = float(n * stv - st * sv) / float(n * stt - st * st)
+    a = (float(sv) - b * float(st)) / float(n)
+    # theta line doubles curvature around the OLS line
+    for r in out:
+        assert r["theta_z"] == pytest.approx(2 * r["v"] - (a + b * r["t"]), abs=1e-6)
+    # SES recurrence holds between consecutive rows
+    for p, c in zip(out, out[1:]):
+        assert c["level"] == pytest.approx(
+            0.3 * c["theta_z"] + 0.7 * p["level"], abs=1e-6
+        )
+    # forecast is the equal-weight drift/SES combination
+    last = out[-1]
+    assert last["fcst_next"] == pytest.approx(
+        0.5 * (last["level"] + (a + b * (last["t"] + 1))), abs=1e-6
+    )
+
+
+# --------------------------------------------------- exact PR-AUC
+
+
+def test_pr_auc_hand_value(spark):
+    # scores: pos at 3,2 / neg at 2,1 → levels desc: 3 (tp1,fp0 P=1),
+    # 2 (tp2,fp1 P=2/3), 1 (tp2,fp2) → AP = (1/2)*1 + (1/2)*(2/3) = 5/6
+    import redshells_spark.queries.r8b_ops  # noqa: F401 — registers the query
+
+    rows = [(3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)]
+    ev = spark.createDataFrame(rows, "score double, pos int")
+    lvl = ev.groupBy(
+        F.expr("cast(floor(score * 100 + 0.5) as bigint)").alias("s")
+    ).agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nn"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = lvl.select(
+        "np",
+        F.sum("np").over(w).alias("tp"),
+        F.sum("nn").over(w).alias("fp"),
+    ).filter(F.col("np") > 0)
+    terms = cum.select(
+        F.expr("cast(np * tp * 1000000000 div (2 * (tp + fp)) as bigint)").alias("t")
+    )
+    ap_e9 = terms.agg(F.sum("t")).collect()[0][0]
+    assert ap_e9 == 500000000 + 333333333  # floor terms of 1/2 and 1/3
+
+    out = __import__(
+        "redshells_spark.queries.r8b_ops", fromlist=["_pr_auc_exact"]
+    )._pr_auc_exact(spark, SF).collect()[0]
+    assert 0 <= out["ap"] <= 1 and out["n_levels"] > 0
+
+
+# ------------------------------------------------------- k-core
+
+
+def test_k_core_hand_graph(spark):
+    # K4 on {1,2,3,4} plus a pendant 5-1: with k=2 the pendant and
+    # nothing else peels; rounds converge immediately after
+    edges = []
+    for i, j in combinations([1, 2, 3, 4], 2):
+        edges += [(f"n{i}", f"n{j}"), (f"n{j}", f"n{i}")]
+    edges += [("n5", "n1"), ("n1", "n5")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    alive = e.select(F.col("src").alias("node")).distinct()
+    for _ in range(3):
+        er = e.join(alive.withColumnRenamed("node", "src"), "src").join(
+            alive.withColumnRenamed("node", "dst"), "dst"
+        )
+        deg = er.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.filter(F.col("d") >= 2).select(F.col("src").alias("node"))
+    assert {r["node"] for r in alive.collect()} == {"n1", "n2", "n3", "n4"}
+
+
+def test_k_core_rounds_converge_on_testdata(spark):
+    from redshells_spark.queries.r8b_ops import _k_core_peel_rounds
+
+    out = {r["round"]: (r["n_nodes"], r["n_edges2"]) for r in _k_core_peel_rounds(spark, SF).collect()}
+    assert len(out) == 6
+    # documented fixpoint gate: the last two rounds agree
+    assert out[5] == out[6]
+    # peeling is monotone non-increasing
+    for r in range(1, 6):
+        assert out[r][0] >= out[r + 1][0] and out[r][1] >= out[r + 1][1]
+
+
+# ------------------------------------------------- rich club
+
+
+def test_rich_club_hand_graph(spark):
+    # star: hub h connected to 5 leaves; deg(h)=5, deg(leaf)=1.
+    # k=2: only the hub survives → filtered out (n_nodes < 2).
+    # Build a 3-clique with one leaf each instead: deg(core)=3,
+    # deg(leaf)=1; k=2 keeps the 3 core nodes with 6 directed edges
+    # → phi = 6/(3*2) = 1.0
+    edges = []
+    for i, j in combinations(["a", "b", "c"], 2):
+        edges += [(i, j), (j, i)]
+    for i, leaf in [("a", "la"), ("b", "lb"), ("c", "lc")]:
+        edges += [(i, leaf), (leaf, i)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") > 2)
+    assert core.count() == 3
+    ed = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .filter((F.col("ds") > 2) & (F.col("dd") > 2))
+    )
+    assert ed.count() == 6  # phi = 6/(3*2) = 1
+
+
+def test_rich_club_query_monotone_nodes(spark):
+    from redshells_spark.queries.r8b_ops import _rich_club_coefficient
+
+    out = _rich_club_coefficient(spark, SF).orderBy("k").collect()
+    for p, c in zip(out, out[1:]):
+        assert p["n_nodes"] >= c["n_nodes"]
+    for r in out:
+        assert 0 <= r["phi_e6"] <= 1_000_000
