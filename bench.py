@@ -30,6 +30,11 @@ HEADLINE = [
     "exact_dedup",
     "tfidf_top_tokens",
     "minhash_near_dedup",
+    # r8: the blocked word-bigram Jaccard relation — now served from
+    # the shared rank-sorted gram index (_gram_index); added to the
+    # headline alongside the other dedup relations it shares caches
+    # with (dedup_method_agreement's side B reuses the same index)
+    "ngram_jaccard",
     "brute_force_topk",
     "lsh_topk",
     "embedding_near_dup",

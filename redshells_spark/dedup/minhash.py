@@ -98,6 +98,13 @@ def minhash_signatures(
     """→ (doc_id, j, minhash) — long form (the oracle-checked
     representation), unpivoted from the wide aggregation."""
     wide = minhash_signatures_wide(shingles, num_hashes, with_size=False)
+    return minhash_signatures_from_wide(wide, num_hashes)
+
+
+def minhash_signatures_from_wide(wide: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Long (doc_id, j, minhash) form unpivoted from an existing wide
+    signature relation — the zero-shuffle path when the wide rows are
+    already materialized (shared session caches)."""
     stack = F.explode(
         F.array(
             *[
@@ -268,6 +275,7 @@ def verify_jaccard(
     shingles: DataFrame,
     threshold: float = 0.5,
     sizes: DataFrame | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs → keep ≥ threshold.
 
@@ -279,11 +287,18 @@ def verify_jaccard(
     shuffled volume is the same candidate-bounded pairs, each carrying
     two token-proportional int arrays). ``sizes`` is accepted for API
     compatibility but unused — |A| = size(array) falls out of the same
-    aggregate. Nothing corpus-sized is broadcast."""
+    aggregate. ``arrays`` (optional, (doc_id, __arr, sz)) supplies a
+    pre-materialized — typically session-cached — array relation so
+    repeated verifications skip the groupBy. Nothing corpus-sized is
+    broadcast."""
     del sizes  # sizes come free from the array aggregate
-    arr = shingles.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("__arr"),
-        F.count(F.lit(1)).alias("sz"),
+    arr = (
+        arrays
+        if arrays is not None
+        else shingles.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("__arr"),
+            F.count(F.lit(1)).alias("sz"),
+        )
     )
     a0 = arr.select(
         F.col("doc_id").alias("doc_id_0"),

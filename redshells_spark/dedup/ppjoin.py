@@ -107,6 +107,7 @@ def pairs_from_rank_sorted(
     docarr: DataFrame,
     threshold_num: int = 5,
     threshold_den: int = 10,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """→ ([block,] id_0, id_1, inter, sz_0, sz_1, union_sz, jac_e4):
     ALL pairs
@@ -115,8 +116,21 @@ def pairs_from_rank_sorted(
     target). If the index was built with a ``block_column``, the
     candidate join additionally requires block equality and the
     output carries the shared ``block`` value — the exact "similar
-    pairs within a block" relation."""
+    pairs within a block" relation.
+
+    ``collapse_identical`` switches on duplicate-set collapsing
+    (Vernica et al. SIGMOD 2010 §5): docs with bit-identical element
+    sets form one group, the PPJoin candidate algebra runs on group
+    REPRESENTATIVES only, and the result expands back through group
+    membership (within-group pairs have Jaccard exactly 1 and need no
+    join at all). Output is row-for-row identical; compute becomes
+    proportional to DISTINCT-set pairs plus output size. This is the
+    lever when a corpus is heavy with exact duplicates — at a small
+    element universe, distinct sets can be orders of magnitude fewer
+    than docs while the qualifying pair count stays output-bound."""
     num, den = threshold_num, threshold_den
+    if collapse_identical:
+        return _pairs_collapsed(docarr, num, den)
     blocked = "__blk" in docarr.columns
     # prefix length p = sz − ceil(τ·sz) + 1, integer form
     plen = (
@@ -125,6 +139,9 @@ def pairs_from_rank_sorted(
         + 1
     ).cast("int")
     blk = ["__blk"] if blocked else []
+    # join key is the dense int element RANK, not the element value —
+    # __erk is a bijection of the element universe, so the candidate
+    # set is identical and the self-join hashes ints, not strings
     prefix = docarr.select(
         "__id",
         "__sz",
@@ -134,7 +151,7 @@ def pairs_from_rank_sorted(
         "__id",
         "__sz",
         *blk,
-        F.col("__s.__el").alias("__el"),
+        F.col("__s.__erk").alias("__el"),
         (F.col("__i") + 1).cast("long").alias("__pos"),
     )
     # Join strategy is left to AQE on purpose: the prefix relation is
@@ -233,6 +250,82 @@ def pairs_from_rank_sorted(
     return inter.filter(F.col("inter") * den >= num * union_sz).select(*out_cols)
 
 
+def _pairs_collapsed(docarr: DataFrame, num: int, den: int) -> DataFrame:
+    """Duplicate-set collapsing for :func:`pairs_from_rank_sorted`:
+    group by the exact element-rank array (a bijection of the element
+    set), run the pair algebra on one representative per group, expand
+    through membership. Exact — group-level Jaccard equals every
+    member pair's Jaccard, and within-group pairs are Jaccard 1."""
+    blocked = "__blk" in docarr.columns
+    blk = ["__blk"] if blocked else []
+    blkout = [F.col("block")] if blocked else []
+    keyed = docarr.withColumn("__arr", F.expr("transform(__rk, x -> x.__erk)"))
+    # one shuffle: groups keyed on the int-rank array (+ block). __rk
+    # is functionally determined by __arr (rank ↔ element bijection),
+    # so first() is exact, not a tie-break.
+    groups = (
+        keyed.groupBy("__arr", *blk)
+        .agg(
+            F.min("__id").alias("__gid"),
+            F.collect_list("__id").alias("__mem"),
+            F.first("__rk").alias("__rk"),
+        )
+        .withColumn("__sz", F.size("__arr").cast("long"))
+    )
+    members = groups.select(
+        "__gid", *blk, "__sz", F.explode("__mem").alias("__m")
+    )
+    reps = groups.select(F.col("__gid").alias("__id"), *blk, "__rk", "__sz")
+    sp = pairs_from_rank_sorted(reps, num, den).select(
+        *blkout,
+        F.col("id_0").alias("__g0"),
+        F.col("id_1").alias("__g1"),
+        "inter",
+        F.col("sz_0").alias("__szg0"),
+        F.col("sz_1").alias("__szg1"),
+        "union_sz",
+        "jac_e4",
+    )
+    m0 = members.select(F.col("__gid").alias("__g0"), F.col("__m").alias("__i"))
+    m1 = members.select(F.col("__gid").alias("__g1"), F.col("__m").alias("__j"))
+    # cross-group expansion: member ids may interleave across groups,
+    # so re-orient per doc pair (sizes follow their doc's set)
+    fwd = F.col("__i") < F.col("__j")
+    cross = (
+        sp.join(m0, "__g0")
+        .join(m1, "__g1")
+        .select(
+            *blkout,
+            F.least("__i", "__j").alias("id_0"),
+            F.greatest("__i", "__j").alias("id_1"),
+            "inter",
+            F.when(fwd, F.col("__szg0")).otherwise(F.col("__szg1")).alias("sz_0"),
+            F.when(fwd, F.col("__szg1")).otherwise(F.col("__szg0")).alias("sz_1"),
+            "union_sz",
+            "jac_e4",
+        )
+    )
+    # within-group pairs: identical sets, Jaccard exactly 1 (≥ any
+    # valid τ ≤ 1) — pure membership algebra, no candidate join
+    w1 = members.select("__gid", F.col("__m").alias("__j"))
+    within = (
+        members.withColumnRenamed("__m", "__i")
+        .join(w1, "__gid")
+        .filter(F.col("__i") < F.col("__j"))
+        .select(
+            *[F.col("__blk").alias("block") for _ in blk],
+            F.col("__i").alias("id_0"),
+            F.col("__j").alias("id_1"),
+            F.col("__sz").alias("inter"),
+            F.col("__sz").alias("sz_0"),
+            F.col("__sz").alias("sz_1"),
+            F.col("__sz").alias("union_sz"),
+            F.lit(10000).cast("bigint").alias("jac_e4"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def prefix_filter_jaccard_pairs(
     sets_df: DataFrame,
     id_column: str = "doc_id",
@@ -315,7 +408,7 @@ def containment_pairs_from_rank_sorted(
     ).select(
         "__ida",
         "__sza",
-        F.col("__s.__el").alias("__el"),
+        F.col("__s.__erk").alias("__el"),
         (F.col("__i") + 1).cast("long").alias("__pa"),
     )
     full_b = docarr.select(
@@ -325,7 +418,7 @@ def containment_pairs_from_rank_sorted(
     ).select(
         "__idb",
         "__szb",
-        F.col("__s.__el").alias("__el"),
+        F.col("__s.__erk").alias("__el"),
         (F.col("__i") + 1).cast("long").alias("__pb"),
     )
     # α = ⌈num·|A|/den⌉; integer x ≥ α ⟺ x·den ≥ num·|A|

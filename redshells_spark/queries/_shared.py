@@ -47,7 +47,9 @@ from redshells_spark.functions.exact import (
 from redshells_spark.dedup.minhash import (
     doc_shingles,
     minhash_lsh_candidates,
+    minhash_lsh_candidates_wide,
     minhash_signatures,
+    minhash_signatures_wide,
     verify_jaccard,
 )
 from redshells_spark.dedup.ngram import ngram_jaccard_pairs
@@ -153,6 +155,159 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Python RDD — slower per use than the plan it replaced)
         _VOCAB_CACHE[key] = full.coalesce(1).localCheckpoint(eager=True)
     return _VOCAB_CACHE[key]
+
+
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default word-shingle relation (token-id bigrams,
+    ``doc_shingles(_tokens, _vocab)``) shared across the dedup tier —
+    ~10 queries re-derive these identical (doc_id, shingle) rows
+    (posexplode + vocab join + window shuffle) before diverging into
+    signatures / verification / span statistics. Cached per
+    (session, sf) like ``_tokens``; shingle_len≠2 callers keep
+    building their own."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        while len(_SHINGLE_CACHE) >= _TOKEN_CACHE_MAX:
+            _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE))).unpersist()
+        _SHINGLE_CACHE[key] = doc_shingles(
+            _tokens(spark, sf_dir), _vocab(spark, sf_dir)
+        ).cache()
+    return _SHINGLE_CACHE[key]
+
+
+_WIDE16_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CAND44_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _wide16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_signatures_wide(_shingles, 16)`` (with sizes) —
+    cached per (session, sf). Rows are per-doc, and each signature
+    depends only on its own doc's shingles, so ANY doc-subset filter
+    of this relation is bit-identical to recomputing on the subset —
+    incremental/delta variants reuse it safely."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WIDE16_CACHE:
+        while len(_WIDE16_CACHE) >= _TOKEN_CACHE_MAX:
+            _WIDE16_CACHE.pop(next(iter(_WIDE16_CACHE))).unpersist()
+        _WIDE16_CACHE[key] = minhash_signatures_wide(
+            _shingles(spark, sf_dir), num_hashes=16
+        ).cache()
+    return _WIDE16_CACHE[key]
+
+
+def _cand44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_lsh_candidates_wide(_wide16, 4, 4)`` with the default
+    1000 bucket cap — the canonical LSH candidate pair set shared by
+    the near-dup tier. The long-form path yields the SAME pairs (both
+    band keys are md5 of the j-ordered band minhashes), so long-form
+    consumers reuse this cache too."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CAND44_CACHE:
+        while len(_CAND44_CACHE) >= _TOKEN_CACHE_MAX:
+            _CAND44_CACHE.pop(next(iter(_CAND44_CACHE))).unpersist()
+        _CAND44_CACHE[key] = minhash_lsh_candidates_wide(
+            _wide16(spark, sf_dir), bands=4, rows_per_band=4
+        ).cache()
+    return _CAND44_CACHE[key]
+
+
+_SHARR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sharr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle ARRAY relation (doc_id, __arr, sz) derived from
+    ``_shingles`` — the verification-side operand of every exact
+    Jaccard check (one int ``array_intersect`` per candidate pair).
+    Cached per (session, sf): near-dedup, components, the corpus
+    pipeline, calibration, and method-agreement each re-ran the same
+    groupBy otherwise."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHARR_CACHE:
+        while len(_SHARR_CACHE) >= _TOKEN_CACHE_MAX:
+            _SHARR_CACHE.pop(next(iter(_SHARR_CACHE))).unpersist()
+        _SHARR_CACHE[key] = (
+            _shingles(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(
+                F.collect_list("shingle").alias("__arr"),
+                F.count(F.lit(1)).alias("sz"),
+            )
+            .cache()
+        )
+    return _SHARR_CACHE[key]
+
+
+_VPAIRS01_CACHE: dict[tuple[str, str], DataFrame] = {}
+_NDCOMP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _vpairs01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical verified near-dup pair relation: LSH candidates
+    (``_cand44``) exact-verified at Jaccard ≥ 0.1 — (doc_id_0,
+    doc_id_1, jaccard). Shared by near-dedup, the component queries,
+    and the corpus pipeline; cached per (session, sf)."""
+    from redshells_spark.dedup.minhash import verify_jaccard as _vj
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VPAIRS01_CACHE:
+        while len(_VPAIRS01_CACHE) >= _TOKEN_CACHE_MAX:
+            _VPAIRS01_CACHE.pop(next(iter(_VPAIRS01_CACHE))).unpersist()
+        _VPAIRS01_CACHE[key] = _vj(
+            _cand44(spark, sf_dir),
+            _shingles(spark, sf_dir),
+            threshold=0.1,
+            arrays=_sharr(spark, sf_dir),
+        ).cache()
+    return _VPAIRS01_CACHE[key]
+
+
+def _nd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over ``_vpairs01`` (hash-min + pointer
+    doubling) — (doc_id, keep_id). The iterative superstep chain is
+    the most expensive reusable artifact in the dedup tier, so it is
+    materialized once per (session, sf) via localCheckpoint (the CC
+    loop already truncates lineage per superstep)."""
+    from redshells_spark.dedup.minhash import connected_components_dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NDCOMP_CACHE:
+        while len(_NDCOMP_CACHE) >= _TOKEN_CACHE_MAX:
+            _NDCOMP_CACHE.pop(next(iter(_NDCOMP_CACHE)))
+        _NDCOMP_CACHE[key] = connected_components_dedup(
+            _vpairs01(spark, sf_dir).select("doc_id_0", "doc_id_1")
+        ).localCheckpoint(eager=True)
+    return _NDCOMP_CACHE[key]
+
+
+_GRAM_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sorted word-bigram prefix-filter index, blocked by
+    document source (``build_rank_sorted_sets(grams, doc_id, gram,
+    source)``) — threshold-FREE, so ``ngram_jaccard`` (τ=0.1) and
+    ``dedup_method_agreement`` (τ=0.5) share ONE materialization of
+    the gram explode + frequency rank + per-doc sort. Cached per
+    (session, sf); MEMORY_AND_DISK spills rather than OOMs at 100×."""
+    from pyspark.storagelevel import StorageLevel
+
+    from redshells_spark.dedup.ngram import word_ngrams
+    from redshells_spark.dedup.ppjoin import build_rank_sorted_sets
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRAM_INDEX_CACHE:
+        while len(_GRAM_INDEX_CACHE) >= _TOKEN_CACHE_MAX:
+            _GRAM_INDEX_CACHE.pop(next(iter(_GRAM_INDEX_CACHE))).unpersist()
+        grams = _tokens(spark, sf_dir).select(
+            "doc_id", "source", F.explode(word_ngrams("tokens", 2)).alias("gram")
+        )
+        _GRAM_INDEX_CACHE[key] = build_rank_sorted_sets(
+            grams, "doc_id", "gram", block_column="source"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _GRAM_INDEX_CACHE[key]
 
 
 def _r4(c, name: str):

@@ -36,8 +36,9 @@ _SHINGLE_SQL = f"""
        SELECT doc_id, CAST(j AS BIGINT) AS j, minhash FROM sigs""",
 )
 def _minhash_signatures(spark, sf_dir):
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
-    sig = minhash_signatures(sh, num_hashes=16)
+    from redshells_spark.dedup.minhash import minhash_signatures_from_wide
+
+    sig = minhash_signatures_from_wide(_wide16(spark, sf_dir).drop("sz"), 16)
     return sig.select("doc_id", F.col("j").cast("long").alias("j"), "minhash")
 
 
@@ -72,15 +73,7 @@ def _minhash_signatures(spark, sf_dir):
        WHERE i.inter * 1.0 / (z0.sz + z1.sz - i.inter) >= 0.1""",
 )
 def _minhash_near_dedup(spark, sf_dir):
-    from redshells_spark.dedup.minhash import (
-        minhash_lsh_candidates_wide,
-        minhash_signatures_wide,
-    )
-
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
-    wide = minhash_signatures_wide(sh, num_hashes=16)
-    cand = minhash_lsh_candidates_wide(wide, bands=4, rows_per_band=4)
-    out = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
+    out = _vpairs01(spark, sf_dir)
     return out.select("doc_id_0", "doc_id_1", _r4(F.col("jaccard"), "jaccard"))
 
 
@@ -128,17 +121,7 @@ def _near_dup_components(spark, sf_dir):
     connected_components_dedup — hash-min + pointer doubling,
     checkpointed). Oracle: recursive-CTE transitive closure over the
     SAME pair set DuckDB already value-matches."""
-    from redshells_spark.dedup.minhash import (
-        connected_components_dedup,
-        minhash_lsh_candidates_wide,
-        minhash_signatures_wide,
-    )
-
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
-    wide = minhash_signatures_wide(sh, num_hashes=16)
-    cand = minhash_lsh_candidates_wide(wide, bands=4, rows_per_band=4)
-    pairs = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
-    return connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))
+    return _nd_components(spark, sf_dir)
 
 
 @q(
@@ -175,19 +158,15 @@ def _incremental_near_dedup(spark, sf_dir):
     equi-join against the index, scored by the signature-agreement
     Jaccard estimator — corpus text never re-read."""
     from redshells_spark.dedup.minhash import (
-        doc_shingles,
         minhash_band_index,
         minhash_dedup_against_index,
-        minhash_signatures_wide,
     )
 
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
-    corpus_wide = minhash_signatures_wide(
-        sh.filter(F.col("doc_id") < 250), num_hashes=16, with_size=False
-    )
-    new_wide = minhash_signatures_wide(
-        sh.filter(F.col("doc_id") >= 250), num_hashes=16, with_size=False
-    )
+    # the shared wide relation is per-doc, so doc-subset filters of it
+    # are bit-identical to recomputing signatures on the subset
+    wide = _wide16(spark, sf_dir).drop("sz")
+    corpus_wide = wide.filter(F.col("doc_id") < 250)
+    new_wide = wide.filter(F.col("doc_id") >= 250)
     index = minhash_band_index(corpus_wide, bands=4, rows_per_band=4)
     out = minhash_dedup_against_index(
         new_wide, index, corpus_wide, threshold=0.1, max_bucket_size=1_000_000
@@ -257,9 +236,8 @@ def _duplicate_spans(spark, sf_dir):
     doc's distinct shingles that occur in >1 document
     (dedup/decontaminate.py:duplicate_span_fraction)."""
     from redshells_spark.dedup.decontaminate import duplicate_span_fraction
-    from redshells_spark.dedup.minhash import doc_shingles
 
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    sh = _shingles(spark, sf_dir)
     return duplicate_span_fraction(sh)
 
 
@@ -427,12 +405,6 @@ def _llm_corpus_pipeline(spark, sf_dir):
     non-canonical members removed). Every stage is the already-
     oracle-verified operator; this query value-checks their
     composition."""
-    from redshells_spark.dedup.minhash import (
-        connected_components_dedup,
-        minhash_lsh_candidates_wide,
-        minhash_signatures_wide,
-    )
-
     docs = _t(spark, sf_dir, "documents")
     lang = detect_language(docs).select("doc_id", "lang_pred")
     qual = quality_score(docs).select(
@@ -455,13 +427,7 @@ def _llm_corpus_pipeline(spark, sf_dir):
     # The production bucket-size guard (1000) is ON and mirrored by the
     # oracle's `sized` CTE — the unguarded variant went output-quadratic
     # on the factor-10 probe (25x wall; dense synthetic near-dup graph).
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
-    wide = minhash_signatures_wide(sh, num_hashes=16)
-    cand = minhash_lsh_candidates_wide(
-        wide, bands=4, rows_per_band=4, max_bucket_size=1000
-    )
-    pairs = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
-    comp = connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))
+    comp = _nd_components(spark, sf_dir)
     non_canonical = comp.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
     return exact_kept.join(non_canonical, on="doc_id", how="left_anti").select(
         "doc_id", "lang_pred", _r4(F.col("quality"), "quality"), "n_tokens"
@@ -506,20 +472,12 @@ def _ngram_jaccard(spark, sf_dir):
     never the global shared-element fan-out. The output pair set is
     identical to the oracle's quadratic same-source universe. Threshold
     is the integer form inter·10 ≥ union ⟺ inter/union ≥ 0.1 exactly."""
-    from redshells_spark.dedup.ngram import word_ngrams
-    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+    from redshells_spark.dedup.ppjoin import pairs_from_rank_sorted
 
-    docs = _tokens(spark, sf_dir)
-    grams = docs.select(
-        "doc_id", "source", F.explode(word_ngrams("tokens", 2)).alias("gram")
-    )
-    bp = prefix_filter_jaccard_pairs(
-        grams,
-        "doc_id",
-        "gram",
+    bp = pairs_from_rank_sorted(
+        _gram_index(spark, sf_dir),
         threshold_num=1,
         threshold_den=10,
-        block_column="source",
     )
     return bp.select(
         F.col("id_0").alias("doc_id_0"),

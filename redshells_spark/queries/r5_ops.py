@@ -136,17 +136,8 @@ def _minhash_dedup_eval(spark, sf_dir):
     by-contract bounded (shingle co-occurrence join) — it's the
     measurement harness, not the production path; run it on samples
     at scale."""
-    from redshells_spark.dedup.minhash import (
-        doc_shingles,
-        minhash_lsh_candidates_wide,
-        minhash_signatures_wide,
-    )
-
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
-    wide = minhash_signatures_wide(sh, num_hashes=16)
-    cand = minhash_lsh_candidates_wide(wide, bands=4, rows_per_band=4).select(
-        "doc_id_0", "doc_id_1"
-    )
+    sh = _shingles(spark, sf_dir)
+    cand = _cand44(spark, sf_dir).select("doc_id_0", "doc_id_1")
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s0 = sh.select(F.col("doc_id").alias("doc_id_0"), "shingle")
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")

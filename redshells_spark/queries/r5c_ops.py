@@ -76,18 +76,9 @@ def _near_dup_labeled(spark, sf_dir):
     if key in _NEAR_DUP_CACHE:
         return _NEAR_DUP_CACHE[key]
     from redshells_spark.dedup.canonical import attach_components
-    from redshells_spark.dedup.minhash import (
-        connected_components_dedup,
-        minhash_lsh_candidates_wide,
-        minhash_signatures_wide,
-    )
 
     toks = _tokens(spark, sf_dir)
-    sh = doc_shingles(toks, _vocab(spark, sf_dir)).cache()
-    wide = minhash_signatures_wide(sh, num_hashes=16)
-    cand = minhash_lsh_candidates_wide(wide, bands=4, rows_per_band=4)
-    pairs = verify_jaccard(cand, sh, threshold=0.1, sizes=wide.select("doc_id", "sz"))
-    comps = connected_components_dedup(pairs.select("doc_id_0", "doc_id_1"))
+    comps = _nd_components(spark, sf_dir)
     docs = toks.select(
         "doc_id", F.size("tokens").cast("long").alias("n_tokens")
     )

@@ -253,12 +253,11 @@ def _ppjoin_index(spark, sf_dir):
     if key not in _PPJOIN_INDEX_CACHE:
         while len(_PPJOIN_INDEX_CACHE) >= 2:
             _PPJOIN_INDEX_CACHE.pop(next(iter(_PPJOIN_INDEX_CACHE)))
-        from redshells_spark.dedup.minhash import doc_shingles
         from redshells_spark.dedup.ppjoin import build_rank_sorted_sets
         from redshells_spark.task import task
 
         def _build(spark, _inputs):
-            sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+            sh = _shingles(spark, sf_dir)
             return build_rank_sorted_sets(sh, "doc_id", "shingle")
 
         t = task(
@@ -393,7 +392,6 @@ def _greedy_max_coverage(spark, sf_dir):
     MATERIALIZED CTE stages (the Lloyd/bradley_terry recipe), argmax
     tie-broken on doc_id in both engines."""
     from redshells_spark.data.coverage import greedy_max_coverage
-    from redshells_spark.dedup.minhash import doc_shingles
 
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir))
+    sh = _shingles(spark, sf_dir)
     return greedy_max_coverage(sh, "doc_id", "shingle", k=6)

@@ -88,15 +88,11 @@ def _minhash_estimate_calibration(spark, sf_dir):
     intersections coalesce to 0 — a bucket-collision pair can share no
     shingle). Candidate-bounded throughout; the output is 17 rows at
     any corpus size."""
-    from redshells_spark.dedup.minhash import (
-        doc_shingles,
-        minhash_lsh_candidates,
-        minhash_signatures,
-    )
+    from redshells_spark.dedup.minhash import minhash_signatures_from_wide
 
-    sh = doc_shingles(_tokens(spark, sf_dir), _vocab(spark, sf_dir)).cache()
-    sig = minhash_signatures(sh, num_hashes=16)
-    cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=4)
+    sh = _shingles(spark, sf_dir)
+    sig = minhash_signatures_from_wide(_wide16(spark, sf_dir).drop("sz"), 16)
+    cand = _cand44(spark, sf_dir)
     g0 = sig.select(
         F.col("doc_id").alias("doc_id_0"), "j", F.col("minhash").alias("m0")
     )
@@ -117,9 +113,8 @@ def _minhash_estimate_calibration(spark, sf_dir):
     # bucket-collision pair can share no shingle — array_intersect
     # yields inter = 0 for those naturally, matching the oracle's
     # coalesce(inter, 0)
-    sharr = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("arr"),
-        F.count(F.lit(1)).cast("long").alias("sz"),
+    sharr = _sharr(spark, sf_dir).select(
+        "doc_id", F.col("__arr").alias("arr"), F.col("sz").cast("long").alias("sz")
     )
     exact = (
         cand.join(
@@ -242,25 +237,17 @@ def _dedup_method_agreement(spark, sf_dir):
     source lookups are plain shuffle joins — nothing
     documents-proportional is ever broadcast (the oracle keeps the
     quadratic guniv form; DuckDB verifies the same pair set)."""
-    from redshells_spark.dedup.minhash import (
-        doc_shingles,
-        minhash_lsh_candidates,
-        minhash_signatures,
-    )
-
     toks = _tokens(spark, sf_dir)
     src = _t(spark, sf_dir, "documents").select("doc_id", "source")
     # shingles feed 4 branches (signatures, sizes, both verify sides) —
     # cache so the shingle hash runs once (llm_corpus_pipeline idiom)
-    sh = doc_shingles(toks, _vocab(spark, sf_dir)).cache()
-    sig = minhash_signatures(sh, num_hashes=16)
-    cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=4)
+    sh = _shingles(spark, sf_dir)
+    cand = _cand44(spark, sf_dir)
     # exact verification in array form: per-doc shingle arrays joined
     # to the candidate pairs, |A∩B| = one int array_intersect per pair
     # (no exploded pair×shingle shuffle, no post-join groupBy)
-    sharr = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("arr"),
-        F.count(F.lit(1)).cast("long").alias("sz"),
+    sharr = _sharr(spark, sf_dir).select(
+        "doc_id", F.col("__arr").alias("arr"), F.col("sz").cast("long").alias("sz")
     )
     exact = (
         cand.join(
@@ -304,23 +291,20 @@ def _dedup_method_agreement(spark, sf_dir):
     # reduction — critical when the bigram universe is small and
     # frequency pruning alone degenerates). Output is bit-identical to
     # the oracle's quadratic guniv form.
-    from redshells_spark.dedup.ngram import word_ngrams
-    from redshells_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+    from redshells_spark.dedup.ppjoin import pairs_from_rank_sorted
 
-    # word_ngrams is a narrow array expression (array_distinct built
-    # in): per-doc distinct bigrams with NO window shuffle and NO
-    # distinct shuffle — the gram separator differs from the oracle's
-    # '|' but set identity is unaffected (tokens carry neither glyph)
-    grams = toks.select(
-        "doc_id", "source", F.explode(word_ngrams("tokens", 2)).alias("gram")
-    )
-    bp = prefix_filter_jaccard_pairs(
-        grams,
-        "doc_id",
-        "gram",
+    # the shared blocked bigram index (_gram_index) feeds both this
+    # query and ngram_jaccard; word_ngrams in the index is a narrow
+    # array expression — per-doc distinct bigrams with NO window
+    # shuffle and NO distinct shuffle (the gram separator differs from
+    # the oracle's '|' but set identity is unaffected: tokens carry
+    # neither glyph). collapse_identical stays OFF here: bigram sets
+    # are large and nearly unique, so grouping costs more than it saves
+    # (measured 3.3s plain vs 8.8s collapsed at sf0.1).
+    bp = pairs_from_rank_sorted(
+        _gram_index(spark, sf_dir),
         threshold_num=5,
         threshold_den=10,
-        block_column="source",
     )
     b_pairs = bp.select(
         F.col("id_0").alias("doc_id_0"),

@@ -184,8 +184,12 @@ def token_jaccard_join(
     t = tokens.select(
         F.col(id_col).alias("__id"), F.col(token_col).alias("token")
     ).distinct()
+    # collapse_identical: docs with bit-identical token sets are
+    # grouped before the candidate algebra — at a small token universe
+    # most qualifying pairs sit inside duplicate-set groups, and the
+    # expansion is membership algebra instead of per-pair verification
     docarr = build_rank_sorted_sets(t, "__id", "token")
-    out = pairs_from_rank_sorted(docarr, num, den)
+    out = pairs_from_rank_sorted(docarr, num, den, collapse_identical=True)
     return out.select(
         F.col("id_0").alias("id1"),
         F.col("id_1").alias("id2"),

@@ -281,3 +281,63 @@ def test_rich_club_query_monotone_nodes(spark):
         assert p["n_nodes"] >= c["n_nodes"]
     for r in out:
         assert 0 <= r["phi_e6"] <= 1_000_000
+
+
+# ------------------------------- duplicate-set collapsing (PPJoin)
+
+
+def _pairs_set(df):
+    return {
+        tuple(r[c] for c in ("id_0", "id_1", "inter", "sz_0", "sz_1", "union_sz", "jac_e4"))
+        for r in df.collect()
+    }
+
+
+def test_collapsed_pairs_equal_plain(spark):
+    # duplicate-heavy corpus: docs 1/2/3 share one set, 4/5 another
+    # (overlapping the first), 6 unique and dissimilar — so the result
+    # mixes within-group (jac=1) and cross-group pairs
+    rows = []
+    for d in (1, 2, 3):
+        rows += [(d, e) for e in ("a", "b", "c", "d")]
+    for d in (4, 5):
+        rows += [(d, e) for e in ("a", "b", "c", "x")]
+    rows += [(6, e) for e in ("p", "q", "r", "s")]
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        pairs_from_rank_sorted,
+    )
+
+    idx = build_rank_sorted_sets(
+        spark.createDataFrame(rows, "doc_id long, el string"), element_column="el"
+    )
+    plain = _pairs_set(pairs_from_rank_sorted(idx, 5, 10))
+    coll = _pairs_set(pairs_from_rank_sorted(idx, 5, 10, collapse_identical=True))
+    # groups {1,2,3} and {4,5}: within = C(3,2) + C(2,2) = 3 + 1;
+    # cross pairs all have jac = 3/5 = 0.6 ≥ 0.5 → 3·2 = 6; total 10;
+    # doc 6 joins nothing
+    assert plain == coll and len(plain) == 10
+
+
+def test_collapsed_pairs_equal_plain_blocked(spark):
+    # same sets split across two blocks: identical sets in DIFFERENT
+    # blocks must NOT pair
+    rows = []
+    for d, blk in ((1, "s1"), (2, "s1"), (3, "s2")):
+        rows += [(d, blk, e) for e in ("a", "b", "c", "d")]
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        pairs_from_rank_sorted,
+    )
+
+    idx = build_rank_sorted_sets(
+        spark.createDataFrame(rows, "doc_id long, src string, el string"),
+        element_column="el",
+        block_column="src",
+    )
+    plain = sorted(map(tuple, pairs_from_rank_sorted(idx, 5, 10).collect()))
+    coll = sorted(
+        map(tuple, pairs_from_rank_sorted(idx, 5, 10, collapse_identical=True).collect())
+    )
+    assert plain == coll
+    assert [(r[1], r[2]) for r in plain] == [(1, 2)]  # only the s1 pair
