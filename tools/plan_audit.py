@@ -147,6 +147,13 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "cross_group_negative_pairs": "reference permutation semantics over the item dimension",
     "convert_type_to_category": "reference parity: category map over distinct column values",
     "gcmc_feature_cold_start": "reference parity: GCMC id maps over users/items",
+    # --- round 8: ppjoin frequency rank + level tables + sample tops
+    "token_jaccard_join": "ppjoin element-frequency rank window over the token UNIVERSE (vocabulary-bounded, build_rank_sorted_sets docstring)",
+    "ngram_jaccard": "ppjoin frequency rank over the bigram universe (vocabulary^2-bounded, never doc count)",
+    "dedup_method_agreement": "same ppjoin frequency-rank window (bigram universe); all pair relations candidate-bounded",
+    "pr_auc_exact": "cumulative TP/FP window over the distinct score-level table (exact_auc idiom)",
+    "stratified_sample_exact": "largest-remainder quota window over the SEGMENT level table (5 rows)",
+    "make_similarity_data_mf": "reference permutation semantics over the item dimension + top-200 cut over label-blocked sampled pairs (sample-bounded)",
 }
 
 
