@@ -286,6 +286,22 @@ HEADLINE = [
     "pareto_share_curve",
     "lognormal_spend_fit",
     "cvm_two_sample",
+    # round-8 batches 1-2
+    "containment_dedup_floor",
+    "make_similarity_data_mf",
+    "count_min_error_report",
+    "bloom_filter_fpr_audit",
+    "stratified_sample_exact",
+    "theta_forecast",
+    "pr_auc_exact",
+    "k_core_peel_rounds",
+    "rich_club_coefficient",
+    # round-8 batch 3
+    "kruskal_wallis_order_totals",
+    "herfindahl_concentration",
+    "pettitt_changepoint_daily",
+    "ohlc_daily_value",
+    "croston_intermittent",
 ]
 
 

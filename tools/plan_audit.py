@@ -154,6 +154,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "pr_auc_exact": "cumulative TP/FP window over the distinct score-level table (exact_auc idiom)",
     "stratified_sample_exact": "largest-remainder quota window over the SEGMENT level table (5 rows)",
     "make_similarity_data_mf": "reference permutation semantics over the item dimension + top-200 cut over label-blocked sampled pairs (sample-bounded)",
+    "kruskal_wallis_order_totals": "midrank window over distinct cent values of a bounded price domain (mann_whitney idiom) + 5-row group relation",
+    "pettitt_changepoint_daily": "rank/cumulative-U windows over days (time-bounded period relation)",
 }
 
 
