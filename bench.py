@@ -302,6 +302,12 @@ HEADLINE = [
     "pettitt_changepoint_daily",
     "ohlc_daily_value",
     "croston_intermittent",
+    # round-8 batch 4
+    "periodogram_weekly",
+    "textrank_keywords",
+    "intra_list_diversity",
+    "catalog_coverage_topk",
+    "jarque_bera_event_values",
 ]
 
 

@@ -156,6 +156,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "make_similarity_data_mf": "reference permutation semantics over the item dimension + top-200 cut over label-blocked sampled pairs (sample-bounded)",
     "kruskal_wallis_order_totals": "midrank window over distinct cent values of a bounded price domain (mann_whitney idiom) + 5-row group relation",
     "pettitt_changepoint_daily": "rank/cumulative-U windows over days (time-bounded period relation)",
+    "catalog_coverage_topk": "popularity rank over the part DIMENSION (catalog-bounded, never fact-proportional)",
 }
 
 
