@@ -308,6 +308,12 @@ HEADLINE = [
     "intra_list_diversity",
     "catalog_coverage_topk",
     "jarque_bera_event_values",
+    # round-8 batch 5
+    "cohens_kappa_judges",
+    "block_maxima_gumbel_fit",
+    "negbin_overdispersion_fit",
+    "seasonal_mann_kendall",
+    "asof_join_tolerance",
 ]
 
 
