@@ -314,6 +314,12 @@ HEADLINE = [
     "negbin_overdispersion_fit",
     "seasonal_mann_kendall",
     "asof_join_tolerance",
+    # round-8 batch 6
+    "capture_recapture_users",
+    "kendall_w_rankings",
+    "psi_weekly_series",
+    "retention_decay_fit",
+    "feature_staleness_profile",
 ]
 
 

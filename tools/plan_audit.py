@@ -157,6 +157,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "kruskal_wallis_order_totals": "midrank window over distinct cent values of a bounded price domain (mann_whitney idiom) + 5-row group relation",
     "pettitt_changepoint_daily": "rank/cumulative-U windows over days (time-bounded period relation)",
     "catalog_coverage_topk": "popularity rank over the part DIMENSION (catalog-bounded, never fact-proportional)",
+    "kendall_w_rankings": "three rankings over the 25-row nation relation",
+    "feature_staleness_profile": "cumulative-weight window over the gap-SECONDS level table (bounded by the 86400s tolerance domain)",
 }
 
 
