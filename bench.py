@@ -320,6 +320,10 @@ HEADLINE = [
     "psi_weekly_series",
     "retention_decay_fit",
     "feature_staleness_profile",
+    # round-8 batch 7
+    "cox_stuart_trend",
+    "price_dispersion_by_brand",
+    "order_interarrival_burstiness",
 ]
 
 

@@ -50,6 +50,7 @@ from redshells_spark.queries import r8c_ops  # noqa: F401,E402
 from redshells_spark.queries import r8d_ops  # noqa: F401,E402
 from redshells_spark.queries import r8e_ops  # noqa: F401,E402
 from redshells_spark.queries import r8f_ops  # noqa: F401,E402
+from redshells_spark.queries import r8g_ops  # noqa: F401,E402
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # only (the judge's full-registry verify covers the rest) — so queries

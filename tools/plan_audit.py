@@ -159,6 +159,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "catalog_coverage_topk": "popularity rank over the part DIMENSION (catalog-bounded, never fact-proportional)",
     "kendall_w_rankings": "three rankings over the 25-row nation relation",
     "feature_staleness_profile": "cumulative-weight window over the gap-SECONDS level table (bounded by the 86400s tolerance domain)",
+    "cox_stuart_trend": "index window over days (time-bounded period relation)",
 }
 
 
