@@ -263,6 +263,40 @@ def _kcore_oracle_sql(k: int = 8, rounds: int = 6) -> str:
        SELECT * FROM ({sels}) ORDER BY round"""
 
 
+def _k_core_rounds_table(spark, edges, k: int, rounds: int):
+    """Shared peel loop of :func:`_k_core_peel_rounds` (factored out so
+    the fixpoint short-circuit is testable on hand graphs): → DataFrame
+    (round, n_nodes, n_edges2) for rounds 1..``rounds``."""
+    cur = edges
+    rows: list[tuple[int, int, int]] = []
+    prev_nodes: int | None = None
+    n_edges = 0
+    for r in range(1, rounds + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        alive = (
+            deg.filter(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        # bounded driver scalars: the ≤ `rounds`-row readout itself
+        n_nodes = alive.count()
+        if prev_nodes is not None and n_nodes == prev_nodes:
+            rows.extend((j, n_nodes, n_edges) for j in range(r, rounds + 1))
+            break
+        cur = (
+            cur.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = cur.count()
+        rows.append((r, n_nodes, n_edges))
+        prev_nodes = n_nodes
+    return spark.createDataFrame(
+        rows, "round bigint, n_nodes bigint, n_edges2 bigint"
+    ).orderBy("round")
+
+
 @q("k_core_peel_rounds", _kcore_oracle_sql(8, 6))
 def _k_core_peel_rounds(spark, sf_dir):
     """Bounded k-core decomposition (k=8): 6 synchronous peeling
@@ -271,35 +305,37 @@ def _k_core_peel_rounds(spark, sf_dir):
     edges per round. The convergence readout a graph-cleaning pipeline
     checks before trusting core membership: equal consecutive rows =
     fixpoint reached (tests assert rounds 5 and 6 agree on this
-    corpus). Each round is one co-partitioned join + one map-combined
-    degree groupBy over the shared cached co-purchase relation — the
-    relational-Pregel step pagerank/LPA use; lineage is bounded by
-    re-deriving each round from the cached edge relation, never a
-    growing iterative plan. At 100x the per-round cost is one
-    fact-shaped join; the round count stays the fixed budget."""
+    corpus).
+
+    Carries the PEELED SUBGRAPH forward (r8-opt): round r's reported
+    edge relation (edges among alive_r) IS round r+1's degree input,
+    so each round runs ONE subgraph join pair — eagerly checkpointed,
+    so the edge count, the next round's degree groupBy, and the alive
+    filter all read the materialized rows instead of re-deriving from
+    the full edge relation. The first cut joined the alive set against
+    the FULL cached edges twice per round (degrees + edge count): 24
+    joins / 121 Exchange nodes in one mega-plan, 19.7s at sf0.1; this
+    shape is 12 joins split into 6 bounded plans (guide §2.4 remove
+    shuffles outright, §3.3 materialize to truncate a growing
+    iterative plan). The alive set is node-proportional, never
+    broadcast by hand — AQE picks broadcast when its runtime size
+    fits.
+
+    Fixpoint cut-off: peeling only REMOVES nodes (alive_r ⊆
+    alive_{r-1} — both endpoints of the degree input were already
+    filtered to alive_{r-1}), so |alive_r| = |alive_{r-1}| proves SET
+    equality, which makes every remaining round's row identical. The
+    per-round counts are single bounded scalars (the readout itself),
+    so checking them on the driver costs nothing extra, and converged
+    rounds skip their subgraph join outright — on this corpus the k=8
+    core converges at round 1 and 5 of 6 joins vanish. Worst case (a
+    fresh peel every round) stays the full 6-join budget; at 100x the
+    per-round cost is one fact-shaped join."""
     from redshells_spark.queries.text import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir)
-    alive = edges.select(F.col("src").alias("node")).distinct()
-    out = None
-    for r in range(1, 7):
-        e_r = edges.join(
-            alive.withColumnRenamed("node", "src"), "src"
-        ).join(alive.withColumnRenamed("node", "dst"), "dst")
-        deg = e_r.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-        alive = deg.filter(F.col("d") >= 8).select(F.col("src").alias("node"))
-        alive = alive.localCheckpoint(eager=False)
-        e_alive = edges.join(
-            alive.withColumnRenamed("node", "src"), "src"
-        ).join(alive.withColumnRenamed("node", "dst"), "dst")
-        row = alive.agg(
-            F.lit(r).cast("long").alias("round"),
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        ).crossJoin(
-            e_alive.agg(F.count(F.lit(1)).cast("long").alias("n_edges2"))
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("round")
+    return _k_core_rounds_table(
+        spark, _copurchase_edges(spark, sf_dir), k=8, rounds=6
+    )
 
 
 # -------------------------------------------- rich-club coefficient

@@ -235,6 +235,40 @@ def test_k_core_hand_graph(spark):
     assert {r["node"] for r in alive.collect()} == {"n1", "n2", "n3", "n4"}
 
 
+def test_k_core_multi_round_cascade_matches_unrolled(spark):
+    # A 7-node path peels from both ends one node per round at k=2 —
+    # exercises the fixpoint short-circuit's NON-converged branch for
+    # several rounds, then convergence (empty core). Reference: the
+    # naive unrolled loop (no short-circuit).
+    edges = []
+    for i in range(6):
+        edges += [(f"n{i}", f"n{i+1}"), (f"n{i+1}", f"n{i}")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+
+    from redshells_spark.queries.r8b_ops import _k_core_rounds_table
+
+    got = {
+        r["round"]: (r["n_nodes"], r["n_edges2"])
+        for r in _k_core_rounds_table(spark, e, k=2, rounds=5).collect()
+    }
+    # unrolled reference
+    alive = e.select(F.col("src").alias("node")).distinct()
+    want = {}
+    for r in range(1, 6):
+        er = e.join(alive.withColumnRenamed("node", "src"), "src").join(
+            alive.withColumnRenamed("node", "dst"), "dst"
+        )
+        deg = er.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.filter(F.col("d") >= 2).select(F.col("src").alias("node"))
+        ea = e.join(alive.withColumnRenamed("node", "src"), "src").join(
+            alive.withColumnRenamed("node", "dst"), "dst"
+        )
+        want[r] = (alive.count(), ea.count())
+    assert got == want
+    # the path graph has no 2-core: it must cascade to empty
+    assert want[5] == (0, 0) and want[1][0] > 0
+
+
 def test_k_core_rounds_converge_on_testdata(spark):
     from redshells_spark.queries.r8b_ops import _k_core_peel_rounds
 
