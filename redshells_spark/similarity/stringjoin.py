@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_LAST_TJJ_DOCARR: DataFrame | None = None
+
 
 def _segments(k: int) -> str:
     """SQL array of (seg_no, start, len) evenly partitioning a string
@@ -174,6 +176,8 @@ def token_jaccard_join(
     # division rounded to 4, as before.
     from fractions import Fraction
 
+    from pyspark.storagelevel import StorageLevel
+
     from redshells_spark.dedup.ppjoin import (
         build_rank_sorted_sets,
         pairs_from_rank_sorted,
@@ -188,8 +192,30 @@ def token_jaccard_join(
     # grouped before the candidate algebra — at a small token universe
     # most qualifying pairs sit inside duplicate-set groups, and the
     # expansion is membership algebra instead of per-pair verification
-    docarr = build_rank_sorted_sets(t, "__id", "token")
-    out = pairs_from_rank_sorted(docarr, num, den, collapse_identical=True)
+    # Materialize the index once (Vernica et al.'s ordered-sets step;
+    # MEMORY_AND_DISK spills rather than OOMs at 100×, rolling handle
+    # holds one corpus copy): the universe probe below plus the
+    # collapse groupBy would otherwise each re-run the tokenize→rank
+    # lineage (~1.3s × 2 extra at sf0.1).
+    docarr = build_rank_sorted_sets(t, "__id", "token").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    global _LAST_TJJ_DOCARR
+    if _LAST_TJJ_DOCARR is not None:
+        _LAST_TJJ_DOCARR.unpersist()
+    _LAST_TJJ_DOCARR = docarr
+    # bounded driver scalar: the element-universe size (ranks are dense
+    # 1..u, so the max rank of the last — highest-ranked — element IS
+    # u). Vocabulary-sized by definition, one agg over the persisted
+    # index; ≤ 64 switches verification to int64 bitmask popcounts
+    # (exact — see pairs_from_rank_sorted).
+    u = docarr.agg(
+        F.max(F.expr("__rk[size(__rk) - 1].__erk")).alias("u")
+    ).collect()[0]["u"]
+    out = pairs_from_rank_sorted(
+        docarr, num, den, collapse_identical=True,
+        element_universe=int(u or 0),
+    )
     return out.select(
         F.col("id_0").alias("id1"),
         F.col("id_1").alias("id2"),

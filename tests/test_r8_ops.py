@@ -353,6 +353,44 @@ def test_collapsed_pairs_equal_plain(spark):
     assert plain == coll and len(plain) == 10
 
 
+def test_bitmask_verify_equals_array_path(spark):
+    # element_universe ≤ 64 switches pairs_from_rank_sorted to the
+    # inline int64-bitmask verification — must be row-identical to the
+    # array_intersect path, plain AND collapsed, on a corpus mixing
+    # duplicate groups, near-misses at the threshold, and singletons
+    import random
+
+    rng = random.Random(11)
+    universe = [f"e{i}" for i in range(20)]
+    rows = []
+    for d in range(1, 41):
+        base = rng.sample(universe, rng.randint(3, 12))
+        rows += [(d, e) for e in base]
+        if d % 3 == 0:  # exact duplicate of the previous doc's set
+            rows += [(d + 100, e) for e in base]
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        pairs_from_rank_sorted,
+    )
+
+    idx = build_rank_sorted_sets(
+        spark.createDataFrame(rows, "doc_id long, el string"), element_column="el"
+    )
+    for num, den in ((5, 10), (8, 10)):
+        arr = _pairs_set(pairs_from_rank_sorted(idx, num, den))
+        bm = _pairs_set(pairs_from_rank_sorted(idx, num, den, element_universe=20))
+        assert bm == arr and len(arr) > 0
+        arr_c = _pairs_set(
+            pairs_from_rank_sorted(idx, num, den, collapse_identical=True)
+        )
+        bm_c = _pairs_set(
+            pairs_from_rank_sorted(
+                idx, num, den, collapse_identical=True, element_universe=20
+            )
+        )
+        assert bm_c == arr_c == arr
+
+
 def test_collapsed_pairs_equal_plain_blocked(spark):
     # same sets split across two blocks: identical sets in DIFFERENT
     # blocks must NOT pair
