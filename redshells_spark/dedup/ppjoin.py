@@ -132,15 +132,15 @@ def pairs_from_rank_sorted(
 
     ``element_universe`` (optional): the number of DISTINCT elements
     across the corpus, when the caller knows it (one bounded-scalar
-    agg over the index — the ranks are dense 1..u). When u ≤ 64, the
-    exact intersection count is computed as ``bit_count(mask0 AND
-    mask1)`` over per-doc element bitmasks instead of
-    ``array_intersect`` over the rank arrays — the rank↔element
-    bijection makes the popcount exact, the verify join ships one
-    int64 per doc instead of an array, and the per-pair cost is a
-    couple of cycles in codegen (measured 21.2s → 1.4s on 3.5M
-    candidate pairs at sf0.1, identical output). Above 64 (or None)
-    the array path runs unchanged."""
+    agg over the index — the ranks are dense 1..u). When u ≤
+    64·BITSET_MAX_WORDS, every set becomes a ⌈u/64⌉-word int64 bitset
+    riding the prefix rows and the exact intersection is
+    popcount(AND) computed INLINE on the candidate join — the
+    rank↔element bijection makes the popcount exact, and the whole
+    two-phase verification tail (positional groupBy + two joins +
+    per-pair array_intersect) collapses into filter + dropDuplicates
+    (measured 13.7s → 2.2s on the 698k-pair sf0.1 relation, identical
+    output). Above the cap (or None) the array path runs unchanged."""
     num, den = threshold_num, threshold_den
     if collapse_identical:
         return _pairs_collapsed(docarr, num, den, element_universe)
@@ -152,8 +152,12 @@ def pairs_from_rank_sorted(
         + 1
     ).cast("int")
     blk = ["__blk"] if blocked else []
-    if element_universe is not None and 0 <= element_universe <= 64:
-        return _pairs_bitmask(docarr, num, den, plen, blk)
+    if (
+        element_universe is not None
+        and 0 <= element_universe <= 64 * BITSET_MAX_WORDS
+    ):
+        n_words = max(1, -(-element_universe // 64))
+        return _pairs_bitmask(docarr, num, den, plen, blk, n_words)
     # join key is the dense int element RANK, not the element value —
     # __erk is a bijection of the element universe, so the candidate
     # set is identical and the self-join hashes ints, not strings
@@ -265,18 +269,52 @@ def pairs_from_rank_sorted(
     return inter.filter(F.col("inter") * den >= num * union_sz).select(*out_cols)
 
 
+# bitset-inline verification applies while the element universe fits
+# BITSET_MAX_WORDS int64 words (≤ 512 bytes riding each prefix row);
+# beyond it the two-phase array_intersect path runs unchanged
+BITSET_MAX_WORDS = 64
+
+
+def _bitset_col(n_words: int):
+    """array<long> (or a single long when ``n_words == 1``) bitset of a
+    doc's dense element ranks — rank r sets bit (r−1) % 64 of word
+    (r−1) div 64. Exact |∩| = popcount(AND) via the rank ↔ element
+    bijection."""
+    if n_words == 1:
+        return F.expr(
+            "aggregate(__rk, 0L, (acc, x) ->"
+            " acc + shiftleft(1L, cast(x.__erk as int) - 1))"
+        )
+    return F.expr(
+        f"transform(sequence(0, {n_words - 1}), w ->"
+        " aggregate(__rk, 0L, (acc, x) ->"
+        " acc + IF((cast(x.__erk as int) - 1) div 64 = w,"
+        " shiftleft(1L, (cast(x.__erk as int) - 1) % 64), 0L)))"
+    )
+
+
+def _bitset_inter(c0: str, c1: str, n_words: int):
+    """Exact intersection count of two bitset columns."""
+    if n_words == 1:
+        return F.bit_count(F.col(c0).bitwiseAND(F.col(c1))).cast("long")
+    return F.expr(
+        f"aggregate(zip_with({c0}, {c1}, (x, y) -> cast(bit_count(x & y) as bigint)),"
+        " 0L, (acc, v) -> acc + v)"
+    ).cast("long")
+
+
 def _pairs_bitmask(
-    docarr: DataFrame, num: int, den: int, plen, blk: list[str]
+    docarr: DataFrame, num: int, den: int, plen, blk: list[str], n_words: int = 1
 ) -> DataFrame:
-    """Tiny-universe fast path of :func:`pairs_from_rank_sorted`
-    (element universe ≤ 64): ranks are dense 1..u, so every set is one
-    int64 bitmask and the exact intersection is ``bit_count(m0 & m1)``
-    — a couple of codegen cycles. The mask rides ALONG THE PREFIX ROWS
-    (8 bytes each), so verification happens INLINE on the candidate
-    join's output and the whole two-phase tail (per-pair positional
-    groupBy + two verify joins + per-pair array_intersect) collapses
-    into filter + dropDuplicates. Measured 13.7s → 2.2s on the same
-    698k-pair relation at sf0.1, identical rows.
+    """Small-universe fast path of :func:`pairs_from_rank_sorted`
+    (element universe ≤ 64·``n_words``): ranks are dense 1..u, so
+    every set is an ``n_words``-word int64 bitset and the exact
+    intersection is popcount(AND) — a few codegen cycles. The bitset
+    rides ALONG THE PREFIX ROWS, so verification happens INLINE on the
+    candidate join's output and the whole two-phase tail (per-pair
+    positional groupBy + two verify joins + per-pair array_intersect)
+    collapses into filter + dropDuplicates. Measured 13.7s → 2.2s on
+    the same 698k-pair relation at sf0.1, identical rows.
 
     Exactness: the prefix-filter theorem still guarantees every
     qualifying pair shares ≥ 1 prefix element (the join finds it), the
@@ -287,10 +325,7 @@ def _pairs_bitmask(
         "__id",
         "__sz",
         *blk,
-        F.expr(
-            "aggregate(__rk, 0L, (acc, x) ->"
-            " acc + shiftleft(1L, cast(x.__erk as int) - 1))"
-        ).alias("__m"),
+        _bitset_col(n_words).alias("__m"),
         F.explode(
             F.slice(F.expr("transform(__rk, x -> x.__erk)"), F.lit(1), plen)
         ).alias("__el"),
@@ -309,7 +344,7 @@ def _pairs_bitmask(
         F.col("__sz").alias("__sz1"),
         F.col("__m").alias("__m1"),
     )
-    inter = F.bit_count(F.col("__m0").bitwiseAND(F.col("__m1"))).cast("long")
+    inter = _bitset_inter("__m0", "__m1", n_words)
     pairs = (
         a.join(b, ["__el"] + blk)
         .filter(
@@ -470,6 +505,7 @@ def containment_pairs_from_rank_sorted(
     threshold_num: int = 8,
     threshold_den: int = 10,
     min_size_a: int | None = None,
+    element_universe: int | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, inter, size_a, size_b, cont_e4): ALL ordered
     pairs with exact containment |A∩B|/|A| ≥ num/den (a ≠ b), from the

@@ -391,6 +391,43 @@ def test_bitmask_verify_equals_array_path(spark):
         assert bm_c == arr_c == arr
 
 
+def test_multiword_bitset_verify_equals_array_path(spark):
+    # element_universe in (64, 64*BITSET_MAX_WORDS] switches to the
+    # array<long> bitset verification (n_words ≥ 2) — must be
+    # row-identical to the array_intersect path; universe of 150 spans
+    # 3 words so bits land in every word and across word boundaries
+    import random
+
+    rng = random.Random(7)
+    universe = [f"e{i:03d}" for i in range(150)]
+    rows = []
+    for d in range(1, 61):
+        base = rng.sample(universe, rng.randint(3, 40))
+        rows += [(d, e) for e in base]
+        if d % 4 == 0:  # exact duplicate of the previous doc's set
+            rows += [(d + 200, e) for e in base]
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        pairs_from_rank_sorted,
+    )
+
+    idx = build_rank_sorted_sets(
+        spark.createDataFrame(rows, "doc_id long, el string"), element_column="el"
+    )
+    for num, den in ((3, 10), (5, 10), (8, 10)):
+        arr = _pairs_set(pairs_from_rank_sorted(idx, num, den))
+        bm = _pairs_set(pairs_from_rank_sorted(idx, num, den, element_universe=150))
+        assert bm == arr
+        bm_c = _pairs_set(
+            pairs_from_rank_sorted(
+                idx, num, den, collapse_identical=True, element_universe=150
+            )
+        )
+        assert bm_c == arr
+    # at least one threshold must produce pairs for the test to mean anything
+    assert len(_pairs_set(pairs_from_rank_sorted(idx, 3, 10))) > 0
+
+
 def test_collapsed_pairs_equal_plain_blocked(spark):
     # same sets split across two blocks: identical sets in DIFFERENT
     # blocks must NOT pair
