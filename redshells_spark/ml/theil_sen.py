@@ -5,17 +5,19 @@ where OLS breaks on a single outlier.
 Shape at scale: the estimator is quadratic in points-per-group BY
 CONTRACT (all n·(n-1)/2 pairwise slopes), so it fits groups that are
 naturally bounded — a user's events, a device's readings, a model's
-daily metric — never a whole corpus. The pair self-join is keyed by
-the group column (one shuffle); ``max_points`` deterministically
-EXCLUDES oversized groups (mirrored in the oracle with a HAVING) so a
-hot key degrades to a reported refusal, not an n² detonation. Medians
-are exact order statistics (row_number + the (n+1)//2 / (n+2)//2
-pair, averaged) — no percentile_approx, engine-portable.
+daily metric — never a whole corpus. ONE group-keyed shuffle collects
+each (bounded) point set; the n² slope algebra and the exact median
+run INSIDE the row as array expressions, so nothing quadratic is ever
+shuffled or window-sorted. ``max_points`` deterministically EXCLUDES
+oversized groups (mirrored in the oracle with a HAVING) so a hot key
+degrades to a reported refusal, not an n² detonation. Medians are
+exact order statistics (array_sort + the (n+1)//2 / (n+2)//2 pair,
+averaged) — no percentile_approx, engine-portable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from redshells_spark.schema import require_columns
@@ -39,67 +41,76 @@ def theil_sen_trend(
     ``max_points`` points, are excluded."""
     require_columns(df, [group_column, time_column, value_column, order_tiebreak])
     g, t, v = group_column, time_column, value_column
-    pts = df.select(g, t, v, order_tiebreak)
-    sized = pts.groupBy(g).agg(F.count("*").alias("n_points"))
-    kept = sized.filter(
-        (F.col("n_points") >= 2) & (F.col("n_points") <= max_points)
+    # ONE shuffle: collect each group's (bounded, <= max_points)
+    # point set and run the quadratic slope algebra INSIDE the row
+    # with array expressions — no group-keyed self-join (which
+    # shuffled the point relation twice and produced the n² slope
+    # relation as join output) and no n²-row window sort (the old
+    # exact-median machinery). All per-pair arithmetic is unchanged:
+    # pairs ordered by (t, tiebreak); pairs with equal t are excluded
+    # (vertical); slope = (v_later - v_earlier)·unit / (t_later -
+    # t_earlier) — orientation is the same because the array is sorted
+    # by (t, tiebreak), and the median of the sorted slope array takes
+    # the identical floor((n+1)/2)/floor((n+2)/2) order statistics
+    # (ties in the old window's (s, ka, kb) ordering only permuted
+    # EQUAL slope values, so the selected values are the same).
+    # pre-shuffle by the group key with a PINNED partition count (the
+    # groupBy reuses this exchange, so there is still exactly one
+    # shuffle): the post-agg stage is compute-heavy but tiny in bytes
+    # (one array row per group), and AQE's byte-based coalescing would
+    # otherwise squeeze it onto 1-2 tasks — measured 2.5s → 0.46s at
+    # sf0.1 on local[32]. defaultParallelism keeps the count
+    # cluster-adaptive rather than a local constant.
+    n_part = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
+    grouped = (
+        df.select(
+            F.col(g),
+            F.struct(
+                F.col(t).alias("__t"),
+                F.col(order_tiebreak).alias("__k"),
+                F.col(v).alias("__v"),
+            ).alias("__p"),
+        )
+        .repartition(n_part, F.col(g))
+        .groupBy(g)
+        .agg(
+            F.sort_array(F.collect_list("__p")).alias("__ps"),
+            F.count("*").alias("n_points"),
+        )
+        .filter(
+            (F.col("n_points") >= 2) & (F.col("n_points") <= max_points)
+        )
     )
-    # no broadcast hint: the kept-group list is #groups-sized and can
-    # be huge at scale — let AQE pick broadcast vs shuffle join
-    pts = pts.join(kept.select(g), g)
-    a = pts.select(
-        F.col(g),
-        F.col(t).alias("__ta"),
-        F.col(v).alias("__va"),
-        F.col(order_tiebreak).alias("__ka"),
-    )
-    b = pts.select(
-        F.col(g),
-        F.col(t).alias("__tb"),
-        F.col(v).alias("__vb"),
-        F.col(order_tiebreak).alias("__kb"),
-    )
-    # each unordered pair once: strict (t, tiebreak) ordering
-    pairs = a.join(b, g).filter(
-        (F.col("__ta") < F.col("__tb"))
-        | ((F.col("__ta") == F.col("__tb")) & (F.col("__ka") < F.col("__kb")))
-    )
-    slopes = pairs.filter(F.col("__ta") != F.col("__tb")).select(
-        g,
-        (
-            (F.col("__vb") - F.col("__va"))
-            * F.lit(float(slope_unit_us))
-            / (F.col("__tb") - F.col("__ta"))
-        ).alias("__s"),
-        "__ka",
-        "__kb",
-    )
-    w = Window.partitionBy(g).orderBy(
-        F.col("__s").asc(), F.col("__ka").asc(), F.col("__kb").asc()
-    )
-    ranked = slopes.select(
-        g,
-        "__s",
-        F.row_number().over(w).alias("__rn"),
-        F.count("*").over(Window.partitionBy(g)).alias("n_slopes"),
+    unit = float(slope_unit_us)
+    slopes = (
+        "filter(flatten(transform(__ps, (x, i) -> "
+        "transform(slice(__ps, i + 2, size(__ps)), y -> "
+        "IF(y.__t = x.__t, CAST(NULL AS DOUBLE), "
+        f"(y.__v - x.__v) * {unit!r}D / (y.__t - x.__t))))), "
+        "s -> s IS NOT NULL)"
     )
     # exact median: the floor((n+1)/2) / floor((n+2)/2) order statistics
-    # (equal when n is odd), averaged — identical operands both engines
-    med = (
-        ranked.filter(
-            (F.col("__rn") == F.floor((F.col("n_slopes") + 1) / 2))
-            | (F.col("__rn") == F.floor((F.col("n_slopes") + 2) / 2))
-        )
-        .groupBy(g, "n_slopes")
-        .agg(F.avg("__s").alias("slope"))
+    # (equal when n is odd), averaged — identical operands both
+    # engines. The sorted slope array is bound ONCE as a lambda
+    # variable (transform over a 1-element array) so projection
+    # collapse cannot duplicate the quadratic expression per
+    # reference site.
+    stats = F.expr(
+        f"transform(array(array_sort({slopes})), ss -> struct("
+        "size(ss) AS n, "
+        "IF(size(ss) < 1, CAST(NULL AS DOUBLE), "
+        "(element_at(ss, cast(floor((size(ss) + 1) / 2) as int)) "
+        " + element_at(ss, cast(floor((size(ss) + 2) / 2) as int))) / 2.0D"
+        ") AS m))[0]"
     )
     return (
-        med.join(kept, g)
+        grouped.select(F.col(g), "n_points", stats.alias("__st"))
+        .filter(F.col("__st.n") >= 1)
         .select(
             g,
             F.col("n_points").cast("long").alias("n_points"),
-            F.col("n_slopes").cast("long").alias("n_slopes"),
-            "slope",
+            F.col("__st.n").cast("long").alias("n_slopes"),
+            F.col("__st.m").alias("slope"),
         )
     )
 
