@@ -109,6 +109,7 @@ def pairs_from_rank_sorted(
     threshold_den: int = 10,
     collapse_identical: bool = False,
     element_universe: int | None = None,
+    force_bitset: bool = False,
 ) -> DataFrame:
     """→ ([block,] id_0, id_1, inter, sz_0, sz_1, union_sz, jac_e4):
     ALL pairs
@@ -132,18 +133,20 @@ def pairs_from_rank_sorted(
 
     ``element_universe`` (optional): the number of DISTINCT elements
     across the corpus, when the caller knows it (one bounded-scalar
-    agg over the index — the ranks are dense 1..u). When u ≤
-    64·BITSET_MAX_WORDS, every set becomes a ⌈u/64⌉-word int64 bitset
-    riding the prefix rows and the exact intersection is
-    popcount(AND) computed INLINE on the candidate join — the
-    rank↔element bijection makes the popcount exact, and the whole
-    two-phase verification tail (positional groupBy + two joins +
-    per-pair array_intersect) collapses into filter + dropDuplicates
-    (measured 13.7s → 2.2s on the 698k-pair sf0.1 relation, identical
-    output). Above the cap (or None) the array path runs unchanged."""
+    agg over the index — the ranks are dense 1..u). When u ≤ 64 (one
+    int64 word; see BITSET_AUTO_WORDS for why the automatic gate
+    stops there), every set becomes a bitmask riding the prefix rows
+    and the exact intersection is popcount(AND) computed INLINE on
+    the candidate join — the rank↔element bijection makes the
+    popcount exact, and the whole two-phase verification tail
+    (positional groupBy + two joins + per-pair array_intersect)
+    collapses into filter + dropDuplicates (measured 13.7s → 2.2s on
+    the 698k-pair sf0.1 relation, identical output). Above the gate
+    (or None) the array path runs unchanged; ``force_bitset=True``
+    widens the gate to 64·BITSET_MAX_WORDS multi-word bitsets."""
     num, den = threshold_num, threshold_den
     if collapse_identical:
-        return _pairs_collapsed(docarr, num, den, element_universe)
+        return _pairs_collapsed(docarr, num, den, element_universe, force_bitset)
     blocked = "__blk" in docarr.columns
     # prefix length p = sz − ceil(τ·sz) + 1, integer form
     plen = (
@@ -152,9 +155,10 @@ def pairs_from_rank_sorted(
         + 1
     ).cast("int")
     blk = ["__blk"] if blocked else []
+    auto_words = BITSET_MAX_WORDS if force_bitset else BITSET_AUTO_WORDS
     if (
         element_universe is not None
-        and 0 <= element_universe <= 64 * BITSET_MAX_WORDS
+        and 0 <= element_universe <= 64 * auto_words
     ):
         n_words = max(1, -(-element_universe // 64))
         return _pairs_bitmask(docarr, num, den, plen, blk, n_words)
@@ -269,10 +273,21 @@ def pairs_from_rank_sorted(
     return inter.filter(F.col("inter") * den >= num * union_sz).select(*out_cols)
 
 
-# bitset-inline verification applies while the element universe fits
-# BITSET_MAX_WORDS int64 words (≤ 512 bytes riding each prefix row);
-# beyond it the two-phase array_intersect path runs unchanged
+# Bitset verification mechanism cap: correct up to BITSET_MAX_WORDS
+# int64 words (≤ 512 bytes riding each prefix row). The AUTOMATIC gate
+# is far tighter — BITSET_AUTO_WORDS = 1 — because the economics flip
+# with mask width: a single 8-byte mask riding the candidate rows
+# beats the two-phase positional tail at every threshold measured
+# (13.7s → 2.2s on the τ=0.5 698k-pair relation), but multi-word
+# masks inflate the candidate-join shuffle by 8·n_words bytes/row and
+# LOSE to Xiao's positional pruning at dedup-grade thresholds
+# (measured at u=931/15 words, τ=0.8, sf0.1: Jaccard 2.5s array-path
+# vs 3.3s+ bitset, containment 2.6-2.9s vs 3.3-4.5s — both zip_with
+# and unrolled-popcount variants). Callers can still force the wide
+# path (``force_bitset=True``) where their relation shape warrants
+# it; correctness is pinned by tests either way.
 BITSET_MAX_WORDS = 64
+BITSET_AUTO_WORDS = 1
 
 
 def _bitset_col(n_words: int):
@@ -382,6 +397,7 @@ def _pairs_collapsed(
     num: int,
     den: int,
     element_universe: int | None = None,
+    force_bitset: bool = False,
 ) -> DataFrame:
     """Duplicate-set collapsing for :func:`pairs_from_rank_sorted`:
     group by the exact element-rank array (a bijection of the element
@@ -419,7 +435,10 @@ def _pairs_collapsed(
         "__gid", *blk, "__sz", F.explode("__mem").alias("__m")
     )
     reps = groups.select(F.col("__gid").alias("__id"), *blk, "__rk", "__sz")
-    sp = pairs_from_rank_sorted(reps, num, den, element_universe=element_universe).select(
+    sp = pairs_from_rank_sorted(
+        reps, num, den, element_universe=element_universe,
+        force_bitset=force_bitset,
+    ).select(
         *blkout,
         F.col("id_0").alias("__g0"),
         F.col("id_1").alias("__g1"),
@@ -506,6 +525,7 @@ def containment_pairs_from_rank_sorted(
     threshold_den: int = 10,
     min_size_a: int | None = None,
     element_universe: int | None = None,
+    force_bitset: bool = False,
 ) -> DataFrame:
     """→ (id_a, id_b, inter, size_a, size_b, cont_e4): ALL ordered
     pairs with exact containment |A∩B|/|A| ≥ num/den (a ≠ b), from the
@@ -533,13 +553,28 @@ def containment_pairs_from_rank_sorted(
     from going |tiny|×|corpus|. Default off to preserve the unfloored
     relation (and its oracle); when set, the output is exactly the
     containment relation restricted to |A| ≥ floor — a pre-filter on
-    the probe side, not an approximation."""
+    the probe side, not an approximation.
+
+    ``element_universe`` (optional): same contract as
+    :func:`pairs_from_rank_sorted` — when the distinct-element count
+    fits the automatic single-word gate (u ≤ 64; BITSET_AUTO_WORDS),
+    verification happens INLINE on the probe join via bitset
+    popcounts (the rank ↔ element bijection keeps the count exact)
+    and the two-phase tail collapses into filter + dropDuplicates;
+    ``force_bitset=True`` widens the gate to multi-word bitsets."""
     num, den = threshold_num, threshold_den
     plen = (
         F.col("__sz")
         - F.expr(f"cast(({num} * __sz + {den} - 1) div {den} as bigint)")
         + 1
     ).cast("int")
+    auto_words = BITSET_MAX_WORDS if force_bitset else BITSET_AUTO_WORDS
+    if (
+        element_universe is not None
+        and 0 <= element_universe <= 64 * auto_words
+    ):
+        n_words = max(1, -(-element_universe // 64))
+        return _containment_bitmask(docarr, num, den, plen, min_size_a, n_words)
     a_side = (
         docarr
         if min_size_a is None
@@ -620,4 +655,67 @@ def containment_pairs_from_rank_sorted(
             F.col("__szb").alias("size_b"),
             F.expr("cast(inter * 10000 div __sza as bigint)").alias("cont_e4"),
         )
+    )
+
+
+def _containment_bitmask(
+    docarr: DataFrame,
+    num: int,
+    den: int,
+    plen,
+    min_size_a: int | None,
+    n_words: int,
+) -> DataFrame:
+    """Small-universe fast path of
+    :func:`containment_pairs_from_rank_sorted` (element universe ≤
+    64·``n_words``): every set is an ``n_words``-word int64 bitset
+    riding the probe rows, the exact |A∩B| is popcount(AND) computed
+    INLINE on the A-prefix × full-inverted-index join, and the whole
+    two-phase verification tail collapses into filter +
+    dropDuplicates — the containment twin of :func:`_pairs_bitmask`.
+
+    Exactness: a qualifying pair (|A∩B| ≥ ⌈τ·|A|⌉ with α ≥ 1) must
+    land one of A's first |A|−α+1 rarest elements in B, and the B side
+    carries ALL of B's elements, so the join finds every qualifying
+    pair; the popcount is the true |∩| (rank ↔ element bijection); the
+    final dropDuplicates collapses pairs matched on several probe
+    elements — all carried columns are functions of the id pair."""
+    a_side = (
+        docarr
+        if min_size_a is None
+        else docarr.filter(F.col("__sz") >= int(min_size_a))
+    )
+    pre_a = a_side.select(
+        F.col("__id").alias("__ida"),
+        F.col("__sz").alias("__sza"),
+        _bitset_col(n_words).alias("__ma"),
+        F.explode(
+            F.slice(F.expr("transform(__rk, x -> x.__erk)"), F.lit(1), plen)
+        ).alias("__el"),
+    )
+    full_b = docarr.select(
+        F.col("__id").alias("__idb"),
+        F.col("__sz").alias("__szb"),
+        _bitset_col(n_words).alias("__mb"),
+        F.explode(F.expr("transform(__rk, x -> x.__erk)")).alias("__el"),
+    )
+    inter = _bitset_inter("__ma", "__mb", n_words)
+    pairs = (
+        pre_a.join(full_b, "__el")
+        .filter(
+            (F.col("__ida") != F.col("__idb"))
+            # B must be able to hold α of A's elements at all
+            & (F.col("__szb") * den >= F.col("__sza") * num)
+        )
+        .select("__ida", "__idb", "__sza", "__szb", inter.alias("inter"))
+        .filter(F.col("inter") * den >= num * F.col("__sza"))
+        .dropDuplicates(["__ida", "__idb"])
+    )
+    return pairs.select(
+        F.col("__ida").alias("id_a"),
+        F.col("__idb").alias("id_b"),
+        "inter",
+        F.col("__sza").alias("size_a"),
+        F.col("__szb").alias("size_b"),
+        F.expr("cast(inter * 10000 div __sza as bigint)").alias("cont_e4"),
     )

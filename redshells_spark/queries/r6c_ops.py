@@ -269,6 +269,31 @@ def _ppjoin_index(spark, sf_dir):
     return _PPJOIN_INDEX_CACHE[key]
 
 
+_PPJOIN_UNIVERSE_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _ppjoin_universe(spark, sf_dir) -> int:
+    """Distinct-element count of the shared shingle index — the ranks
+    are dense 1..u, so the max rank of the last (highest-ranked)
+    element IS u. One bounded-scalar agg per (session, sf); feeding it
+    to the ppjoin calls switches verification to the inline bitset
+    popcount path whenever u fits one int64 word (u ≤ 64 —
+    BITSET_AUTO_WORDS; at sf0.1 the shingle universe is 931, so the
+    measured-faster array path runs and this value is adaptive
+    plumbing: u is vocabulary²-bounded by the keep_n=100 dictionary
+    cap, not corpus-proportional, so a small-universe corpus flips to
+    the bitset path automatically at any scale)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PPJOIN_UNIVERSE_CACHE:
+        u = (
+            _ppjoin_index(spark, sf_dir)
+            .agg(F.max(F.expr("__rk[size(__rk) - 1].__erk")))
+            .collect()[0][0]
+        )
+        _PPJOIN_UNIVERSE_CACHE[key] = int(u or 0)
+    return _PPJOIN_UNIVERSE_CACHE[key]
+
+
 @q(
     "prefix_filter_jaccard",
     f"""WITH {_VOCAB_SQL}, {_TOK_SQL}, {_SHINGLE_SQL},
@@ -326,7 +351,12 @@ def _prefix_filter_jaccard(spark, sf_dir):
     of re-running the shingle lineage."""
     from redshells_spark.dedup.ppjoin import pairs_from_rank_sorted
 
-    out = pairs_from_rank_sorted(_ppjoin_index(spark, sf_dir), 8, 10)
+    out = pairs_from_rank_sorted(
+        _ppjoin_index(spark, sf_dir),
+        8,
+        10,
+        element_universe=_ppjoin_universe(spark, sf_dir),
+    )
     return out.select(
         F.col("id_0").alias("doc_id_0"),
         F.col("id_1").alias("doc_id_1"),

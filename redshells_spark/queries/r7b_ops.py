@@ -677,12 +677,37 @@ def _containment_dedup_join(spark, sf_dir):
     replays candidate generation WITHOUT the positional prunes (a
     sound superset — the exact final filter equalizes), so a hash
     MATCH also certifies the prunes lose no qualifying pair."""
-    from redshells_spark.dedup.ppjoin import containment_pairs_from_rank_sorted
-    from redshells_spark.queries.r6c_ops import _ppjoin_index
+    return _containment_pairs(spark, sf_dir)
 
-    return containment_pairs_from_rank_sorted(
-        _ppjoin_index(spark, sf_dir), 8, 10
-    )
+
+_CONTAIN_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _containment_pairs(spark, sf_dir):
+    """The verified UNFLOORED τ=0.8 containment relation over the
+    shared rank-sorted shingle index, cached per (session, sf): the
+    floored registry entry is EXACTLY this relation filtered on
+    size_a (the min-|A| floor is a probe-side pre-filter, not an
+    approximation — see containment_pairs_from_rank_sorted), so both
+    entries share one candidate join + verification. Passes the
+    measured element universe for the adaptive bitset gate (at sf0.1
+    u = 931 exceeds the single-word auto gate, so the measured-faster
+    positional array path runs; a u ≤ 64 corpus flips to the inline
+    popcount verify — see dedup/ppjoin.py:_containment_bitmask)."""
+    from redshells_spark.dedup.ppjoin import containment_pairs_from_rank_sorted
+    from redshells_spark.queries.r6c_ops import _ppjoin_index, _ppjoin_universe
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CONTAIN_CACHE:
+        while len(_CONTAIN_CACHE) >= 2:
+            _CONTAIN_CACHE.pop(next(iter(_CONTAIN_CACHE))).unpersist()
+        _CONTAIN_CACHE[key] = containment_pairs_from_rank_sorted(
+            _ppjoin_index(spark, sf_dir),
+            8,
+            10,
+            element_universe=_ppjoin_universe(spark, sf_dir),
+        ).cache()
+    return _CONTAIN_CACHE[key]
 
 
 # ------------------------------------------------- EB shrinkage

@@ -78,14 +78,17 @@ def _containment_dedup_floor(spark, sf_dir):
     The floor is a pre-filter on the probe side, not an approximation:
     the output is exactly the containment relation restricted to
     |A| >= 40, verified against the same positional-prune-free oracle
-    superset. dedup/ppjoin.py:containment_pairs_from_rank_sorted
-    (min_size_a); shares the persisted rank-sorted index."""
-    from redshells_spark.dedup.ppjoin import containment_pairs_from_rank_sorted
-    from redshells_spark.queries.r6c_ops import _ppjoin_index
+    superset. Because the floor is that exact restriction, this entry
+    reads the session-shared unfloored relation
+    (r7b_ops._containment_pairs) and filters size_a — one candidate
+    join + verification for both containment entries. The scale path
+    (probe-side pre-filter via min_size_a, which SKIPS the tiny-A
+    work instead of discarding it) stays in
+    dedup/ppjoin.py:containment_pairs_from_rank_sorted, pinned
+    equal-by-construction in tests/test_r8_ops.py."""
+    from redshells_spark.queries.r7b_ops import _containment_pairs
 
-    return containment_pairs_from_rank_sorted(
-        _ppjoin_index(spark, sf_dir), 8, 10, min_size_a=40
-    )
+    return _containment_pairs(spark, sf_dir).filter(F.col("size_a") >= 40)
 
 
 # -------------------------------- full similarity composite with MF

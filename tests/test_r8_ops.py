@@ -105,6 +105,56 @@ def test_containment_floor_is_subset(spark):
     assert floored <= full
 
 
+def test_containment_bitmask_equals_array_path(spark):
+    # force_bitset switches containment verification to the inline
+    # bitset popcount path (the automatic gate stops at one word —
+    # BITSET_AUTO_WORDS — so universe 150 needs the flag) — must be
+    # row-identical to the array_intersect path, with and without the
+    # min-|A| floor, and the floored relation must equal the unfloored
+    # filtered on size_a (the registry's shared-cache contract).
+    # Universe of 150 exercises the multi-word (3-long) bitset.
+    import random
+
+    rng = random.Random(13)
+    universe = [f"e{i:03d}" for i in range(150)]
+    rows = []
+    for d in range(1, 41):
+        base = rng.sample(universe, rng.randint(2, 40))
+        rows += [(d, e) for e in base]
+        if d % 5 == 0:  # superset doc: base + extras (containment hit)
+            extra = rng.sample([e for e in universe if e not in base], 10)
+            rows += [(d + 100, e) for e in base + extra]
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        containment_pairs_from_rank_sorted,
+    )
+
+    idx = build_rank_sorted_sets(
+        spark.createDataFrame(rows, "doc_id long, el string"), element_column="el"
+    )
+
+    def rows_of(df):
+        return {tuple(r) for r in df.collect()}
+
+    arr = rows_of(containment_pairs_from_rank_sorted(idx, 8, 10))
+    bm = rows_of(
+        containment_pairs_from_rank_sorted(
+            idx, 8, 10, element_universe=150, force_bitset=True
+        )
+    )
+    assert bm == arr and len(arr) > 0
+    arr_f = rows_of(
+        containment_pairs_from_rank_sorted(idx, 8, 10, min_size_a=10)
+    )
+    bm_f = rows_of(
+        containment_pairs_from_rank_sorted(
+            idx, 8, 10, min_size_a=10, element_universe=150, force_bitset=True
+        )
+    )
+    filtered = {t for t in arr if t[3] >= 10}  # size_a is column 4
+    assert bm_f == arr_f == filtered
+
+
 # ----------------------------------------------------- CMS / Bloom
 
 
@@ -416,11 +466,20 @@ def test_multiword_bitset_verify_equals_array_path(spark):
     )
     for num, den in ((3, 10), (5, 10), (8, 10)):
         arr = _pairs_set(pairs_from_rank_sorted(idx, num, den))
-        bm = _pairs_set(pairs_from_rank_sorted(idx, num, den, element_universe=150))
+        bm = _pairs_set(
+            pairs_from_rank_sorted(
+                idx, num, den, element_universe=150, force_bitset=True
+            )
+        )
         assert bm == arr
         bm_c = _pairs_set(
             pairs_from_rank_sorted(
-                idx, num, den, collapse_identical=True, element_universe=150
+                idx,
+                num,
+                den,
+                collapse_identical=True,
+                element_universe=150,
+                force_bitset=True,
             )
         )
         assert bm_c == arr
