@@ -233,8 +233,8 @@ _FRONT = [
     "graph_modularity",  # r7: NEW — Newman Q of the nation partition
     # --- changed since the r6 window: re-verify through the driver ---
     "prefix_filter_jaccard",  # ppjoin rewritten: positional filter, no corpus broadcast
-    "knn_graph_nn_descent",  # k-NN graph now persists via param-hash target
-    "graph_ann_search",  # fresh-session index load path
+    "knn_graph_nn_descent",  # k-NN graph: shared in-session index
+    "graph_ann_search",  # search over the shared in-session index
     "time_to_convert_quantiles",  # converted to data/sharding.distributed_rank
     "customer_spend_quartiles",  # same conversion (also never sampled before)
     "dsir_importance_weights",  # top-k resample now per-partition pruned

@@ -242,31 +242,24 @@ _KNN_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _knn_graph(spark, sf_dir) -> DataFrame:
     # the built k-NN graph is the shared ANN index: the build query and
     # the search query both consume it, exactly as a production system
-    # builds the index once and serves from it. Two cache layers:
-    # in-session (dict below, like _shared._VOCAB_CACHE) and ACROSS
-    # sessions through the param-hash parquet target (task.py — the
-    # reference's gokart memoization, data/data_frame_utils.py:23-28),
-    # so a fresh session LOADS the index (~1s) instead of paying the
-    # ~20s cold NN-descent build. The build is deterministic (hashed
-    # init, fixed rounds, total-order tie-breaks), so loaded == built
-    # — pinned by tests/test_knn_graph.py::test_graph_task_parity.
+    # builds the index once and serves from it. Cached IN-SESSION only
+    # (dict below, like _shared._VOCAB_CACHE): every fresh session
+    # recomputes the NN-descent build from the parquet inputs — no
+    # cross-run disk target, so a bench/oracle invocation never reads a
+    # precomputed index. (task.py's param-hash targets remain the
+    # pipeline feature — tests/test_knn_graph.py::test_graph_task_parity
+    # — but query paths do not use them.) The NN-descent rounds already
+    # localCheckpoint per round, so the cached plan is shallow.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KNN_GRAPH_CACHE:
         while len(_KNN_GRAPH_CACHE) >= 2:
-            _KNN_GRAPH_CACHE.pop(next(iter(_KNN_GRAPH_CACHE)))
+            _KNN_GRAPH_CACHE.pop(next(iter(_KNN_GRAPH_CACHE))).unpersist()
         from redshells_spark.similarity.knn_graph import knn_graph_nn_descent
-        from redshells_spark.task import task
 
-        def _build(spark, _inputs):
-            emb = _t(spark, sf_dir, "embeddings")
-            return knn_graph_nn_descent(emb, k=10, iterations=3, seed=7)
-
-        t = task(
-            "knn_graph_index",
-            _build,
-            params={"sf_dir": sf_dir, "k": 10, "iterations": 3, "seed": 7},
-        )
-        _KNN_GRAPH_CACHE[key] = t.run(spark)
+        emb = _t(spark, sf_dir, "embeddings")
+        _KNN_GRAPH_CACHE[key] = knn_graph_nn_descent(
+            emb, k=10, iterations=3, seed=7
+        ).cache()
     return _KNN_GRAPH_CACHE[key]
 
 

@@ -242,30 +242,25 @@ _PPJOIN_INDEX_CACHE: dict[tuple[str, str], "DataFrame"] = {}
 
 def _ppjoin_index(spark, sf_dir):
     # the rank-sorted per-doc set index is the prefix-filter join's
-    # shared, threshold-independent index — same two cache layers as
-    # the k-NN graph (_knn_graph in r5c_ops.py): in-session dict +
-    # cross-session param-hash parquet target, so a fresh session pays
-    # a ~1s parquet load instead of the ~8s shingle lineage. The build
-    # is deterministic (global-frequency ranking with total-order
-    # ties), so loaded == built — pinned by
-    # tests/test_r6c_ops.py::test_ppjoin_index_task_parity.
+    # shared, threshold-independent index, cached IN-SESSION only (dict
+    # + persist, like every _shared.py cache). It is recomputed from
+    # the parquet inputs by every fresh session: no cross-run disk
+    # target, so a bench/oracle invocation never reads a precomputed
+    # intermediate. (task.py's param-hash targets remain the pipeline
+    # feature — tests/test_r6c_ops.py::test_ppjoin_index_task_parity —
+    # but query paths do not use them.)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PPJOIN_INDEX_CACHE:
         while len(_PPJOIN_INDEX_CACHE) >= 2:
-            _PPJOIN_INDEX_CACHE.pop(next(iter(_PPJOIN_INDEX_CACHE)))
+            _PPJOIN_INDEX_CACHE.pop(next(iter(_PPJOIN_INDEX_CACHE))).unpersist()
+        from pyspark import StorageLevel
+
         from redshells_spark.dedup.ppjoin import build_rank_sorted_sets
-        from redshells_spark.task import task
 
-        def _build(spark, _inputs):
-            sh = _shingles(spark, sf_dir)
-            return build_rank_sorted_sets(sh, "doc_id", "shingle")
-
-        t = task(
-            "ppjoin_rank_index",
-            _build,
-            params={"sf_dir": sf_dir, "shingle": "bigram"},
-        )
-        _PPJOIN_INDEX_CACHE[key] = t.run(spark)
+        sh = _shingles(spark, sf_dir)
+        _PPJOIN_INDEX_CACHE[key] = build_rank_sorted_sets(
+            sh, "doc_id", "shingle"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     return _PPJOIN_INDEX_CACHE[key]
 
 
@@ -346,9 +341,9 @@ def _prefix_filter_jaccard(spark, sf_dir):
     corpus the t=0.5 variant is output-bound (the token_jaccard_join
     corpus artifact), while t=0.8's short prefixes keep candidates
     ~linear. The rank-sorted per-doc index is threshold-free and
-    deterministic, so it persists through the param-hash task target
-    (the k-NN-graph-index precedent): a fresh session LOADS it instead
-    of re-running the shingle lineage."""
+    shared across the ppjoin-family queries via the in-session cache
+    (_ppjoin_index); every fresh session recomputes it from the
+    parquet inputs."""
     from redshells_spark.dedup.ppjoin import pairs_from_rank_sorted
 
     out = pairs_from_rank_sorted(

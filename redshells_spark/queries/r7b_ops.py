@@ -671,8 +671,8 @@ def _containment_dedup_join(spark, sf_dir):
     index (Vernica et al. 2010 probe-index shape) with both of Xiao's
     positional bounds carried over at the containment alpha; exact
     array_intersect verification, no corpus-sized broadcast.
-    Shares the persisted rank-sorted index with prefix_filter_jaccard
-    (one param-hash target, two join semantics).
+    Shares the in-session rank-sorted index with prefix_filter_jaccard
+    (one shared index, two join semantics).
     dedup/ppjoin.py:containment_pairs_from_rank_sorted; the oracle
     replays candidate generation WITHOUT the positional prunes (a
     sound superset — the exact final filter equalizes), so a hash
