@@ -103,6 +103,97 @@ def build_rank_sorted_sets(
     )
 
 
+def build_rank_sorted_sets_from_arrays(
+    docs_df: DataFrame,
+    id_column: str = "doc_id",
+    array_column: str = "tokens",
+    max_map_universe: int = 64,
+) -> tuple[DataFrame, int | None]:
+    """Array-native twin of :func:`build_rank_sorted_sets` for inputs
+    that are ALREADY per-doc element arrays (e.g. the shared tokenized
+    relation): when the element universe fits ``max_map_universe``,
+    the whole index is computed IN-ROW — ``array_distinct`` for set
+    semantics, rank lookup through a universe-bounded literal map,
+    ``array_sort`` for the canonical order — with ZERO doc-keyed
+    shuffles (the long-form builder pays distinct + groupBy
+    collect_list, i.e. two corpus shuffles, to reassemble arrays the
+    caller already has). The only cluster work is one universe-bounded
+    frequency aggregation; the rank table collect is vocabulary-sized
+    (bounded-collect precedent: codebooks/centroids).
+
+    Returns ``(index_df, universe)`` with the exact
+    ``build_rank_sorted_sets`` schema and ordering (ranks dense 1..u,
+    frequency asc, ties element asc; docs with empty/NULL arrays are
+    absent, matching the long form where they contribute no rows).
+    When the universe exceeds ``max_map_universe`` — where per-element
+    linear scans of the literal map stop being obviously cheap — it
+    falls back to the long-form builder and returns ``(index, None)``
+    (caller probes the universe if it needs it). The default cap is 64
+    = one bitset word: below it the downstream verification is the
+    inline popcount path, so index build AND verify are both in the
+    small-universe regime."""
+    require_columns(docs_df, [id_column, array_column])
+    sets = docs_df.select(
+        F.col(id_column).alias("__id"),
+        F.array_distinct(F.col(array_column)).alias("__arr"),
+    ).filter(F.size("__arr") > 0)
+    freq = (
+        sets.select(F.explode("__arr").alias("__el"))
+        .groupBy("__el")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    rows = (
+        freq.orderBy(F.col("__f").asc(), F.col("__el").asc())
+        .limit(max_map_universe + 1)
+        .collect()
+    )
+    if len(rows) > max_map_universe:
+        long_form = docs_df.select(
+            F.col(id_column), F.explode(F.col(array_column)).alias("__el")
+        ).distinct()
+        return build_rank_sorted_sets(long_form, id_column, "__el"), None
+    els = [r["__el"] for r in rows]
+    if not els:
+        # empty corpus: `sets` has no rows, so any well-typed in-row
+        # expression yields the empty index with the right schema
+        idx = sets.select(
+            "__id",
+            F.array_sort(
+                F.transform(
+                    "__arr",
+                    lambda x: F.struct(
+                        F.lit(0).cast("int").alias("__erk"), x.alias("__el")
+                    ),
+                )
+            ).alias("__rk"),
+        ).withColumn("__sz", F.size("__rk").cast("long"))
+        return idx, 0
+    rank_map = F.map_from_arrays(
+        F.lit(els),
+        F.lit(list(range(1, len(els) + 1))).cast("array<int>"),
+    )
+    idx = sets.select(
+        "__id",
+        F.array_sort(
+            F.transform(
+                "__arr",
+                lambda x: F.struct(
+                    F.element_at(rank_map, x).alias("__erk"), x.alias("__el")
+                ),
+            )
+        ).alias("__rk"),
+    ).withColumn("__sz", F.size("__rk").cast("long"))
+    # the in-row build has NO shuffle, so it inherits the input scan's
+    # partitioning (often 1-2 partitions for a small parquet) and
+    # would strangle every downstream stage — candidate join, verify,
+    # membership expansion — to that width. One deterministic hash
+    # repartition to the session's core count (scale-adaptive, not a
+    # constant) restores the parallelism the long-form builder's
+    # groupBy used to provide as a side effect.
+    n_part = sets.sparkSession.sparkContext.defaultParallelism
+    return idx.repartition(n_part, "__id"), len(els)
+
+
 def pairs_from_rank_sorted(
     docarr: DataFrame,
     threshold_num: int = 5,
@@ -360,20 +451,46 @@ def _pairs_bitmask(
         F.col("__m").alias("__m1"),
     )
     inter = _bitset_inter("__m0", "__m1", n_words)
-    pairs = (
-        a.join(b, ["__el"] + blk)
-        .filter(
-            (F.col("__id0") < F.col("__id1"))
-            & (F.col("__sz0") * den >= F.col("__sz1") * num)
-            & (F.col("__sz1") * den >= F.col("__sz0") * num)
-        )
-        .select("__id0", "__id1", *blk, "__sz0", "__sz1", inter.alias("inter"))
-        .filter(
-            F.col("inter") * den
-            >= num * (F.col("__sz0") + F.col("__sz1") - F.col("inter"))
-        )
-        .dropDuplicates(["__id0", "__id1"])
+    pairs = a.join(b, ["__el"] + blk).filter(
+        (F.col("__id0") < F.col("__id1"))
+        & (F.col("__sz0") * den >= F.col("__sz1") * num)
+        & (F.col("__sz1") * den >= F.col("__sz0") * num)
     )
+    if n_words == 1:
+        # pair-dedup WITHOUT a shuffle: a pair sharing k prefix
+        # elements emits k join rows; keep exactly the row whose
+        # matched element is the pair's LOWEST-ranked shared element
+        # (unique per pair, and for any qualifying pair it lies in
+        # both prefixes: were it outside side a's prefix, a's whole
+        # prefix would be unshared and inter ≤ |a| − p < ⌈τ|a|⌉, a
+        # contradiction — the prefix-filter theorem's own argument).
+        # "No shared bit below the matched one" is one codegen'd mask
+        # test, replacing dropDuplicates' full exchange + hash
+        # aggregate of the candidate relation. ((1L<<63)−1 wraps to
+        # Long.MAX_VALUE = bits 0..62 — still "all bits below 63".)
+        low_mask = F.expr("shiftleft(1L, cast(__el as int) - 1) - 1L")
+        pairs = (
+            pairs.filter(
+                (F.col("__m0").bitwiseAND(F.col("__m1")).bitwiseAND(low_mask))
+                == 0
+            )
+            .select("__id0", "__id1", *blk, "__sz0", "__sz1", inter.alias("inter"))
+            .filter(
+                F.col("inter") * den
+                >= num * (F.col("__sz0") + F.col("__sz1") - F.col("inter"))
+            )
+        )
+    else:
+        pairs = (
+            pairs.select(
+                "__id0", "__id1", *blk, "__sz0", "__sz1", inter.alias("inter")
+            )
+            .filter(
+                F.col("inter") * den
+                >= num * (F.col("__sz0") + F.col("__sz1") - F.col("inter"))
+            )
+            .dropDuplicates(["__id0", "__id1"])
+        )
     union_sz = (F.col("__sz0") + F.col("__sz1") - F.col("inter")).cast("long")
     out_cols = ([F.col("__blk").alias("block")] if blk else []) + [
         F.col("__id0").alias("id_0"),
@@ -418,8 +535,17 @@ def _pairs_collapsed(
     # legs, plus the cross-group and within-group membership
     # expansions — and without the persist each branch re-ran the
     # docarr→groupBy lineage (measured ~0.9s × 5 extra runs at sf0.1).
+    # pin the group shuffle at the session's core count: the groups
+    # relation is BYTES-tiny (distinct sets) but everything downstream
+    # — rep candidate join, verify, membership expansion — multiplies
+    # rows from it, so AQE's byte-based coalescing (to 1-2 partitions
+    # here) would strand that compute on two cores. The explicit
+    # repartition is reused by the groupBy (same key), so it is still
+    # ONE exchange, just at a pinned, scale-adaptive width.
+    n_part = docarr.sparkSession.sparkContext.defaultParallelism
     groups = (
-        keyed.groupBy("__arr", *blk)
+        keyed.repartition(n_part, "__arr", *blk)
+        .groupBy("__arr", *blk)
         .agg(
             F.min("__id").alias("__gid"),
             F.collect_list("__id").alias("__mem"),

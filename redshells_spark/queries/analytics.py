@@ -268,8 +268,18 @@ def _token_jaccard_join(spark, sf_dir):
     sf0.01; the Spark side is the sub-quadratic plan)."""
     from redshells_spark.similarity.stringjoin import token_jaccard_join
 
-    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("tokens").alias("token"))
-    return token_jaccard_join(toks, id_col="doc_id", token_col="token", threshold=0.8)
+    # pass the cached per-doc ARRAY relation: the rank-sorted index is
+    # then built in-row (zero doc-keyed shuffles) — the long form would
+    # explode + distinct + re-group arrays the cache already holds
+    toks = _tokens(spark, sf_dir).select("doc_id", "tokens")
+    return token_jaccard_join(
+        None,
+        id_col="doc_id",
+        token_col="token",
+        threshold=0.8,
+        arrays_df=toks,
+        arrays_col="tokens",
+    )
 
 
 # -------------------------------------- correlated-subquery SQL shapes

@@ -142,14 +142,23 @@ def edit_distance_join(
 
 
 def token_jaccard_join(
-    tokens: DataFrame,
+    tokens: DataFrame | None,
     id_col: str,
     token_col: str,
     threshold: float,
+    arrays_df: DataFrame | None = None,
+    arrays_col: str = "tokens",
 ) -> DataFrame:
     """Self-join: all id pairs whose *distinct-token sets* have
     Jaccard ≥ ``threshold``. Input is long form (id, token); duplicate
     tokens are collapsed (set semantics, as in AllPairs).
+
+    ``arrays_df`` (optional, replaces ``tokens``): the same relation
+    in per-doc ARRAY form (``id_col``, ``arrays_col``) — e.g. the
+    shared tokenized cache. When given, the rank-sorted index is built
+    array-natively (build_rank_sorted_sets_from_arrays): at a small
+    token universe that is zero doc-keyed shuffles instead of the long
+    form's distinct + groupBy collect_list.
 
     Returns ``id1 < id2, inter, n1, n2, jaccard`` (jaccard rounded 4).
 
@@ -180,38 +189,45 @@ def token_jaccard_join(
 
     from redshells_spark.dedup.ppjoin import (
         build_rank_sorted_sets,
+        build_rank_sorted_sets_from_arrays,
         pairs_from_rank_sorted,
     )
 
     frac = Fraction(str(threshold)).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
-    t = tokens.select(
-        F.col(id_col).alias("__id"), F.col(token_col).alias("token")
-    ).distinct()
     # collapse_identical: docs with bit-identical token sets are
     # grouped before the candidate algebra — at a small token universe
     # most qualifying pairs sit inside duplicate-set groups, and the
     # expansion is membership algebra instead of per-pair verification
     # Materialize the index once (Vernica et al.'s ordered-sets step;
     # MEMORY_AND_DISK spills rather than OOMs at 100×, rolling handle
-    # holds one corpus copy): the universe probe below plus the
-    # collapse groupBy would otherwise each re-run the tokenize→rank
-    # lineage (~1.3s × 2 extra at sf0.1).
-    docarr = build_rank_sorted_sets(t, "__id", "token").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # holds one corpus copy): the universe probe plus the collapse
+    # groupBy would otherwise each re-run the tokenize→rank lineage
+    # (~1.3s × 2 extra at sf0.1).
+    u = None
+    if arrays_df is not None:
+        docarr, u = build_rank_sorted_sets_from_arrays(
+            arrays_df, id_col, arrays_col
+        )
+    else:
+        t = tokens.select(
+            F.col(id_col).alias("__id"), F.col(token_col).alias("token")
+        ).distinct()
+        docarr = build_rank_sorted_sets(t, "__id", "token")
+    docarr = docarr.persist(StorageLevel.MEMORY_AND_DISK)
     global _LAST_TJJ_DOCARR
     if _LAST_TJJ_DOCARR is not None:
         _LAST_TJJ_DOCARR.unpersist()
     _LAST_TJJ_DOCARR = docarr
-    # bounded driver scalar: the element-universe size (ranks are dense
-    # 1..u, so the max rank of the last — highest-ranked — element IS
-    # u). Vocabulary-sized by definition, one agg over the persisted
-    # index; ≤ 64 switches verification to int64 bitmask popcounts
-    # (exact — see pairs_from_rank_sorted).
-    u = docarr.agg(
-        F.max(F.expr("__rk[size(__rk) - 1].__erk")).alias("u")
-    ).collect()[0]["u"]
+    if u is None:
+        # bounded driver scalar: the element-universe size (ranks are
+        # dense 1..u, so the max rank of the last — highest-ranked —
+        # element IS u). Vocabulary-sized by definition, one agg over
+        # the persisted index; ≤ 64 switches verification to int64
+        # bitmask popcounts (exact — see pairs_from_rank_sorted).
+        u = docarr.agg(
+            F.max(F.expr("__rk[size(__rk) - 1].__erk")).alias("u")
+        ).collect()[0]["u"]
     out = pairs_from_rank_sorted(
         docarr, num, den, collapse_identical=True,
         element_universe=int(u or 0),

@@ -403,6 +403,51 @@ def test_collapsed_pairs_equal_plain(spark):
     assert plain == coll and len(plain) == 10
 
 
+def test_array_native_index_equals_long_form(spark):
+    # build_rank_sorted_sets_from_arrays must produce the EXACT index
+    # (ranks, order, sizes) and the exact pairs the long-form builder
+    # does — including dup tokens inside arrays (set semantics), an
+    # empty-array doc (absent from both), and the >cap fallback path
+    from redshells_spark.dedup.ppjoin import (
+        build_rank_sorted_sets,
+        build_rank_sorted_sets_from_arrays,
+        pairs_from_rank_sorted,
+    )
+
+    arr_rows = [
+        (1, ["a", "b", "c", "d", "a"]),  # dup "a" collapses
+        (2, ["a", "b", "c", "d"]),
+        (3, ["a", "b", "c", "x"]),
+        (4, ["p", "q"]),
+        (5, []),  # empty set: absent from the index
+        (6, ["p", "q", "r"]),
+    ]
+    docs = spark.createDataFrame(arr_rows, "doc_id long, tokens array<string>")
+    long_rows = sorted({(i, e) for i, els in arr_rows for e in els})
+    long_df = spark.createDataFrame(long_rows, "doc_id long, el string")
+
+    def _idx_rows(df):
+        return sorted(
+            (r["__id"], tuple((s["__erk"], s["__el"]) for s in r["__rk"]), r["__sz"])
+            for r in df.collect()
+        )
+
+    want_idx = build_rank_sorted_sets(long_df, "doc_id", "el")
+    got_idx, u = build_rank_sorted_sets_from_arrays(docs, "doc_id", "tokens")
+    assert u == 8  # a b c d p q r x
+    assert _idx_rows(got_idx) == _idx_rows(want_idx)
+    want = _pairs_set(pairs_from_rank_sorted(want_idx, 5, 10))
+    got = _pairs_set(pairs_from_rank_sorted(got_idx, 5, 10, element_universe=u))
+    assert got == want and want
+
+    # cap exceeded -> long-form fallback, universe None, same index
+    fb_idx, fb_u = build_rank_sorted_sets_from_arrays(
+        docs, "doc_id", "tokens", max_map_universe=4
+    )
+    assert fb_u is None
+    assert _idx_rows(fb_idx) == _idx_rows(want_idx)
+
+
 def test_bitmask_verify_equals_array_path(spark):
     # element_universe ≤ 64 switches pairs_from_rank_sorted to the
     # inline int64-bitmask verification — must be row-identical to the
