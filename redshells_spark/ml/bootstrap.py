@@ -83,8 +83,16 @@ def replica_sums(
     # cardinality: explode over hash groups g first, THEN over the 8
     # slots of each digest. replica b = 8*g + slot.
     n_groups = (n_replicas + 7) // 8
+    # repartition the COMPACT (id, units) rows BEFORE the ~13x8 replica
+    # explosion (the _pairs_df precedent): the input is often one scan
+    # split or an AQE-coalesced pair of partitions, and without this
+    # the entire exploded md5 + weight cascade — the heavy leg — runs
+    # on one or two cores. Shuffling two narrow columns is ~1% of the
+    # exploded volume; the hash key is the row id (deterministic).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     hashed = (
         df.select(F.col(id_column).alias("__id"), units.alias("__u"))
+        .repartition(n_part, "__id")
         .withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))))
         .withColumn(
             "__h",
