@@ -53,10 +53,25 @@ def _assigned_checkpoint(
     guard, both pair-join sides, AND the final anti-join — without the
     checkpoint the argmin-over-centroids projection re-runs per
     consumer (bench cold run: 36s — the multi-consumer pattern from
-    NOTES.md)."""
+    NOTES.md).
+
+    Partitioning (both ends scale-adaptive, no local constants): the
+    input is spread to the session core count BEFORE the O(k·d)
+    argmin projection (a small corpus arrives as one scan split and
+    would otherwise run the whole assignment on one core), and the
+    result is hash-partitioned by ``cid`` before the checkpoint so the
+    within-cluster pair self-join consumes the SAME partitioning on
+    both sides — zero join exchanges, and the quadratic pair compute
+    runs at full width instead of whatever AQE's byte estimate of the
+    tiny assignment relation would leave."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    id_col = df.columns[0]
     return (
-        assign_to_centroids(df, centroids, embedding_col)
+        assign_to_centroids(
+            df.repartition(n_part, id_col), centroids, embedding_col
+        )
         .withColumnRenamed("centroid", "cid")
+        .repartition(n_part, "cid")
         .localCheckpoint(eager=True)
     )
 
