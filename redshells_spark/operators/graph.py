@@ -311,6 +311,7 @@ def partition_modularity(
     communities: DataFrame,
     node_col: str = "node",
     community_col: str = "community",
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Newman modularity Q of a GIVEN node partition over a symmetrized
     edge list (Newman & Girvan 2004): with 2m directed arcs,
@@ -325,13 +326,18 @@ def partition_modularity(
     a community-bounded aggregation; no window touches the edge list.
 
     `edges` must be the symmetrized (both-directions, deduplicated)
-    arc list — the same contract as :func:`pagerank`.
+    arc list — the same contract as :func:`pagerank`. Pass `degrees`
+    (node `src`, long `deg` — count of outgoing arcs per node) to
+    reuse an already-materialized degree relation.
     """
     e = edges.select(F.col("src"), F.col("dst"))
     cm = communities.select(
         F.col(node_col).alias("__n"), F.col(community_col).alias("__c")
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    if degrees is None:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    else:
+        deg = degrees.select(F.col("src"), F.col("deg").cast("long"))
     # per-community degree mass (every node with an edge has a degree row)
     d_c = (
         deg.join(cm, deg["src"] == cm["__n"])
@@ -364,7 +370,9 @@ def partition_modularity(
             - (dd("degree_sum") / dd("two_m")) * (dd("degree_sum") / dd("two_m")),
             9,
         ).alias("q_term"),
-    )
+    ).localCheckpoint(eager=True)  # community-bounded; the '__total__'
+    # row re-reads per, so without this pin the whole degree/arc
+    # subtree (two community joins over the edge list) runs twice
     total_row = per.agg(
         F.sum("internal_arcs").cast("long").alias("internal_arcs"),
         F.sum("degree_sum").cast("long").alias("degree_sum"),

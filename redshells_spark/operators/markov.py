@@ -46,41 +46,64 @@ def journey_transition_counts(
         F.col(time_col).alias("us"),
         F.col(id_col).alias("eid"),
     )
-    fp = (
-        ev.filter(F.col("t") == conv_type)
-        .groupBy("u")
-        .agg(F.min(F.struct("us", "eid")).alias("f"))
+    # one per-user aggregate serves BOTH the first-conversion cutoff
+    # and the empty-journey count: a converted user's journey is empty
+    # iff their globally-first event IS their first purchase (events
+    # before f are non-purchase by definition of f, so "no event < f"
+    # ⇔ min-over-all == min-over-purchases). Materialized once —
+    # it is consumed by the journey join AND the start→conv rows, and
+    # the earlier tmid/tend/tempty branches each re-expanded the whole
+    # events subtree (~6 fact scans, two window sorts).
+    ua = (
+        ev.groupBy("u")
+        .agg(
+            F.min(
+                F.when(F.col("t") == conv_type, F.struct("us", "eid"))
+            ).alias("f"),
+            F.min(F.struct("us", "eid")).alias("g"),
+        )
+        .localCheckpoint(eager=True)  # user-dimension-bounded
     )
     pre = (
         ev.filter(F.col("t") != conv_type)
-        .join(fp, "u", "left")
+        .join(ua.select("u", "f"), "u", "left")
         .filter(F.col("f").isNull() | (F.struct("us", "eid") < F.col("f")))
-        .select("u", "t", "us", "eid", F.col("f").isNotNull().alias("conv"))
+        .select("u", "t", F.col("us"), "eid", F.col("f").isNotNull().alias("conv"))
     )
+    # single ascending sort: last row is rn == count-over-partition
+    # (the descending row_number needed a second sort of the journey
+    # relation); every row emits its lag transition, the last row
+    # additionally emits the absorbing edge — one pass, no union of
+    # re-expanded subtrees
     w = Window.partitionBy("u").orderBy(F.col("us").asc(), F.col("eid").asc())
-    wd = Window.partitionBy("u").orderBy(F.col("us").desc(), F.col("eid").desc())
+    wu = Window.partitionBy("u")
     ordered = pre.select(
-        "u",
         "t",
         "conv",
         F.lag("t").over(w).alias("prev"),
-        F.row_number().over(wd).alias("rdesc"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("cnt"),
     )
-    tmid = ordered.select(
+    mid = F.struct(
         F.coalesce(F.col("prev"), F.lit("start")).alias("src"),
         F.col("t").alias("dst"),
     )
-    tend = ordered.filter(F.col("rdesc") == 1).select(
+    end = F.struct(
         F.col("t").alias("src"),
         F.when(F.col("conv"), "conv").otherwise("null").alias("dst"),
     )
-    tempty = (
-        fp.join(pre.select("u").distinct(), "u", "left_anti")
-        .select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
-    )
+    pairs = ordered.select(
+        F.explode(
+            F.when(F.col("rn") == F.col("cnt"), F.array(mid, end)).otherwise(
+                F.array(mid)
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    tempty = ua.filter(
+        F.col("f").isNotNull() & (F.col("g") == F.col("f"))
+    ).select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
     return (
-        tmid.unionByName(tend)
-        .unionByName(tempty)
+        pairs.unionByName(tempty)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )

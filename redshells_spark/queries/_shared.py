@@ -282,6 +282,63 @@ def _nd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _NDCOMP_CACHE[key]
 
 
+_DAILYPC_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DAY_US_CONST = 86_400_000_000
+
+
+def _daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, v): the dense daily purchase-count series — one row per day
+    present in events (any type), v = exact count of 'purchase' events
+    that day (0 for purchase-free days). ~12 time-series queries
+    (CUSUM, Mann-Kendall, runs test, Page-Hinkley, Pettitt, Croston,
+    periodogram, Gumbel maxima, Cox-Stuart, MASE, Holt, ...) derive
+    this identical relation; each used to pay two events scans plus a
+    distinct-days⋈counts join. One conditional groupBy (purchase-free
+    days fold into the same aggregate) cached per (session, sf)."""
+    from redshells_spark.timeutil import event_us as _eus
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DAILYPC_CACHE:
+        while len(_DAILYPC_CACHE) >= _TOKEN_CACHE_MAX:
+            _DAILYPC_CACHE.pop(next(iter(_DAILYPC_CACHE))).unpersist()
+        ev = _t(spark, sf_dir, "events")
+        _DAILYPC_CACHE[key] = (
+            ev.select("event_type", _eus(ev, "ts").alias("us"))
+            .select(
+                "event_type",
+                F.expr(f"us div {_DAY_US_CONST}").cast("long").alias("t"),
+            )
+            .groupBy("t")
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("v")
+            )
+            .cache()
+        )
+    return _DAILYPC_CACHE[key]
+
+
+_KNLM_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _kn_lm(spark: SparkSession, sf_dir: str):
+    """The interpolated Kneser-Ney bigram LM over `documents`, trained
+    once per (session, sf) — kn_perplexity, ccnet_perplexity_buckets
+    and min_k_prob_contamination score against the identical model, so
+    each used to pay its own corpus explode + three groupBys."""
+    from redshells_spark.text.ngram_lm import train_kn_bigram_lm
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KNLM_CACHE:
+        while len(_KNLM_CACHE) >= _TOKEN_CACHE_MAX:
+            _KNLM_CACHE.pop(next(iter(_KNLM_CACHE)))
+        _KNLM_CACHE[key] = train_kn_bigram_lm(_t(spark, sf_dir, "documents"))
+    return _KNLM_CACHE[key]
+
+
 _GRAM_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

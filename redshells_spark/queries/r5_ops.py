@@ -152,6 +152,10 @@ def _minhash_dedup_eval(spark, sf_dir):
         .join(sz.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("sz", "sz1"), "doc_id_1")
         .filter(10 * F.col("inter") >= (F.col("sz0") + F.col("sz1") - F.col("inter")))
         .select("doc_id_0", "doc_id_1")
+        # referenced by both the hit join and the n_truth count — pin it
+        # so the shingle co-occurrence self-join (the expensive subtree)
+        # runs once; output is the bounded >=0.1-Jaccard pair relation
+        .localCheckpoint(eager=True)
     )
     hits = cand.join(truth, ["doc_id_0", "doc_id_1"]).agg(
         F.count(F.lit(1)).alias("n_hits")
@@ -216,13 +220,10 @@ def _ccnet_perplexity_buckets(spark, sf_dir):
     flip docs whose true scores differ below summation noise). One
     window per language over the tiny (doc, ppl) relation — the corpus
     itself never re-shuffles."""
-    from redshells_spark.text.ngram_lm import (
-        score_kn_perplexity,
-        train_kn_bigram_lm,
-    )
+    from redshells_spark.text.ngram_lm import score_kn_perplexity
 
     docs = _t(spark, sf_dir, "documents")
-    lm = train_kn_bigram_lm(docs)
+    lm = _kn_lm(spark, sf_dir)
     ppl = score_kn_perplexity(docs, lm, broadcast_lm=True).select(
         "doc_id", _r4(F.col("perplexity"), "perplexity")
     )

@@ -126,10 +126,8 @@ def _min_k_prob_contamination(spark, sf_dir):
     selection is one window with a (lp, pos) total-order tie-break, so
     both engines pick the identical token set. One explode + LM joins
     + one window — no shuffle carries text."""
-    from redshells_spark.text.ngram_lm import train_kn_bigram_lm
-
     docs = _t(spark, sf_dir, "documents")
-    lm = train_kn_bigram_lm(docs)
+    lm = _kn_lm(spark, sf_dir)
     from redshells_spark.text.ngram_lm import _bigrams, _tokens
 
     toks = docs.select(

@@ -419,4 +419,6 @@ def _greedy_max_coverage(spark, sf_dir):
     from redshells_spark.data.coverage import greedy_max_coverage
 
     sh = _shingles(spark, sf_dir)
-    return greedy_max_coverage(sh, "doc_id", "shingle", k=6)
+    return greedy_max_coverage(
+        sh, "doc_id", "shingle", k=6, arrays=_sharr(spark, sf_dir)
+    )

@@ -633,7 +633,7 @@ def _graph_modularity(spark, sf_dir):
     '__total__' row). Degree groupBy + two community joins — no window
     ever touches the edge list. operators/graph.py:partition_modularity."""
     from redshells_spark.operators.graph import partition_modularity
-    from redshells_spark.queries.text import _copurchase_edges
+    from redshells_spark.queries.text import _copurchase_deg, _copurchase_edges
 
     edges = _copurchase_edges(spark, sf_dir)
     cust = _t(spark, sf_dir, "customer")
@@ -652,7 +652,9 @@ def _graph_modularity(spark, sf_dir):
             )
         )
     )
-    return partition_modularity(edges, cm, "node", "community")
+    return partition_modularity(
+        edges, cm, "node", "community", degrees=_copurchase_deg(spark, sf_dir)
+    )
 
 
 # ------------------------------------------------- Brier decomposition

@@ -607,19 +607,7 @@ def _mann_kendall_purchases(spark, sf_dir):
     operators/drift.py:mann_kendall_trend."""
     from redshells_spark.operators.drift import mann_kendall_trend
 
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(
-        F.expr(f"us div {_DAY_US}").cast("long").alias("t")
-    ).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    series = days.join(pc, "t", "left").select(
-        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
-    )
+    series = _daily_purchases(spark, sf_dir)
     return mann_kendall_trend(series, "t", "v")
 
 
@@ -961,17 +949,7 @@ def _cusum_daily_purchases(spark, sf_dir):
     operators/changepoint.py:cusum_monitor."""
     from redshells_spark.operators.changepoint import cusum_monitor
 
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    series = days.join(pc, "t", "left").select(
-        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
-    )
+    series = _daily_purchases(spark, sf_dir)
     return cusum_monitor(series, "t", "v", slack=0)
 
 
@@ -999,17 +977,7 @@ def _seasonal_naive_mase(spark, sf_dir):
     operators/drift.py:seasonal_naive_mase."""
     from redshells_spark.operators.drift import seasonal_naive_mase
 
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    series = days.join(pc, "t", "left").select(
-        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
-    )
+    series = _daily_purchases(spark, sf_dir)
     return seasonal_naive_mase(series, "t", "v", season=7)
 
 

@@ -156,55 +156,83 @@ def _growth_accounting_weekly(spark, sf_dir):
     """Weekly growth accounting (the Social Capital MAU decomposition):
     active(w) = new(w) + retained(w) + resurrected(w), with churned(w)
     = active(w-1) - retained(w) and the quick ratio (new+resurrected)/
-    churned. Everything derives from the distinct (user, week) activity
-    relation: one min-week pass, two self-joins co-partitioned on
-    user_id, exact int64 counts — no window at all, so the plan is
-    shuffle-minimal and holds at 10^9 users. The product-growth
-    companion to retention_cohorts."""
+    churned. ONE user-keyed fact shuffle (map-side-dedup'd
+    collect_set of weeks) plus one explode and one week-bounded
+    aggregate — new/retained/resurrected/churned are all array tests
+    against the user's own week set, so there is no self-join, no
+    window, and no second fact pass; a user's week count is bounded by
+    the calendar, so the set rows stay small at 10^9 users. The
+    product-growth companion to retention_cohorts."""
     ev = _t(spark, sf_dir, "events")
-    a = (
+    # ONE fact-scale shuffle: the per-user week SET (map-side-dedup'd
+    # collect_set) carries everything the former distinct + min-week
+    # agg + two user-keyed self-joins derived — new/retained/
+    # resurrected are array tests against the user's own week set, and
+    # each (user, week) row also emits its churn contribution at
+    # week+1 when the user is absent then. Weeks nobody was active in
+    # never occur (every event has a user), and churn emissions landing
+    # past a user's horizon drop in the final left join exactly as the
+    # self-join formulation dropped them.
+    pu = (
         ev.select("user_id", event_us(ev).alias("us"))
         .select("user_id", F.expr(f"us div {_WEEK_US}").cast("long").alias("week"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("ws"))
+        .select("ws", F.array_min("ws").alias("fw"))
     )
-    f = a.groupBy("user_id").agg(F.min("week").alias("first_week"))
-    cur = a.join(f, "user_id")
-    prev = a.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("was_prev"))
-    j = cur.join(prev, ["user_id", "week"], "left")
-    stats = j.groupBy("week").agg(
-        F.count(F.lit(1)).cast("long").alias("n_active"),
-        F.sum(F.when(F.col("first_week") == F.col("week"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_new"),
-        F.sum(F.when(F.col("was_prev").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_retained"),
-        F.sum(
-            F.when(
-                F.col("was_prev").isNull() & (F.col("first_week") < F.col("week")), 1
-            ).otherwise(0)
+    act = F.struct(
+        F.col("w").alias("week"),
+        F.lit(1).alias("is_active"),
+        (F.col("fw") == F.col("w")).cast("int").alias("is_new"),
+        F.array_contains("ws", F.col("w") - 1).cast("int").alias("is_ret"),
+        (
+            ~F.array_contains("ws", F.col("w") - 1)
+            & (F.col("fw") < F.col("w"))
         )
-        .cast("long")
-        .alias("n_resurrected"),
+        .cast("int")
+        .alias("is_res"),
+        F.lit(0).alias("is_churn"),
     )
-    nxt = a.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("prev_active"))
-    curflag = a.select("user_id", "week", F.lit(1).alias("cur_active"))
-    ch = (
-        nxt.join(curflag, ["user_id", "week"], "left")
-        .filter(F.col("cur_active").isNull())
-        .join(a.select("week").distinct(), "week")  # only weeks that exist
-        .groupBy("week")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    churn = F.struct(
+        (F.col("w") + 1).alias("week"),
+        F.lit(0).alias("is_active"),
+        F.lit(0).alias("is_new"),
+        F.lit(0).alias("is_ret"),
+        F.lit(0).alias("is_res"),
+        F.lit(1).alias("is_churn"),
     )
-    out = stats.join(ch, "week", "left").select(
+    contrib = (
+        pu.select(F.explode("ws").alias("w"), "ws", "fw")
+        .select(
+            F.explode(
+                F.when(
+                    ~F.array_contains("ws", F.col("w") + 1),
+                    F.array(act, churn),
+                ).otherwise(F.array(act))
+            ).alias("c")
+        )
+        .select("c.*")
+    )
+    byweek = contrib.groupBy("week").agg(
+        F.sum("is_active").cast("long").alias("n_active"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("is_ret").cast("long").alias("n_retained"),
+        F.sum("is_res").cast("long").alias("n_resurrected"),
+        F.sum("is_churn").cast("long").alias("n_churned"),
+    )
+    # weeks with only churn emissions (nobody active) are exactly the
+    # rows the former stats-side inner join dropped; active weeks with
+    # no churn already hold the exact 0 the former coalesce produced —
+    # so the stats⋈ch join collapses into one filter
+    out = byweek.filter(F.col("n_active") > 0).select(
         F.col("week").cast("long"),
         "n_active",
         "n_new",
         "n_retained",
         "n_resurrected",
-        F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias("n_churned"),
+        F.col("n_churned").cast("long").alias("n_churned"),
         F.when(
-            F.coalesce(F.col("n_churned"), F.lit(0)) > 0,
+            F.col("n_churned") > 0,
             F.round(
                 (F.col("n_new") + F.col("n_resurrected")).cast("double")
                 / F.col("n_churned").cast("double"),
@@ -255,15 +283,17 @@ def _dau_mau_stickiness(spark, sf_dir):
         )
         .distinct()
     )
-    dau = d.groupBy("period", "day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    agg = dau.groupBy("period").agg(
-        F.sum("dau").cast("long").alias("sum_dau"),
-        F.count(F.lit(1)).cast("long").alias("n_days"),
+    # one aggregation pass over the distinct activity relation: d is
+    # distinct (user, day) rows, so count(*) IS sum-of-daily-DAU, and
+    # a day belongs to exactly one period (period = day div 28) so the
+    # distinct-day count equals the dau-branch's group count — no
+    # dau/mau self-join, one events scan instead of two
+    agg = d.groupBy("period").agg(
+        F.count(F.lit(1)).cast("long").alias("sum_dau"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.countDistinct("user_id").cast("long").alias("mau"),
     )
-    mau = d.groupBy("period").agg(
-        F.countDistinct("user_id").cast("long").alias("mau")
-    )
-    return agg.join(mau, "period").select(
+    return agg.select(
         F.col("period").cast("long"),
         "n_days",
         "sum_dau",
@@ -321,20 +351,12 @@ def _weekday_seasonal_outliers(spark, sf_dir):
     level tables (count domain, not day rows): the weekday median via
     a PARTITIONED cumulative-weight window, the MAD via the same
     selection on |residual| levels. Returns only flagged days."""
-    ev = _t(spark, sf_dir, "events")
-    ev2 = ev.select("event_type", event_us(ev).alias("us")).select(
-        "event_type", F.expr(f"us div {_DAY_US}").cast("long").alias("t")
-    )
-    days = ev2.select("t").distinct()
-    pc = (
-        ev2.filter(F.col("event_type") == "purchase")
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    s = days.join(pc, "t", "left").select(
-        "t",
-        F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v"),
-        (F.col("t") % 7).cast("long").alias("wd"),
+    # the shared cached daily purchase series (one conditional groupBy,
+    # zero-purchase days folded in) replaces the distinct-days +
+    # left-join double scan; the before-plan re-expanded that subtree
+    # per reference (24 events scans, 66 Exchanges)
+    s = _daily_purchases(spark, sf_dir).select(
+        "t", "v", (F.col("t") % 7).cast("long").alias("wd")
     )
     lv = s.groupBy("wd", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
     wc = Window.partitionBy("wd").orderBy(F.col("v").asc()).rowsBetween(

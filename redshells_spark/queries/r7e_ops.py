@@ -307,8 +307,15 @@ def _centroid_silhouette(spark, sf_dir):
             i.alias("cid"),
         ),
     )
+    # spread the corpus before the O(k*d) distance fold — a small
+    # corpus arrives as one scan split and would run the heaviest
+    # expression on one core (the SemDeDup assignment precedent);
+    # per-point s_e6 is an exact int64 so partitioning cannot change
+    # the per-cluster sums
+    n_part = spark.sparkContext.defaultParallelism
     two = (
-        emb.crossJoin(F.broadcast(cent_df))
+        emb.repartition(n_part, "vec_id")
+        .crossJoin(F.broadcast(cent_df))
         .select(F.slice(F.array_sort(dists), 1, 2).alias("t2"))
         .select(
             F.col("t2")[0]["cid"].cast("long").alias("cid"),

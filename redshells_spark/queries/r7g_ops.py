@@ -63,15 +63,27 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PART_EDGE_CACHE[key]
 
 
+_PART_DEG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _und_deg(spark, sf_dir):
     e = _part_edges(spark, sf_dir)
     und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = und.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    return und, deg
+    # the degree relation is tiny (one row per part) but each lazy
+    # reference re-shuffles the symmetrized edge union; assortativity
+    # alone references it three times — cache it per (session, sf)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PART_DEG_CACHE:
+        while len(_PART_DEG_CACHE) >= 4:
+            _PART_DEG_CACHE.pop(next(iter(_PART_DEG_CACHE))).unpersist()
+        _PART_DEG_CACHE[key] = (
+            und.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .cache()
+        )
+    return und, _PART_DEG_CACHE[key]
 
 
 # ------------------------------------------ local clustering coefficient
@@ -131,6 +143,9 @@ def _local_clustering_coefficient(spark, sf_dir):
                 " div (deg * (deg - 1)) as long)"
             ).alias("lcc_e6"),
         )
+        # both avg_g and the final select consume lcc — pin it so the
+        # triangle-closure joins run once (before-plan: 42 scans)
+        .localCheckpoint(eager=True)  # node-bounded
     )
     avg_g = lcc.agg(
         F.expr("cast(sum(lcc_e6) div count(*) as long)").alias("avg_lcc_e6")
@@ -457,17 +472,7 @@ def _page_hinkley_drift(spark, sf_dir):
     (streaming/sprt.py:page_hinkley_from_sprt_state, parity-pinned)."""
     from redshells_spark.operators.changepoint import page_hinkley_monitor
 
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    s = days.join(pc, "t", "left").select(
-        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
-    )
+    s = _daily_purchases(spark, sf_dir)
     return page_hinkley_monitor(s, "t", "v")
 
 
@@ -571,8 +576,14 @@ def _theils_u_matrix(spark, sf_dir):
             )
         )
     )
-    ct = src.groupBy("pair", "a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("nij")
+    # the contingency table is domain-bounded (tens of cells) but its
+    # subtree is the fact-scale 3-way union — materialize it once; the
+    # before-plan re-expanded it for each of the five downstream
+    # references (88 parquet scans, 84 Exchanges)
+    ct = (
+        src.groupBy("pair", "a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .localCheckpoint(eager=True)
     )
     ra = ct.groupBy("pair", "a").agg(F.sum("nij").cast("long").alias("ri"))
     cb = ct.groupBy("pair", "b").agg(F.sum("nij").cast("long").alias("cj"))

@@ -76,20 +76,7 @@ def _holt_linear_forecast(spark, sf_dir):
     ahead forecast the seasonal-naive MASE gate benchmarks against."""
     from redshells_spark.operators.markov import _round_half_up as rhu
 
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    s = (
-        days.join(pc, "t", "left")
-        .select("t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v"))
-        .orderBy("t")
-        .collect()
-    )
+    s = _daily_purchases(spark, sf_dir).orderBy("t").collect()
     schema_cols = [
         T.StructField("t", T.LongType()),
         T.StructField("v", T.LongType()),

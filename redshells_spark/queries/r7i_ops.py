@@ -193,6 +193,11 @@ def _cochran_q_event_types(spark, sf_dir):
             "event_type",
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
+        # consumed by the median level table AND the indicator grid
+        # (which itself feeds cj + ri) — materialize the |users|x|types|
+        # relation once instead of re-running the three events shuffles
+        # per reference
+        .localCheckpoint(eager=True)
     )
     lvl = gridn.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     ncells = lvl.agg(F.sum("cnt").cast("long").alias("nc"))
@@ -308,17 +313,7 @@ def _runs_test_daily(spark, sf_dir):
     run breaks from one lag over the day relation (time-bounded), and
     n1/n2/R are exact int64 feeding the closed-form z. Complements the
     Ljung-Box portmanteau with a distribution-free check."""
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    s = days.join(pc, "t", "left").select(
-        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
-    )
+    s = _daily_purchases(spark, sf_dir)
     lvl = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     nn = lvl.agg(F.sum("cnt").cast("long").alias("n"))
     wv = Window.orderBy(F.col("v").asc()).rowsBetween(

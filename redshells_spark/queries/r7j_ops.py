@@ -178,8 +178,15 @@ def _levene_variance_check(spark, sf_dir):
     dollars; W is one-way ANOVA on those deviations with the same
     e6-quantized between-group fold as anova_order_totals."""
     j = _seg_dollars(spark, sf_dir)
-    lvl = j.groupBy("segment", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # ONE fact-scale pass: everything below derives from the
+    # (segment, v) level table — |z| sums fold the level counts
+    # (sum cnt*|v-med| == sum |v-med| over rows, exact int64) and the
+    # totals fold per-segment sums, so the before-plan's three
+    # rebuilds of the orders x customer join (44 scans) collapse
+    lvl = (
+        j.groupBy("segment", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # value-level: domain-bounded
     )
     ns = lvl.groupBy("segment").agg(F.sum("cnt").cast("long").alias("n_g"))
     wseg = Window.partitionBy("segment").orderBy(F.col("v").asc()).rowsBetween(
@@ -194,18 +201,19 @@ def _levene_variance_check(spark, sf_dir):
         .groupBy("segment")
         .agg(F.min("v").cast("long").alias("med"))
     )
-    z = j.join(F.broadcast(med), "segment").select(
-        "segment", F.abs(F.col("v") - F.col("med")).alias("z")
+    zl = lvl.join(F.broadcast(med), "segment").select(
+        "segment", "cnt", F.abs(F.col("v") - F.col("med")).alias("z")
     )
-    per = z.groupBy("segment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum("z").cast("long").alias("s_g"),
+    per = zl.groupBy("segment").agg(
+        F.sum("cnt").cast("long").alias("n_g"),
+        F.sum(F.col("cnt") * F.col("z")).cast("long").alias("s_g"),
+        F.sum(F.col("cnt") * F.col("z") * F.col("z")).cast("long").alias("ss_g"),
     )
-    tot = z.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("z").cast("long").alias("s"),
-        F.sum(F.col("z") * F.col("z")).cast("long").alias("ss"),
-        F.countDistinct("segment").cast("long").alias("k"),
+    tot = per.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
     )
     ssb = per.agg(
         F.sum(

@@ -63,18 +63,22 @@ def _hodges_lehmann_shift(spark, sf_dir):
     bounded diff domain."""
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
-    pc = ev.groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).agg(
-        F.sum((F.col("event_type") == "purchase").cast("long"))
-        .cast("long")
-        .alias("p"),
-        F.sum((F.col("event_type") == "click").cast("long"))
-        .cast("long")
-        .alias("c"),
-    )
-    s = days.join(pc, "t", "left").select(
-        F.coalesce(F.col("p"), F.lit(0)).cast("long").alias("p"),
-        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+    # the unfiltered day groupBy already contains EVERY observed day
+    # (conditional sums give exact zeros), so the former distinct-days
+    # left join was an identity — one scan; materialized because both
+    # value level tables (lp, lc) re-read it
+    s = (
+        ev.groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("p"),
+            F.sum((F.col("event_type") == "click").cast("long"))
+            .cast("long")
+            .alias("c"),
+        )
+        .select("p", "c")
+        .localCheckpoint(eager=True)  # day-level
     )
     lp = s.groupBy(F.col("p").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")

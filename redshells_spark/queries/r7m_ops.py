@@ -80,12 +80,22 @@ def _tail_dependence_lambda(spark, sf_dir):
         .cast("long")
         .alias("y"),
     )
-    nn = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # one level table per variable, materialized — the hi and lo
+    # thresholds (and n, folded from the x levels) all derive from it;
+    # the earlier per-threshold rebuild expanded the lineitem scan ~7x
+    lx = (
+        b.groupBy(F.col("x").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # quantity domain: tiny
+    )
+    ly = (
+        b.groupBy(F.col("y").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # cent-value domain: << fact rows
+    )
+    nn = lx.agg(F.sum("cnt").cast("long").alias("n"))
 
-    def _thr(col, hi, out):
-        lv = b.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
-        )
+    def _thr(lv, hi, out):
         w = Window.orderBy(F.col("v").asc()).rowsBetween(
             Window.unboundedPreceding, 0
         )
@@ -101,10 +111,10 @@ def _tail_dependence_lambda(spark, sf_dir):
             .agg(F.min("v").cast("long").alias(out))
         )
 
-    qx = _thr("x", True, "x95")
-    qy = _thr("y", True, "y95")
-    qxl = _thr("x", False, "x05")
-    qyl = _thr("y", False, "y05")
+    qx = _thr(lx, True, "x95")
+    qy = _thr(ly, True, "y95")
+    qxl = _thr(lx, False, "x05")
+    qyl = _thr(ly, False, "y05")
     agg = (
         b.crossJoin(F.broadcast(qx))
         .crossJoin(F.broadcast(qy))

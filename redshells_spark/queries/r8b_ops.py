@@ -90,20 +90,7 @@ def _theta_forecast(spark, sf_dir):
     scale)."""
     from redshells_spark.operators.markov import _round_half_up as rhu
 
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(F.expr(f"us div {_DAY_US}").cast("long").alias("t")).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    s = (
-        days.join(pc, "t", "left")
-        .select("t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v"))
-        .orderBy("t")
-        .collect()
-    )
+    s = _daily_purchases(spark, sf_dir).orderBy("t").collect()
     schema = T.StructType(
         [
             T.StructField("t", T.LongType()),
@@ -372,11 +359,13 @@ def _rich_club_coefficient(spark, sf_dir):
     integer E2·1e6 div (N·(N−1)) — no float anywhere. One degree
     groupBy + one edge-degree join on the shared cached co-purchase
     relation; the k-ladder is a 5-row broadcast."""
-    from redshells_spark.queries.text import _copurchase_edges
+    from redshells_spark.queries.text import _copurchase_deg, _copurchase_edges
 
     edges = _copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    # shared cached degree relation (same groupBy graph_modularity
+    # uses) — referenced three times below, built once per session/sf
+    deg = _copurchase_deg(spark, sf_dir).select(
+        F.col("src").alias("node"), F.col("deg").alias("d")
     )
     ed = (
         edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")

@@ -292,19 +292,7 @@ def _pettitt_changepoint_daily(spark, sf_dir):
     when midranks are half-integers). Argmax tie-breaks on the
     earliest day in both engines. All windows are over the day-level
     relation (time-bounded)."""
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(
-        F.expr(f"us div {_DAY_US}").cast("long").alias("t")
-    ).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    s = days.join(pc, "t", "left").select(
-        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
-    )
+    s = _daily_purchases(spark, sf_dir)
     lvl = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     wv = Window.orderBy(F.col("v").asc()).rowsBetween(
         Window.unboundedPreceding, -1
@@ -485,9 +473,9 @@ def _croston_intermittent(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(
-        F.expr(f"us div {_DAY_US}").cast("long").alias("t")
-    ).distinct()
+    # day spine from the shared cached daily series (same distinct-day
+    # set); only the cohort-filtered counts need their own scan
+    days = _daily_purchases(spark, sf_dir).select("t")
     pc = (
         ev.filter(
             (F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0)

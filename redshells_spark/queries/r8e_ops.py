@@ -182,19 +182,7 @@ def _block_maxima_gumbel_fit(spark, sf_dir):
     engines; moments are exact int64 (weekly maxima are counts); the
     fit is one fixed IEEE tree, rounded 6. Fewer than 2 blocks emits
     no row on either side."""
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(
-        F.expr(f"us div {_DAY_US}").cast("long").alias("t")
-    ).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    s = days.join(pc, "t", "left").select(
-        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
-    )
+    s = _daily_purchases(spark, sf_dir)
     blk = s.groupBy(F.expr("t div 7").alias("w")).agg(
         F.max("v").cast("long").alias("mx")
     )
@@ -354,20 +342,8 @@ def _seasonal_mann_kendall(spark, sf_dir):
     are exact int64 over the day relation (time-bounded pairs:
     (T/7)² per season); z applies the standard continuity correction,
     one fixed IEEE tree."""
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(
-        F.expr(f"us div {_DAY_US}").cast("long").alias("t")
-    ).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    sw = days.join(pc, "t", "left").select(
-        "t",
-        (F.col("t") % 7).alias("w"),
-        F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v"),
+    sw = _daily_purchases(spark, sf_dir).select(
+        "t", (F.col("t") % 7).alias("w"), "v"
     )
     a = sw.select("w", F.col("t").alias("ta"), F.col("v").alias("va"))
     b = sw.select("w", F.col("t").alias("tb"), F.col("v").alias("vb"))

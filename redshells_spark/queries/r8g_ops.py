@@ -68,19 +68,7 @@ def _cox_stuart_trend(spark, sf_dir):
     pair join is index-shifted (one row per first-half day, never
     T²); z is the normal approximation over exact integer sign
     counts. All windows over the day relation (time-bounded)."""
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("us", event_us(ev, "ts"))
-    days = ev.select(
-        F.expr(f"us div {_DAY_US}").cast("long").alias("t")
-    ).distinct()
-    pc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"us div {_DAY_US}").cast("long").alias("t"))
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    s = days.join(pc, "t", "left").select(
-        "t", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
-    )
+    s = _daily_purchases(spark, sf_dir)
     wt = Window.orderBy(F.col("t").asc())
     idx = s.select(
         "v",

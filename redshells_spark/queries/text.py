@@ -576,6 +576,28 @@ def _copurchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EDGE_CACHE[key]
 
 
+_EDGE_DEG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _copurchase_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, deg): outgoing-arc count per node of the symmetrized
+    co-purchase graph — the degree relation rich_club_coefficient and
+    graph_modularity both derive; cached per (session, sf) so the
+    groupBy over the ~1M-arc cached edge list runs once instead of
+    once per lazy reference (assortativity-style queries read it 3x)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGE_DEG_CACHE:
+        while len(_EDGE_DEG_CACHE) >= _TOKEN_CACHE_MAX:
+            _EDGE_DEG_CACHE.pop(next(iter(_EDGE_DEG_CACHE))).unpersist()
+        _EDGE_DEG_CACHE[key] = (
+            _copurchase_edges(spark, sf_dir)
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .cache()
+        )
+    return _EDGE_DEG_CACHE[key]
+
+
 @q("pagerank_copurchase", _pagerank_oracle_sql(3))
 def _pagerank_copurchase(spark, sf_dir):
     """Distributed PageRank (operators/graph.py) over the symmetrized
@@ -1705,13 +1727,10 @@ def _kn_perplexity(spark, sf_dir):
     known and the whole train+score dataflow is one oracle-checkable
     graph; production trains once on clean text and broadcasts the
     vocabulary-bounded tables."""
-    from redshells_spark.text.ngram_lm import (
-        score_kn_perplexity,
-        train_kn_bigram_lm,
-    )
+    from redshells_spark.text.ngram_lm import score_kn_perplexity
 
     docs = _t(spark, sf_dir, "documents")
-    lm = train_kn_bigram_lm(docs)
+    lm = _kn_lm(spark, sf_dir)
     out = score_kn_perplexity(docs, lm, broadcast_lm=True)
     return out.select(
         "doc_id",

@@ -89,28 +89,23 @@ def dedup_within_doc(
     n_removed) with ``text`` rebuilt from the surviving units in their
     original order.
 
-    One shuffle keyed by (doc, unit) for the keep-first window plus
-    one by doc for re-assembly; both partition on doc_id content so
-    the operator scales with document count, not corpus size.
+    NO shuffle at all: ``array_distinct`` keeps the FIRST occurrence
+    of each unit in array order — exactly the keep-first-by-position
+    window the earlier explode/window/reassemble formulation computed
+    with two fact-scale shuffles — so within-doc dedup of 100 TB is a
+    single map stage that pipelines into its consumer.
     """
     units = F.split(F.col(text_col), unit_sep)
-    exploded = docs.select(
-        F.col(id_col), F.size(units).alias("__n"), F.posexplode(units).alias("pos", "unit")
-    )
-    w = Window.partitionBy(id_col, "unit").orderBy("pos")
-    kept = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "unit"))).alias("__ordered"),
-            F.max("__n").alias("__n"),
-        )
-        .select(
-            id_col,
-            F.array_join(
-                F.transform("__ordered", lambda s: s["unit"]), unit_sep
-            ).alias(text_col),
-            F.col("__n").cast("long").alias("n_units"),
-            (F.col("__n") - F.size("__ordered")).cast("long").alias("n_removed"),
-        )
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+    ).select(
+        id_col,
+        F.size(units).alias("__n"),
+        F.array_distinct(units).alias("__kept"),
+    ).select(
+        id_col,
+        F.array_join("__kept", unit_sep).alias(text_col),
+        F.col("__n").cast("long").alias("n_units"),
+        (F.col("__n") - F.size("__kept")).cast("long").alias("n_removed"),
     )

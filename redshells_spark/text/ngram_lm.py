@@ -165,13 +165,20 @@ class KneserNeyLM:
 
 def train_kn_bigram_lm(docs: DataFrame, text_column: str = "text") -> KneserNeyLM:
     """One explode + three groupBys over the corpus, all map-combined;
-    every table is vocabulary-bounded (≪ corpus at 100 TB)."""
+    every table is vocabulary-bounded (≪ corpus at 100 TB). The bigram
+    count table is materialized once — ctx, cont, and the (eager)
+    type count all derive from it, and without the pin each consumer
+    re-ran the corpus explode."""
     require_columns(docs, [text_column])
     toks = _tokens(F.col(text_column))
     grams = docs.select(F.explode(_bigrams(toks)).alias("g")).select(
         "g.prev", "g.word"
     )
-    bc = grams.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("n"))
+    bc = (
+        grams.groupBy("prev", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # bigram-type-bounded
+    )
     ctx = bc.groupBy("prev").agg(
         F.sum("n").alias("c_prev"), F.count(F.lit(1)).alias("n1p_fwd")
     )

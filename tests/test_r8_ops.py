@@ -554,3 +554,112 @@ def test_collapsed_pairs_equal_plain_blocked(spark):
     )
     assert plain == coll
     assert [(r[1], r[2]) for r in plain] == [(1, 2)]  # only the s1 pair
+
+
+# --------------------------- markov journey edge cases (r8 opt rewrite)
+
+
+def test_markov_journeys_empty_and_post_purchase_only(spark):
+    """The single-pass rewrite derives start->conv from the per-user
+    aggregate (journey empty iff the globally-first event is the first
+    purchase). Covers: purchase-first user (empty journey), user whose
+    only non-purchase events come AFTER the purchase (also an empty
+    journey — must still emit start->conv and nothing else), and a
+    never-converting user."""
+    from redshells_spark.operators.markov import journey_transition_counts
+
+    rows = [
+        # u1: purchase first, then a view — empty journey, start->conv
+        (1, "purchase", 10, 100), (1, "view", 20, 101),
+        # u2: purchase only — empty journey
+        (2, "purchase", 10, 200),
+        # u3: view then purchase — one-step journey
+        (3, "view", 10, 300), (3, "purchase", 20, 301),
+        # u4: never converts
+        (4, "click", 10, 400),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long, event_id long"
+    )
+    cnt = {
+        (r["src"], r["dst"]): r["c"]
+        for r in journey_transition_counts(ev).collect()
+    }
+    assert cnt == {
+        ("start", "conv"): 2,   # u1 + u2
+        ("start", "view"): 1,   # u3
+        ("view", "conv"): 1,    # u3
+        ("start", "click"): 1,  # u4
+        ("click", "null"): 1,   # u4
+    }
+
+
+def test_markov_same_timestamp_tiebreak(spark):
+    """Events sharing a timestamp order by event_id — the (us, eid)
+    struct comparison must keep pre-purchase events with us equal to
+    the purchase time but smaller eid, and drop the larger-eid one."""
+    from redshells_spark.operators.markov import journey_transition_counts
+
+    rows = [
+        (1, "view", 10, 101), (1, "purchase", 10, 102), (1, "click", 10, 103),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long, event_id long"
+    )
+    cnt = {
+        (r["src"], r["dst"]): r["c"]
+        for r in journey_transition_counts(ev).collect()
+    }
+    assert cnt == {("start", "view"): 1, ("view", "conv"): 1}
+
+
+def test_greedy_coverage_arrays_path_parity(spark):
+    """The in-row rewrite (array_except against the broadcast covered
+    set) must pick the same docs as the anti-join formulation, with
+    ties broken on id, and the prebuilt-arrays path must match the
+    internal groupBy path."""
+    from redshells_spark.data.coverage import greedy_max_coverage
+
+    sets = {
+        1: ["a", "b", "c"],
+        2: ["c", "d", "e"],   # gain 2 after pick 1 — ties with 3 on gain
+        3: ["a", "d", "e"],   # gain 2 after pick 1 — id tie-break picks 2
+        4: ["f"],
+    }
+    rows = [(i, e) for i, els in sets.items() for e in els]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    want = [(1, 1, 3), (2, 2, 2), (3, 4, 1), (4, 3, 0)]  # step, id, gain
+    out = sorted(
+        greedy_max_coverage(df, "doc_id", "shingle", k=6).collect(),
+        key=lambda r: r["step"],
+    )
+    got = [(r["step"], r["doc_id"], r["gain"]) for r in out]
+    # doc 3 contributes nothing new after 1,2,4 — greedy stops (gain 0)
+    assert got == [w for w in want if w[2] > 0]
+    arrs = df.groupBy("doc_id").agg(F.collect_list("shingle").alias("arr"))
+    out2 = sorted(
+        greedy_max_coverage(df, "doc_id", "shingle", k=6, arrays=arrs).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [(r["step"], r["doc_id"], r["gain"]) for r in out2] == got
+
+
+def test_dedup_within_doc_first_occurrence_order(spark):
+    """The array_distinct rewrite must keep the FIRST occurrence of
+    each unit in original document order, including non-adjacent
+    repeats and repeated empty units."""
+    from redshells_spark.text.chunking import dedup_within_doc
+
+    rows = [
+        (1, "a b a c b a d"),
+        (2, "x x x"),
+        (3, "q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_within_doc(df).collect()}
+    assert got[1]["text"] == "a b c d"
+    assert (got[1]["n_units"], got[1]["n_removed"]) == (7, 3)
+    assert got[2]["text"] == "x"
+    assert (got[2]["n_units"], got[2]["n_removed"]) == (3, 2)
+    assert got[3]["text"] == "q"
+    assert (got[3]["n_units"], got[3]["n_removed"]) == (1, 0)
