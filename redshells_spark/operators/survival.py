@@ -32,7 +32,9 @@ def kaplan_meier(
     lvl = durations.groupBy(F.col(duration_col).alias("t")).agg(
         F.count(F.lit(1)).cast("long").alias("n_at_t"),
         F.sum(F.col(event_col)).cast("long").alias("d_at_t"),
-    )
+    ).localCheckpoint(eager=True)  # duration-level bounded; the total
+    # probe and the risk-set window both consume it — unpinned, the
+    # caller's fact-scale duration pipeline re-ran per consumer
     total = lvl.agg(F.sum("n_at_t").cast("long").alias("n_total"))
     w_before = Window.orderBy(F.col("t").asc()).rowsBetween(
         Window.unboundedPreceding, -1
@@ -96,7 +98,9 @@ def nelson_aalen(
     lvl = durations.groupBy(F.col(duration_col).alias("t")).agg(
         F.count(F.lit(1)).cast("long").alias("n_at_t"),
         F.sum(F.col(event_col)).cast("long").alias("d_at_t"),
-    )
+    ).localCheckpoint(eager=True)  # duration-level bounded; the total
+    # probe and the risk-set window both consume it — unpinned, the
+    # caller's fact-scale duration pipeline re-ran per consumer
     total = lvl.agg(F.sum("n_at_t").cast("long").alias("n_total"))
     w_before = Window.orderBy(F.col("t").asc()).rowsBetween(
         Window.unboundedPreceding, -1
@@ -168,7 +172,7 @@ def log_rank(
         F.sum(F.when(F.col(group_col) == 1, F.col(event_col)).otherwise(0))
         .cast("long")
         .alias("d2"),
-    )
+    ).localCheckpoint(eager=True)  # same pin as kaplan_meier/nelson_aalen
     total = lvl.agg(
         F.sum("a1").cast("long").alias("t1"), F.sum("a2").cast("long").alias("t2")
     )

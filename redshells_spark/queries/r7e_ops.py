@@ -53,17 +53,33 @@ def _norm_buckets(spark, sf_dir):
         "vec_id",
         F.col("label").cast("long").alias("a"),
         F.floor(n2 * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("n2_e6"),
-    )
+    ).localCheckpoint(eager=True)  # 3 ints/vector — the max-probe and
+    # the bucketing both consume it; unpinned, the 64-dim norm fold
+    # (the expensive projection) ran twice
     mxn = nb.agg(F.max("n2_e6").alias("mx"))
     return nb.crossJoin(F.broadcast(mxn)).select(
         "a", F.expr("cast(n2_e6 * 8 div (mx + 1) as long)").alias("b")
     )
 
 
+_CT_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
 def _contingency(spark, sf_dir):
-    pts = _norm_buckets(spark, sf_dir)
-    ct = pts.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("nij"))
-    return ct
+    # level-table bounded (|labels| x 8 octiles) but consumed by 3-4
+    # branches in EACH of ari/nmi — without the pin every margin and
+    # total re-ran the corpus norm fold (18 embeddings scans at the
+    # round-8 plan audit). Cached per (session, sf): ari and nmi share
+    # one build.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CT_CACHE:
+        pts = _norm_buckets(spark, sf_dir)
+        _CT_CACHE[key] = (
+            pts.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+            .localCheckpoint(eager=True)
+        )
+    return _CT_CACHE[key]
 
 
 # --------------------------------------------- adjusted Rand index

@@ -476,8 +476,13 @@ def _cramers_v_matrix(spark, sf_dir):
             )
         )
     )
-    ct = src.groupBy("pair", "a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("nij")
+    # domain-bounded (<=25 cells/pair) and consumed by FOUR branches
+    # (ra, cb, nn, grid) — pin or each re-runs the 3-source union scan
+    # (20 fact scans at the round-8 plan audit; theils_u precedent)
+    ct = (
+        src.groupBy("pair", "a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .localCheckpoint(eager=True)
     )
     ra = ct.groupBy("pair", "a").agg(F.sum("nij").cast("long").alias("ri"))
     cb = ct.groupBy("pair", "b").agg(F.sum("nij").cast("long").alias("cj"))
@@ -882,50 +887,86 @@ def _friedman_event_types(spark, sf_dir):
     squared deviations, and the tie-corrected denominator
     sum(r^2) - nk(k+1)^2/4 are all exact int64 algebra; chi2_F is the
     single final double. Per-type rank sums ship alongside the
-    statistic so the readout shows WHICH types drive the rejection."""
+    statistic so the readout shows WHICH types drive the rejection.
+
+    Plan shape (round-8): the complete user x type grid is never
+    materialized as rows — per-user counts fold to a <=k-element
+    struct array (two-level aggregate), absent types zero-fill
+    in-row against the broadcast type list, and the tie-corrected
+    midranks are computed per user with array HOFs (k^2 work on a
+    handful of types), so the whole test is 2 events scans + 3
+    combinable shuffles. The old grid/window/join form re-expanded
+    the grid subtree once per consumer — 22 events scans at the
+    round-8 plan audit."""
     ev = _t(spark, sf_dir, "events")
-    u = ev.select("user_id").distinct()
-    ty = ev.select("event_type").distinct()
+    ty_arr = (
+        ev.select("event_type")
+        .distinct()
+        .agg(F.array_sort(F.collect_list("event_type")).alias("__tys"))
+    )
     cnts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    grid = (
-        u.crossJoin(F.broadcast(ty))
-        .join(cnts, ["user_id", "event_type"], "left")
-        .select(
-            "user_id",
-            "event_type",
-            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
-        )
+    per_u = cnts.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "c")).alias("tc")
     )
-    lvl = grid.groupBy("user_id", "c").agg(
-        F.count(F.lit(1)).cast("long").alias("tied")
-    )
-    wu = Window.partitionBy("user_id").orderBy(F.col("c").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    rk = lvl.select(
+    zero = F.lit(0).cast("long")
+    filled = per_u.crossJoin(F.broadcast(ty_arr)).select(
         "user_id",
-        "c",
-        (
-            F.lit(2) * (F.sum("tied").over(wu) - F.col("tied"))
-            + F.col("tied")
-            + F.lit(1)
+        F.concat(
+            F.col("tc"),
+            F.transform(
+                F.array_except(
+                    F.col("__tys"),
+                    F.transform(F.col("tc"), lambda s: s["event_type"]),
+                ),
+                lambda t: F.struct(
+                    t.alias("event_type"), zero.alias("c")
+                ),
+            ),
+        ).alias("tc"),
+    )
+    # midrank (doubled): r2 = 2*#{c' < c} + #{c' == c} + 1 — the same
+    # exact int64 the window-over-levels form produced
+    cs = F.transform(F.col("tc"), lambda s: s["c"])
+    g2rows = F.transform(
+        F.col("tc"),
+        lambda s: F.struct(
+            s["event_type"].alias("event_type"),
+            (
+                F.lit(2)
+                * F.size(F.filter(cs, lambda x: x < s["c"]))
+                + F.size(F.filter(cs, lambda x: x == s["c"]))
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("r2"),
+        ),
+    )
+    ex = filled.select(F.explode(g2rows).alias("g")).select(
+        F.col("g.event_type").alias("event_type"),
+        F.col("g.r2").alias("r2"),
+    )
+    rjd = (
+        ex.groupBy("event_type")
+        .agg(
+            F.sum("r2").cast("long").alias("rank_sum_x2"),
+            F.count(F.lit(1)).cast("long").alias("__n_t"),
+            F.sum(F.col("r2") * F.col("r2")).cast("long").alias("__ss2_t"),
         )
-        .cast("long")
-        .alias("r2"),
+        # k rows (one per event type) feeding three consumers — pin or
+        # each re-runs the whole fact aggregation
+        .localCheckpoint(eager=True)
     )
-    g2 = grid.join(rk, ["user_id", "c"]).select("user_id", "event_type", "r2")
-    dims = grid.agg(
-        F.countDistinct("user_id").cast("long").alias("n"),
-        F.countDistinct("event_type").cast("long").alias("k"),
+    # the grid is complete, so every type sees each user exactly once:
+    # n = per-type row count, k = number of type rows, ss2 = Σ ss2_t
+    dims = rjd.agg(
+        F.max("__n_t").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ss2_t").cast("long").alias("ss2"),
     )
-    rj = g2.groupBy("event_type").agg(
-        F.sum("r2").cast("long").alias("rank_sum_x2")
-    )
-    den = g2.agg(F.sum(F.col("r2") * F.col("r2")).cast("long").alias("ss2"))
     num = (
-        rj.crossJoin(F.broadcast(dims))
+        rjd.crossJoin(F.broadcast(dims))
         .agg(
             F.sum(
                 (F.col("rank_sum_x2") - F.col("n") * (F.col("k") + 1))
@@ -936,8 +977,8 @@ def _friedman_event_types(spark, sf_dir):
         )
     )
     out = (
-        rj.crossJoin(F.broadcast(dims))
-        .crossJoin(F.broadcast(den))
+        rjd.select("event_type", "rank_sum_x2")
+        .crossJoin(F.broadcast(dims))
         .crossJoin(F.broadcast(num))
     )
     return out.select(

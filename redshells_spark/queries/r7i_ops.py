@@ -431,6 +431,10 @@ def _rmst_churn(spark, sf_dir):
         ev.select("user_id", us)
         .groupBy("user_id")
         .agg(F.min("us").alias("f"), F.max("us").alias("l"))
+        # 2 ints/user, consumed by the global-max probe and the
+        # duration projection — unpinned, the events scan ran per
+        # consumer (16 scans at the round-8 plan audit)
+        .localCheckpoint(eager=True)
     )
     gm = u.agg(F.max("l").alias("mx"))
     d = u.crossJoin(F.broadcast(gm)).select(
@@ -449,12 +453,17 @@ def _rmst_churn(spark, sf_dir):
         .alias("s_e6"),
     )
     wl = Window.orderBy(F.col("t").asc())
-    ev2 = s.crossJoin(F.broadcast(tau)).select(
-        "t",
-        "s_e6",
-        (F.coalesce(F.lead("t").over(wl), F.col("tau")) - F.col("t"))
-        .cast("long")
-        .alias("gap"),
+    ev2 = (
+        s.crossJoin(F.broadcast(tau))
+        .select(
+            "t",
+            "s_e6",
+            (F.coalesce(F.lead("t").over(wl), F.col("tau")) - F.col("t"))
+            .cast("long")
+            .alias("gap"),
+        )
+        # KM-level bounded; the head-segment and area probes both read it
+        .localCheckpoint(eager=True)
     )
     first_t = ev2.agg(F.min("t").cast("long").alias("t1"))
     acc = ev2.agg(F.sum(F.col("s_e6") * F.col("gap")).cast("long").alias("area_e6"))

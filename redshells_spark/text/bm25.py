@@ -174,20 +174,46 @@ def bm25_wand_topk(
     At 100 TB this is the difference between scoring every matching
     posting and scoring the few documents competitive at rank k —
     the pruning is a semi-join ON TOP of the postings relation, never
-    a second corpus scan."""
+    a second corpus scan.
+
+    Plan shape: ONE corpus tokenize pass computes doc length and the
+    per-query-term tf together (conditional counts in one groupBy);
+    the resulting per-doc relation is narrow (|q|+2 ints/doc — the
+    classical BM25 length statistic every retrieval system keeps) and
+    is pinned so the corpus statistics, the postings unpivot, and the
+    four consumers of the contribution relation never re-tokenize.
+    Without the pins the physical plan re-expanded the whole tokenize
+    subtree once per consumer (18 document scans at round-8 audit)."""
     require_columns(docs, [id_column, text_column])
-    query_terms = tuple(t.lower() for t in query_terms)
+    # dict.fromkeys: dedup while preserving order — a duplicated query
+    # term must not double its postings in the stack() unpivot (the
+    # old isin() path deduped implicitly)
+    query_terms = tuple(dict.fromkeys(t.lower() for t in query_terms))
     toks = _tokens(text_column)
     base = docs.select(id_column, F.explode(toks).alias("term"))
-    dl = base.groupBy(id_column).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    tf_cols = [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = (
+        base.groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("dl"), *tf_cols)
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
     )
-    postings = (
-        base.filter(F.col("term").isin(*query_terms))
-        .groupBy(id_column, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    quoted = [t.replace("'", "''") for t in query_terms]
+    stack_args = ", ".join(
+        f"'{t}', __tf{i}" for i, t in enumerate(quoted)
     )
+    postings = per_doc.selectExpr(
+        id_column,
+        "dl",
+        f"stack({len(query_terms)}, {stack_args}) AS (term, tf)",
+    ).filter(F.col("tf") > 0)
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     half = F.lit(0.5)
     idf = F.log(
@@ -199,10 +225,11 @@ def bm25_wand_topk(
         F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl") / avgdl
     )
     contribs = (
-        postings.join(dl, id_column)
-        .join(F.broadcast(df_t), "term")
+        postings.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .select(id_column, "term", (idf * F.col("tf") / denom).alias("t"))
+        .localCheckpoint(eager=True)  # matching-docs × |q| — the
+        # pruning statistics (ubs, seed floor, cand, final) all read it
     )
     # per-term upper bounds (|q| rows) — max of the same doubles
     ubs = contribs.groupBy("term").agg(F.max("t").alias("ub"))
