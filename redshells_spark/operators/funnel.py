@@ -56,6 +56,12 @@ def funnel_step_times(
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(us_col).alias("step_1_us"))
+        # one narrow row per reached user; each later stage consumes it
+        # TWICE (the step join and the carry left join) — unpinned the
+        # plan re-expanded the whole prefix per stage, ~2^k event
+        # scans (13 at funnel depth 4 in the round-8 plan audit). Same
+        # superstep pin as operators/graph.py.
+        .localCheckpoint(eager=True)
     )
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
@@ -65,7 +71,9 @@ def funnel_step_times(
             .groupBy(user_col)
             .agg(F.min(us_col).alias(f"step_{i}_us"))
         )
-        reached = reached.join(nxt, user_col, "left")
+        reached = reached.join(nxt, user_col, "left").localCheckpoint(
+            eager=True
+        )
     return reached
 
 

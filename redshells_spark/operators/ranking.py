@@ -68,10 +68,22 @@ def ranking_metrics_at_k(
     lcm = _lcm_upto(k)
     idcg_prefix = [sum(disc[:i]) for i in range(1, k + 1)]  # IDCG for n_rel=i
 
-    r = recs.select(
-        F.col(user_col).alias("u"), F.col(item_col).alias("i"), F.col(rank_col).alias("rk")
-    ).filter(F.col("rk") <= k)
-    t = truth.select(F.col(user_col).alias("u"), F.col(item_col).alias("i")).distinct()
+    # both sides feed two consumers each (r: the hit join + the
+    # evaluated semi-join; t: the hit join + the n_rel counts) and are
+    # bounded (<=k rows/user; deduped truth pairs) — pin or the
+    # caller's ranking/window pipeline re-runs per consumer
+    r = (
+        recs.select(
+            F.col(user_col).alias("u"), F.col(item_col).alias("i"), F.col(rank_col).alias("rk")
+        )
+        .filter(F.col("rk") <= k)
+        .localCheckpoint(eager=True)
+    )
+    t = (
+        truth.select(F.col(user_col).alias("u"), F.col(item_col).alias("i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     n_rel = t.groupBy("u").agg(F.count(F.lit(1)).alias("n_rel"))
     hits = r.join(t, on=["u", "i"])  # one equi-join on (user, item)

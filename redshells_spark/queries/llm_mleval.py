@@ -807,16 +807,21 @@ def _ranking_eval_metrics(spark, sf_dir):
             (F.col("o_orderkey") % 2).alias("odd"),
         )
     )
-    train = (
-        base.filter(F.col("odd") == 0)
-        .groupBy("u", "i")
+    # ONE fact pass: the (u, brand, odd) counts are customer x 25-brand
+    # bounded and both the train counts and the odd-order truth pairs
+    # derive from them — unpinned, train and truth each re-ran the
+    # 3-table join (12 scans at the r8 audit)
+    cnts = (
+        base.groupBy("u", "i", "odd")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    train = cnts.filter(F.col("odd") == 0).select("u", "i", "cnt")
     wrk = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("i").asc())
     recs = (
         train.withColumn("rk", F.row_number().over(wrk)).filter(F.col("rk") <= 10)
     )
-    truth = base.filter(F.col("odd") == 1).select("u", "i")
+    truth = cnts.filter(F.col("odd") == 1).select("u", "i")
     out = ranking_metrics_at_k(
         recs, truth, k=10, user_col="u", item_col="i", rank_col="rk"
     )

@@ -231,19 +231,26 @@ def _t_closeness_audit(spark, sf_dir):
         "c_mktsegment",
         F.expr("cast((cents - mn) * 10 div (mx - mn + 1) as long)").alias("bucket"),
     )
-    g = pt.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    # ONE fact aggregation: the class x bucket contingency is
+    # domain-bounded (<=125 classes x 10 deciles) and the global decile
+    # counts, the total, and the class sizes all derive from it —
+    # unpinned, g/n/cls/cb each re-ran the customer scan + min-max
+    # probe (12 scans at the r8 audit)
+    cb = (
+        pt.groupBy("c_nationkey", "c_mktsegment", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cc"))
+        .localCheckpoint(eager=True)
+    )
+    g = cb.groupBy("bucket").agg(F.sum("cc").cast("long").alias("cg"))
     wg = Window.orderBy(F.col("bucket").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     gc = g.select(
         "bucket", F.sum("cg").over(wg).cast("long").alias("cumg")
     )
-    n = pt.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cls = pt.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).cast("long").alias("nc")
-    )
-    cb = pt.groupBy("c_nationkey", "c_mktsegment", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cc")
+    n = cb.agg(F.sum("cc").cast("long").alias("n"))
+    cls = cb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cc").cast("long").alias("nc")
     )
     grid = (
         cls.crossJoin(F.broadcast(g.select("bucket")))

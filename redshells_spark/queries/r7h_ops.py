@@ -296,11 +296,17 @@ def _doc_length_emd_by_source(spark, sf_dir):
         "source",
         F.expr("cast((nc - mn) * 10 div (mx - mn + 1) as long)").alias("bucket"),
     )
-    g = pt.select("bucket").distinct()
-    ns = pt.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cb = pt.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # ONE fact aggregation: the (source, bucket) contingency is
+    # domain-bounded (sources x 10) and both the bucket domain and the
+    # per-source totals derive from it — unpinned, g/ns/cb each re-ran
+    # the documents scan + min-max probe (12 scans at the r8 audit)
+    cb = (
+        pt.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    g = cb.select("bucket").distinct()
+    ns = cb.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     grid = (
         ns.crossJoin(F.broadcast(g))
         .join(cb, ["source", "bucket"], "left")

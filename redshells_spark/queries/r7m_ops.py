@@ -233,7 +233,13 @@ def _mix_rate_decomposition(spark, sf_dir):
             "day"
         ),
     )
-    lv = o.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    lv = (
+        o.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # day-level bounded; the total and the cumulative-weight
+        # median scan both consume it
+        .localCheckpoint(eager=True)
+    )
     nn = lv.agg(F.sum("cnt").cast("long").alias("n"))
     w = Window.orderBy(F.col("day").asc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -253,9 +259,15 @@ def _mix_rate_decomposition(spark, sf_dir):
             "cents",
         )
     )
-    per = j.groupBy("segment", "period").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum("cents").cast("long").alias("s_g"),
+    per = (
+        j.groupBy("segment", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("cents").cast("long").alias("s_g"),
+        )
+        # segment x period bounded; tot/p0/p1 each re-ran the orders
+        # scan + dim join without the pin (16 scans at the r8 audit)
+        .localCheckpoint(eager=True)
     )
     tot = per.groupBy("period").agg(F.sum("n_g").cast("long").alias("n_p"))
     p0 = per.filter(F.col("period") == 0).select(
@@ -355,7 +367,13 @@ def _price_indices_periods(spark, sf_dir):
             f"cast(unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US} as long)"
         ).alias("day"),
     )
-    lv = o.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    lv = (
+        o.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # day-level bounded; the total and the cumulative-weight
+        # median scan both consume it
+        .localCheckpoint(eager=True)
+    )
     nn = lv.agg(F.sum("cnt").cast("long").alias("n"))
     w = Window.orderBy(F.col("day").asc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -378,9 +396,15 @@ def _price_indices_periods(spark, sf_dir):
             .alias("rev"),
         )
     )
-    pp = li.groupBy("part", "period").agg(
-        F.sum("q").cast("long").alias("q"),
-        F.sum("rev").cast("long").alias("rev"),
+    pp = (
+        li.groupBy("part", "period")
+        .agg(
+            F.sum("q").cast("long").alias("q"),
+            F.sum("rev").cast("long").alias("rev"),
+        )
+        # 2 longs per (part, period); both period slices consume it -
+        # unpinned, the lineitem x orders join ran twice
+        .localCheckpoint(eager=True)
     )
     p0 = pp.filter(F.col("period") == 0).select(
         "part", F.col("q").alias("q0"), F.col("rev").alias("rev0")
