@@ -96,14 +96,20 @@ def dsir_bucket_stats(
         ngram=ngram,
         extra_columns=("__is_t",),
     )
-    raw = feats.groupBy("bucket").agg(F.sum("n").alias("c_raw"))
-    tgt = (
-        feats.filter(F.col("__is_t"))
-        .groupBy("bucket")
-        .agg(F.sum("n").alias("c_tgt"))
-    )
-    return raw.join(tgt, "bucket", "left").select(
-        "bucket", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    # ONE pass: the raw and target distributions fold in the same
+    # groupBy (a conditional sum is the left-join-with-zero-fill) —
+    # the two-branch form re-ran the corpus tokenize per branch
+    return (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("c_raw"),
+            F.sum(F.when(F.col("__is_t"), F.col("n")).otherwise(F.lit(0))).alias(
+                "c_tgt"
+            ),
+        )
+        # num_buckets rows; every consumer (totals, the score join,
+        # streaming reference freezes) reads it repeatedly
+        .localCheckpoint(eager=True)
     )
 
 
@@ -115,6 +121,7 @@ def dsir_score_with_stats(
     num_buckets: int = 64,
     alpha: float = 0.5,
     ngram: int = 1,
+    _feats: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id, log_weight): score documents against a precomputed
     (bucket, c_raw, c_tgt) distribution table — the frozen-reference
@@ -125,12 +132,16 @@ def dsir_score_with_stats(
     this expression tree token-for-token in any oracle. Buckets absent
     from ``stats`` contribute nothing (unseen-in-reference grams carry
     no evidence either way)."""
-    feats = hashed_ngram_buckets(
-        df,
-        text_column=text_column,
-        id_column=id_column,
-        num_buckets=num_buckets,
-        ngram=ngram,
+    feats = (
+        _feats
+        if _feats is not None
+        else hashed_ngram_buckets(
+            df,
+            text_column=text_column,
+            id_column=id_column,
+            num_buckets=num_buckets,
+            ngram=ngram,
+        )
     )
     totals = stats.agg(
         F.sum("c_raw").alias("nr"), F.sum("c_tgt").alias("nt")
@@ -162,13 +173,22 @@ def dsir_log_weights(
     the raw corpus against the subset selected by the ``target``
     boolean column expression (self-referenced stats — the one-corpus
     batch path)."""
-    stats = dsir_bucket_stats(
-        df,
-        target,
+    # ONE corpus tokenize pass: the (doc, bucket, n) features serve
+    # both the distribution stats and the scoring join (the target
+    # flag is doc-functional, so dropping it keeps the granularity)
+    feats = hashed_ngram_buckets(
+        df.withColumn("__is_t", target),
         text_column=text_column,
         id_column=id_column,
         num_buckets=num_buckets,
         ngram=ngram,
+        extra_columns=("__is_t",),
+    ).localCheckpoint(eager=True)
+    stats = feats.groupBy("bucket").agg(
+        F.sum("n").alias("c_raw"),
+        F.sum(F.when(F.col("__is_t"), F.col("n")).otherwise(F.lit(0))).alias(
+            "c_tgt"
+        ),
     )
     return dsir_score_with_stats(
         df,
@@ -178,6 +198,7 @@ def dsir_log_weights(
         num_buckets=num_buckets,
         alpha=alpha,
         ngram=ngram,
+        _feats=feats.select(id_column, "bucket", "n"),
     )
 
 
@@ -198,6 +219,10 @@ def dsir_select_top(
     ids broadcast back onto the full relation as a semi-join mark.
     Output is identical to the naive global row_number at any
     partitioning (the ordering is a total order)."""
+    # the weight relation feeds the candidate pruning AND the final
+    # mark join — pin the narrow (id, weight) rows or the caller's
+    # whole scoring pipeline runs twice
+    weights = weights.localCheckpoint(eager=True)
     order = [F.col(weight_column).desc(), F.col(id_column).asc()]
     wp = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
     cand = (

@@ -232,12 +232,17 @@ def stratified_ate(
     before the <= n_strata-element sum so cross-engine addition order
     cannot surface)."""
     t, yc, x = F.col(treat_col), F.col(outcome_cents_col), F.col(covariate_col)
-    u = units.select(t.alias("treat"), yc.alias("y"), x.alias("x"))
+    # 3 ints/unit, consumed by the level table AND the stratum join -
+    # unpinned, the caller's per-unit aggregation ran per consumer
+    u = units.select(t.alias("treat"), yc.alias("y"), x.alias("x")).localCheckpoint(
+        eager=True
+    )
     levels = u.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("n_l"))
     w = Window.orderBy(F.col("x").asc()).rowsBetween(Window.unboundedPreceding, -1)
     levels = levels.withColumn(
         "cum_before", F.coalesce(F.sum("n_l").over(w), F.lit(0)).cast("long")
-    )
+    ).localCheckpoint(eager=True)  # distinct-covariate bounded; feeds
+    # the total probe and the stratum map
     total = levels.agg(F.sum("n_l").cast("long").alias("u_total"))
     levels = levels.crossJoin(F.broadcast(total)).select(
         "x",
@@ -258,6 +263,9 @@ def stratified_ate(
             .cast("long")
             .alias("sy_c"),
         )
+        # <= n_strata rows feeding three consumers (overlap filter
+        # twice + the final cross join)
+        .localCheckpoint(eager=True)
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     per = per.withColumn("overlap", ((F.col("n_t") > 0) & (F.col("n_c") > 0)).cast("int"))

@@ -96,6 +96,14 @@ def make_similarity_data(
     pair. ``mf_similarity`` = (id0, id1, similarity score) from
     :func:`redshells_spark.ml.matrix_factorization.mf_item_similarity`.
     Caps mirror ``build_word_item_similarity.py:75-80``."""
+    # the (word, item) relation feeds FIVE consumers across the
+    # positive/negative branches (both permutation sides, the distinct
+    # item list, the group ranks, the same-group anti join) — pin it or
+    # the caller's upstream plan re-runs per consumer; same for the
+    # pair-bounded MF score relation (top-k cut + hard-negative cut)
+    word2items = word2items.localCheckpoint(eager=True)
+    if mf_similarity is not None:
+        mf_similarity = mf_similarity.localCheckpoint(eager=True)
     pos = random_pair_within_group(word2items, word_column, item_column, seed).select(
         "item_id_0", "item_id_1", F.lit(1).alias("similarity")
     )

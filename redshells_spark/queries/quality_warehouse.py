@@ -168,19 +168,44 @@ def _dq_checks(spark, sf_dir):
             F.lit(name).alias("check_name"), F.col("v").cast("long").alias("violations")
         )
 
+    # fuse the per-table checks (the docstring's 100 TB contract, now
+    # actually in the plan): dup/null/nonpositive ride ONE keyed orders
+    # pass (the null/range sums are free map-side partials on the
+    # groupBy dup detection needs anyway); both lineitem range checks
+    # ride one scan. The 1-row fused stats are pinned — each feeds
+    # several long-format rows.
+    o_stats = (
+        o.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+                "nl"
+            ),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("np"),
+        )
+        .agg(
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("dup"),
+            F.sum("nl").alias("nulls"),
+            F.sum("np").alias("nonpos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    li_stats = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("bad_disc"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("neg_qty"),
+    ).localCheckpoint(eager=True)
     checks = [
         one("orphan_orders",
             o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(F.count(F.lit(1)).alias("v"))),
         one("orphan_lineitems",
             li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(F.count(F.lit(1)).alias("v"))),
-        one("dup_orderkeys",
-            o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1).agg(F.count(F.lit(1)).alias("v"))),
-        one("null_totalprice", o.filter(F.col("o_totalprice").isNull()).agg(F.count(F.lit(1)).alias("v"))),
-        one("nonpositive_price", o.filter(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("v"))),
-        one("bad_discount",
-            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).agg(F.count(F.lit(1)).alias("v"))),
-        one("negative_quantity", li.filter(F.col("l_quantity") <= 0).agg(F.count(F.lit(1)).alias("v"))),
+        one("dup_orderkeys", o_stats.select(F.col("dup").alias("v"))),
+        one("null_totalprice", o_stats.select(F.col("nulls").alias("v"))),
+        one("nonpositive_price", o_stats.select(F.col("nonpos").alias("v"))),
+        one("bad_discount", li_stats.select(F.col("bad_disc").alias("v"))),
+        one("negative_quantity", li_stats.select(F.col("neg_qty").alias("v"))),
     ]
     out = checks[0]
     for ch in checks[1:]:

@@ -178,24 +178,40 @@ def _zonemap_prune_report(spark, sf_dir):
         F.max("k").cast("long").alias("mxk"),
         F.min("day").cast("long").alias("mnd"),
         F.max("day").cast("long").alias("mxd"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row; three consumers (both
+    # layout projections + the predicate grid) re-ran the orders scan
     ob = o.crossJoin(F.broadcast(bb))
+    # both layouts in ONE orders pass: each row emits its two
+    # (layout, chunk) assignments via explode instead of a union of
+    # two scans (values identical to the unionAll form)
     pt = ob.select(
-        F.lit("key_clustered").alias("layout"),
-        F.expr("cast((k - mnk) * 64 div (mxk - mnk + 1) as long)").alias("chunk"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("key_clustered").alias("layout"),
+                    F.expr(
+                        "cast((k - mnk) * 64 div (mxk - mnk + 1) as long)"
+                    ).alias("chunk"),
+                ),
+                F.struct(
+                    F.lit("date_clustered").alias("layout"),
+                    F.expr(
+                        "cast((day - mnd) * 64 div (mxd - mnd + 1) as long)"
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("s"),
         "day",
-    ).unionAll(
-        ob.select(
-            F.lit("date_clustered").alias("layout"),
-            F.expr("cast((day - mnd) * 64 div (mxd - mnd + 1) as long)").alias(
-                "chunk"
-            ),
-            "day",
+    ).select(F.col("s.layout").alias("layout"), F.col("s.chunk").alias("chunk"), "day")
+    ch = (
+        pt.groupBy("layout", "chunk")
+        .agg(
+            F.min("day").cast("long").alias("mn_d"),
+            F.max("day").cast("long").alias("mx_d"),
         )
-    )
-    ch = pt.groupBy("layout", "chunk").agg(
-        F.min("day").cast("long").alias("mn_d"),
-        F.max("day").cast("long").alias("mx_d"),
+        # 2 x 64 zone-map rows; the predicate scan and the chunk count
+        # both consume it
+        .localCheckpoint(eager=True)
     )
     preds = (
         spark.range(12)

@@ -196,7 +196,9 @@ def _make_similarity_data_mf(spark, sf_dir):
             " * 1000 + cast(0.5 as double)) as bigint)),"
             " cast(0 as bigint), (acc, x) -> acc + x * x)"
         ).alias("s2"),
-    ).filter(F.col("s2") > 0)
+    ).filter(F.col("s2") > 0).localCheckpoint(eager=True)
+    # ^ 1-in-7 sample with its quantized vectors; both self-join sides
+    # consume it — unpinned, the quantize fold ran twice
     a0 = samp.select(
         F.col("vec_id").alias("id0"), "label",
         F.col("qv").alias("q0"), F.col("s2").alias("s20"),
@@ -490,8 +492,12 @@ def _stratified_sample_exact(spark, sf_dir):
     only the rank window grows — partitioned by segment, never
     global."""
     c = _t(spark, sf_dir, "customer")
-    pop = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pop")
+    # segment-bounded; the total probe and the quota projection both
+    # consume it (9 customer scans at the r8 audit without the pins)
+    pop = (
+        c.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pop"))
+        .localCheckpoint(eager=True)
     )
     tot = pop.agg(F.sum("n_pop").cast("long").alias("n"))
     quo = pop.crossJoin(F.broadcast(tot)).select(
@@ -512,6 +518,8 @@ def _stratified_sample_exact(spark, sf_dir):
                 + F.when(F.row_number().over(wr) <= 500 - F.col("sb"), 1).otherwise(0)
             ).alias("alloc"),
         )
+        # |segments| rows feeding the sample join and the final audit
+        .localCheckpoint(eager=True)
     )
     wk = Window.partitionBy("seg").orderBy(
         F.md5(F.concat(F.col("k").cast("string"), F.lit("7"))).asc(),

@@ -69,14 +69,30 @@ def _capture_recapture_users(spark, sf_dir):
         "user_id", F.expr(f"us div {_DAY_US}").cast("long").alias("d")
     )
     d0 = e.agg(F.min("d").cast("long").alias("d0"))
-    ej = e.crossJoin(F.broadcast(d0))
-    s1 = ej.filter(F.col("d") < F.col("d0") + 15).select("user_id").distinct()
-    s2 = ej.filter(F.col("d") >= F.col("d0") + 15).select("user_id").distinct()
-    m = s1.join(s2, "user_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
-    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
-    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
-    tn = e.agg(F.countDistinct("user_id").cast("long").alias("true_n"))
-    c = n1.crossJoin(n2).crossJoin(m).crossJoin(tn)
+    # ONE per-user aggregate carries both capture flags: n1/n2/m/true_n
+    # are sums over it — the set-algebra form re-ran the events scan
+    # per distinct/count (9 scans at the r8 audit); |s1 ∩ s2| is exactly
+    # the users flagged in both windows, true_n the user-row count
+    peru = (
+        e.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("d") < F.col("d0") + 15, 1).otherwise(0)).alias(
+                "in1"
+            ),
+            F.max(F.when(F.col("d") >= F.col("d0") + 15, 1).otherwise(0)).alias(
+                "in2"
+            ),
+        )
+    )
+    c = peru.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.when((F.col("in1") == 1) & (F.col("in2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+        F.count(F.lit(1)).cast("long").alias("true_n"),
+    )
     est = c.withColumn(
         "chapman",
         F.expr("cast((n1 + 1) * (n2 + 1) div (m + 1) - 1 as long)"),

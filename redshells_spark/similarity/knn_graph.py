@@ -470,19 +470,32 @@ def graph_search_topk(
     if min(k, ef, rounds, n_entry) < 1 or ef < k:
         raise ValueError(f"bad k={k} ef={ef} rounds={rounds} n_entry={n_entry}")
 
-    corpus = _with_norm(
-        vectors.select(id_column, embedding_column), id_column, embedding_column
-    ).select(
-        F.col(id_column).alias("__cid"),
-        F.col(embedding_column).alias("__ce"),
-        F.col("__n").alias("__cn"),
+    # the normed corpus and query relations are consumed once per
+    # beam round (the scoring joins) plus the self-loop union and the
+    # entry probe — pinning them is ANN serving's standard vectors-in-
+    # memory residency; unpinned, every round re-ran the embeddings
+    # scan + norm fold (17 scans at the round-8 plan audit)
+    corpus = (
+        _with_norm(
+            vectors.select(id_column, embedding_column), id_column, embedding_column
+        )
+        .select(
+            F.col(id_column).alias("__cid"),
+            F.col(embedding_column).alias("__ce"),
+            F.col("__n").alias("__cn"),
+        )
+        .localCheckpoint(eager=True)
     )
-    qv = _with_norm(
-        queries.select(query_id, embedding_column), query_id, embedding_column
-    ).select(
-        F.col(query_id).alias("query_id"),
-        F.col(embedding_column).alias("__qe"),
-        F.col("__n").alias("__qn"),
+    qv = (
+        _with_norm(
+            queries.select(query_id, embedding_column), query_id, embedding_column
+        )
+        .select(
+            F.col(query_id).alias("query_id"),
+            F.col(embedding_column).alias("__qe"),
+            F.col("__n").alias("__qn"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def _score(cands: DataFrame) -> DataFrame:
