@@ -137,26 +137,31 @@ def cohen_kappa_pairs(
     The pair grid is quadratic in ANNOTATORS only; items flow through
     one self-equi-join on item (co-partitioned) and label-bounded
     marginal aggregates."""
+    # pin the narrow (item, annotator, label) rows: both self-join
+    # sides re-ran the caller's upstream (a fact window, typically)
     base = df.select(
         F.col(item_col).alias("item"),
         F.col(annotator_col).alias("ann"),
         F.col(label_col).alias("lbl"),
-    )
+    ).localCheckpoint(eager=True)
     a = base.select("item", F.col("ann").alias("ann_a"), F.col("lbl").alias("la"))
     b = base.select("item", F.col("ann").alias("ann_b"), F.col("lbl").alias("lb"))
     joint = a.join(b, "item").filter(F.col("ann_a") < F.col("ann_b"))
-    agg = joint.groupBy("ann_a", "ann_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum((F.col("la") == F.col("lb")).cast("int"))
-        .cast("long")
-        .alias("n_agree"),
-    )
     # pair-conditional marginals: how often each label appears on each
-    # side of the pair (bounded by #pairs x #labels rows)
+    # side of the pair (bounded by #pairs x #labels rows). ONE pass
+    # over the item join: the totals/agreement counts fold from the
+    # pinned contingency (exact int64 sums)
     marg = (
         joint.select("ann_a", "ann_b", "la", "lb")
         .groupBy("ann_a", "ann_b", "la", "lb")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    agg = marg.groupBy("ann_a", "ann_b").agg(
+        F.sum("c").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_agree"),
     )
     ma = marg.groupBy("ann_a", "ann_b", "la").agg(
         F.sum("c").cast("long").alias("ca")

@@ -49,32 +49,40 @@ def association_rules_pairs(
     reproducible cross-engine.
     """
     require_columns(df, [basket_col, item_col])
-    # the distinct (basket, item) relation feeds FOUR consumers (basket
-    # sizes, the n_baskets count, item supports, both self-join sides);
-    # materialize it once or every consumer replays the caller's
-    # upstream joins + the dedup shuffle — same fix as the graph
-    # supersteps (operators/graph.py)
-    items = (
-        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
-        .distinct()
+    # ONE fact-scale shuffle: collect_set IS the distinct (basket,
+    # item) dedup plus the per-basket reassembly in a single
+    # map-combinable aggregate. Every downstream consumer (basket
+    # count, item supports, pair enumeration) reads the pinned
+    # basket-array relation; the old row-level self-join shuffled the
+    # item relation twice more on the basket key. Pair enumeration is
+    # in-row C(|basket|,2) over the sorted array — identical fan-out,
+    # but the pair groupBy now partial-aggregates map-side to at most
+    # |items|^2/2 rows per task instead of shuffling every pair row.
+    baskets = (
+        df.groupBy(F.col(basket_col).alias("__b"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("__arr"))
         .localCheckpoint(eager=True)
     )
 
-    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__bs"))
-    bounded = items.join(
-        sizes.filter(F.col("__bs") <= max_basket_size).select("__b"), "__b"
-    )
-
-    n_baskets = items.select("__b").distinct().count()
+    n_baskets = baskets.count()
     if n_baskets == 0:
         raise ValueError("association_rules_pairs: empty input")
 
-    counts = bounded.groupBy("__i").agg(F.count(F.lit(1)).alias("cnt"))
+    bounded = baskets.filter(F.size("__arr") <= max_basket_size)
 
-    a, b = bounded.alias("a"), bounded.alias("b")
+    counts = bounded.select(F.explode("__arr").alias("__i")).groupBy("__i").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    # all ordered pairs (arr[i] < arr[j], i < j) from the sorted array
+    pair_structs = F.expr(
+        "flatten(transform(__arr, (x, i) -> "
+        "transform(slice(__arr, i + 2, size(__arr)), "
+        "y -> struct(x as item1, y as item2))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
-        .groupBy(F.col("a.__i").alias("item1"), F.col("b.__i").alias("item2"))
+        bounded.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.item1").alias("item1"), F.col("p.item2").alias("item2"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_pair_support)
     )

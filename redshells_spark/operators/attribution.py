@@ -60,6 +60,9 @@ def multi_touch_attribution(
             "touch_hour",
             F.expr(f"(tts div {3_600_000_000}) % 24").cast("long"),
         )
+        # the three attribution models each read the ranked touch list
+        # — pin or the user-keyed join + windows re-run per model
+        .localCheckpoint(eager=True)
     )
     first = pairs.filter(F.col("rk") == 1).select(
         F.lit("first_touch").alias("model"), "touch_hour", F.col("cents").alias("credit")

@@ -144,7 +144,11 @@ def count_triangles_per_node(edges: DataFrame) -> DataFrame:
     rewrite of the edge orientation and intentionally not the default
     here because id-ordering keeps the operator bit-reproducible
     against a plain-SQL oracle."""
-    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    # the edge relation feeds THREE joins (both wedge sides + the
+    # closure probe) — same materialization rule as the supersteps
+    e = _materialize_edges(edges).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
     wedge = e.join(
         e.select(F.col("a").alias("b"), F.col("b").alias("c")), on="b"
     )  # a < b < c by construction

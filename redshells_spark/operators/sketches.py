@@ -134,7 +134,14 @@ def kmv_set_algebra(
         F.expr(_h60_sql(f"`{value_column}`")).alias("__h"),
     ).dropDuplicates(["__g", "__h"])
     w = Window.partitionBy("__g").orderBy(F.col("__h").asc())
-    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    # <= k x |groups| rows feeding FOUR consumers (both pair sides +
+    # both sketch joins) — pin or the fact-scale dedup+window re-runs
+    # per consumer
+    kept = (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .localCheckpoint(eager=True)
+    )
 
     n_groups = df.select(group_column).distinct().limit(max_groups + 1).count()
     if n_groups > max_groups:

@@ -1543,7 +1543,8 @@ def _conformal_threshold(spark, sf_dir):
         "event_id",
         money_units(F.col("value")).alias("s"),
         (F.col("event_id") % 2).alias("odd"),
-    )
+    ).localCheckpoint(eager=True)  # narrow score rows; the calibration
+    # window, the test counts and the coverage join all consume it
     cal = b.filter(F.col("odd") == 0).withColumn(
         "rn",
         F.row_number().over(
@@ -1551,7 +1552,8 @@ def _conformal_threshold(spark, sf_dir):
                 F.col("s").asc(), F.col("event_id").asc()
             )
         ),
-    )
+    ).localCheckpoint(eager=True)  # ranked calibration half; the size
+    # counts and the threshold pick both consume it
     ncal = cal.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_cal")
     )

@@ -624,11 +624,17 @@ def _source_token_kl(spark, sf_dir):
         .join(docs, "doc_id")
         .select("source", "token")
     )
-    cs = src.groupBy("source", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("c_s")
+    # ONE fact aggregation: the (source, token) counts are
+    # vocab x source bounded and the per-source totals, corpus token
+    # counts, and grand total all fold from them — unpinned, ns/ct/nt
+    # each re-ran the token explode + dim join (6 scans at the r8 audit)
+    cs = (
+        src.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_s"))
+        .localCheckpoint(eager=True)
     )
     ns = cs.groupBy("source").agg(F.sum("c_s").cast("long").alias("n_s"))
-    ct = src.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    ct = cs.groupBy("token").agg(F.sum("c_s").cast("long").alias("c_t"))
     nt = ct.agg(F.sum("c_t").cast("long").alias("n_t"))
     p = F.col("c_s").cast("double") / F.col("n_s").cast("double")
     ratio = (F.col("c_s").cast("double") * F.col("n_t").cast("double")) / (

@@ -1091,9 +1091,15 @@ def _bh_fdr_return_rates(spark, sf_dir):
             (F.col("l_returnflag") == "R").cast("long").alias("is_r"),
         )
     )
-    per = j.groupBy("nationkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_i"),
-        F.sum("is_r").cast("long").alias("r_i"),
+    per = (
+        j.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("is_r").cast("long").alias("r_i"),
+        )
+        # 25 nation rows; the pooled totals and the z/p projection both
+        # consume it — unpinned, the 3-table join ran per consumer
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(
         F.sum("n_i").cast("long").alias("n"),

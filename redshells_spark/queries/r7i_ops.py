@@ -557,7 +557,8 @@ def _ljung_box_daily(spark, sf_dir):
     )
     c = days.join(e, "day", "left").select(
         "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=True)  # day-level bounded; the count probe
+    # and both shifted self-join sides consume it (6 scans unpinned)
     nn = c.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
     a = c.select(F.col("day").alias("da"), F.col("n").alias("na"))

@@ -79,15 +79,24 @@ def _anova_order_totals(spark, sf_dir):
     the single final tree. Output repeats F beside each group's mean
     so the readout is self-contained."""
     j = _seg_dollars(spark, sf_dir)
-    per = j.groupBy("segment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum("v").cast("long").alias("s_g"),
+    # ONE fact aggregation: carry the per-group sum of squares so the
+    # grand totals (n, s, ss, k) fold from the pinned segment rows —
+    # int64 addition is associative, so the derived totals are
+    # bit-identical to the direct aggregation (6 scans -> 2 at build)
+    per = (
+        j.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("v").cast("long").alias("s_g"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("ss_g"),
+        )
+        .localCheckpoint(eager=True)
     )
-    tot = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("v").cast("long").alias("s"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
-        F.countDistinct("segment").cast("long").alias("k"),
+    tot = per.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
     )
     ssb = per.agg(
         F.sum(
@@ -101,7 +110,11 @@ def _anova_order_totals(spark, sf_dir):
         .cast("long")
         .alias("sum_sq")
     )
-    x = per.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ssb))
+    x = (
+        per.select("segment", "n_g", "s_g")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ssb))
+    )
     sumsq = F.col("sum_sq").cast("double")
     corr = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
         "n"

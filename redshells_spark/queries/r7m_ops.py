@@ -515,7 +515,8 @@ def _fellegi_sunter_weights(spark, sf_dir):
         F.length("name").alias("len"),
         adj.alias("adj"),
         F.length(F.regexp_replace(adj, "[^aeiou]", "")).alias("vc"),
-    )
+    ).localCheckpoint(eager=True)  # distinct names + blocking features;
+    # both self-join sides consume it
     a = b.select(
         F.col("name").alias("na"), F.col("blk"), F.col("len").alias("len_a"),
         F.col("vc").alias("vc_a"), F.col("adj").alias("adj_a"),
@@ -547,7 +548,8 @@ def _fellegi_sunter_weights(spark, sf_dir):
         F.sum((F.lit(1) - F.col("is_m")) * F.col("f_last"))
         .cast("long")
         .alias("u_last"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row; the 3-field union read it
+    # three times, re-running the blocked pair join each time
     rows = []
     for fname, mcol, ucol in (
         ("equal_length", "m_len", "u_len"),

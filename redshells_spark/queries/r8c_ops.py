@@ -220,6 +220,10 @@ def _herfindahl_concentration(spark, sf_dir):
             .cast("long")
             .alias("rev_u")
         )
+        # supplier-level rows; the nation totals and the share
+        # projection both consume it — unpinned, the fact groupBy ran
+        # twice (6 scans at the r8 audit)
+        .localCheckpoint(eager=True)
     )
     nat = r.groupBy("nationkey").agg(
         F.sum("rev_u").cast("long").alias("tot_u"),

@@ -394,8 +394,15 @@ def _retention_decay_fit(spark, sf_dir):
             "user_id", F.expr(f"us div {_WEEK_US}").cast("long").alias("w")
         )
         .distinct()
+        # (user, week) distinct rows feed the cohort map, the max-week
+        # probe and the age join — pin or the events scan+dedup re-runs
+        # per consumer (6 scans at the r8 audit)
+        .localCheckpoint(eager=True)
     )
-    coh = uw.groupBy("user_id").agg(F.min("w").cast("long").alias("c"))
+    coh = uw.groupBy("user_id").agg(
+        F.min("w").cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # per-user; the age join and the
+    # eligibility grid both consume it
     maxw = uw.agg(F.max("w").cast("long").alias("mw"))
     act = (
         uw.join(coh, "user_id")
@@ -403,6 +410,8 @@ def _retention_decay_fit(spark, sf_dir):
         .filter(F.col("age") >= 1)
         .groupBy("age")
         .agg(F.count(F.lit(1)).cast("long").alias("active"))
+        .localCheckpoint(eager=True)  # age-level bounded; feeds the
+        # age domain and the rate join
     )
     ages = act.select("age").distinct()
     elig = (

@@ -585,6 +585,10 @@ def _q21_late_sole_suppliers(spark, sf_dir):
         l2o.join(o2, (l2o.l_orderkey == o2.o_orderkey) & (l2o.s_us > o2.o_us + F.lit(45 * 86_400_000_000)))
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        # narrow deduped pairs feeding THREE consumers (the candidate
+        # base, nothing-else-late anti side) — pin or the lineitem x
+        # orders join re-runs per consumer
+        .localCheckpoint(eager=True)
     )
     p2 = pairs.select(F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk"))
     l3 = late.select(F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk"))

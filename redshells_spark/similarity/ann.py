@@ -446,7 +446,9 @@ def lsh_pairs_above_threshold(
     candidate growth at ~(1+width)× on one side instead of both."""
     sig = lsh_hyperplane_signatures(
         embeddings, num_planes, id_column, embedding_column, dim=dim, seed=seed
-    )
+    ).localCheckpoint(eager=True)  # (id, sig) — the bucket census and
+    # both self-join sides consume it; unpinned, the hyperplane dot
+    # folds re-ran per consumer
     width = num_planes // num_blocks
 
     def _blocks(probe_bits: int) -> DataFrame:

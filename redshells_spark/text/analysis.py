@@ -349,7 +349,8 @@ def gopher_repetition_battery(
         id_column,
         toks.alias("__t"),
         F.length(F.concat_ws("", toks)).cast("long").alias("total_chars"),
-    )
+    ).localCheckpoint(eager=True)  # tokenized docs; five per-n explodes
+    # and the final outer join all consume it
 
     def ngram_rel(n: int):
         def gram_at(i):
@@ -377,6 +378,9 @@ def gopher_repetition_battery(
     for n in (2, 3, 4, 5, 6):
         r = ngram_rel(n)
         rel = r if rel is None else rel.unionByName(r)
+    # per-doc gram counts (post-dedup, smaller than the raw explode);
+    # the top-gram ranking and the duplicate fold both consume it
+    rel = rel.localCheckpoint(eager=True)
 
     w = Window.partitionBy(id_column, "n").orderBy(
         F.col("c").desc(), F.col("gram").asc()
