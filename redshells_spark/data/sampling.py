@@ -212,6 +212,10 @@ def largest_remainder_allocation(
     anywhere. The per-group relation is small (one row per group);
     the single ordered window ranks remainders with a group tie-break.
     """
+    # one row per group, but the caller's upstream (often a fact-scale
+    # aggregate) rides in — pin so the total probe, the share
+    # projection and the shortfall probe never re-run it
+    counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(F.sum(count_column).alias("__tot"))
     base = counts.crossJoin(F.broadcast(tot)).select(
         group_column,
@@ -370,10 +374,16 @@ def neyman_allocation(
     Values must be integers (cents); |v| ≤ ~3e6 keeps Σv² in int64 up
     to ~1e6 rows per stratum — pre-scale beyond."""
     v = F.col(value_col).cast("long")
-    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(v).cast("long").alias("sv"),
-        F.sum(v * v).cast("long").alias("svv"),
+    # stratum-bounded moments; the weight projection, the total and
+    # the remainder rank all consume it
+    per = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(v).cast("long").alias("sv"),
+            F.sum(v * v).cast("long").alias("svv"),
+        )
+        .localCheckpoint(eager=True)
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     s_val = F.when(

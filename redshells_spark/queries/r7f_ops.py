@@ -106,10 +106,14 @@ def _emd_price_histogram(spark, sf_dir):
             F.sum("is1").cast("long").alias("c1"),
             F.sum(F.lit(1) - F.col("is1")).cast("long").alias("c2"),
         )
+        # <=1000 bucket rows; the totals, the CDF window and the final
+        # readout all derive from it (int64 sums are associative, so
+        # n1/n2 folded from buckets equal the direct aggregation)
+        .localCheckpoint(eager=True)
     )
-    n = b.agg(
-        F.sum("is1").cast("long").alias("n1"),
-        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("n2"),
+    n = pv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
     )
     w = Window.orderBy(F.col("bucket").asc())
     cum = pv.select(
@@ -601,8 +605,12 @@ def _kendall_tau_by_flag(spark, sf_dir):
         F.col("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("y"),
     )
-    cells = b.groupBy("flag", "x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # value-level bounded (<=550 cells/flag) and consumed FIVE times
+    # (both pair sides, both tie margins, the totals)
+    cells = (
+        b.groupBy("flag", "x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     c1 = cells.select(
         F.col("flag"), F.col("x").alias("x1"), F.col("y").alias("y1"),
@@ -722,7 +730,13 @@ def _gpd_tail_fit(spark, sf_dir):
             "cast(floor(o_totalprice * 100 + 0.5d) as long) div 100"
         ).alias("v")
     )
-    lvl = b.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # dollar-level bounded; the total, the threshold window and the
+    # excess moments all consume it
+    lvl = (
+        b.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     n = lvl.agg(F.sum("cnt").cast("long").alias("n"))
     wv = Window.orderBy(F.col("v").asc()).rowsBetween(
         Window.unboundedPreceding, 0

@@ -272,7 +272,13 @@ def _psi_weekly_series(spark, sf_dir):
             ),
         )
     )
-    cnt = p.groupBy("w", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # week x 10-bin bounded; the weekly totals, the grid and the
+    # first-week anchor all derive from it (ONE fact aggregation)
+    cnt = (
+        p.groupBy("w", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = cnt.groupBy("w").agg(F.sum("c").cast("long").alias("n"))
     bins = spark.range(10).select(F.col("id").cast("long").alias("bin"))
     grid = (
@@ -293,7 +299,7 @@ def _psi_weekly_series(spark, sf_dir):
         ),
         "n",
     )
-    w0 = p.agg(F.min("w").cast("long").alias("w0"))
+    w0 = cnt.agg(F.min("w").cast("long").alias("w0"))
     base = (
         sm.crossJoin(F.broadcast(w0))
         .filter(F.col("w") == F.col("w0"))

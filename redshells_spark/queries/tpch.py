@@ -538,6 +538,9 @@ def _q20_overstocked_suppliers(spark, sf_dir):
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
+        # (supplier, part)-bounded; the per-part average and the
+        # overstock filter both consume it
+        .localCheckpoint(eager=True)
     )
     pa = sp.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty")).withColumnRenamed("l_partkey", "pa_partkey")
     over = sp.join(F.broadcast(pa), sp.l_partkey == F.col("pa_partkey")).filter(

@@ -50,21 +50,37 @@ def bm25_topk(
     # corpus tokens are lowercased by _tokens; lowercase the query the
     # same way (matching bm25_batch_scores) so uppercase query terms
     # don't silently match nothing
-    query_terms = tuple(t.lower() for t in query_terms)
+    query_terms = tuple(dict.fromkeys(t.lower() for t in query_terms))
     toks = _tokens(text_column)
-    # single corpus scan: doc length + per-doc tf of the query terms
+    # ONE corpus tokenize pass (the same per-doc dl + per-term tf fold
+    # as bm25_wand_topk): doc length and query-term tfs in a single
+    # groupBy, pinned so the corpus stats and the postings unpivot
+    # never re-tokenize. The tf longs and the scoring expression tree
+    # are identical to the old dl-join form.
     base = docs.select(
         id_column, F.explode(toks).alias("term")
     )
-    dl = base.groupBy(id_column).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    tf_cols = [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = (
+        base.groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("dl"), *tf_cols)
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
     )
-    postings = (
-        base.filter(F.col("term").isin(*query_terms))
-        .groupBy(id_column, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    quoted = [t.replace("'", "''") for t in query_terms]
+    stack_args = ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(quoted))
+    postings = per_doc.selectExpr(
+        id_column,
+        "dl",
+        f"stack({len(query_terms)}, {stack_args}) AS (term, tf)",
+    ).filter(F.col("tf") > 0)
     df_t = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -78,8 +94,7 @@ def bm25_topk(
         F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl") / avgdl
     )
     scored = (
-        postings.join(dl, id_column)
-        .join(F.broadcast(df_t), "term")
+        postings.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .select(id_column, (idf * F.col("tf") / denom).alias("t"))
         .groupBy(id_column)
