@@ -392,8 +392,10 @@ def main() -> None:
         except OSError as e:  # read-only checkout must not kill the bench
             print(f"# bench detail not written: {e}", file=sys.stderr)
     print(json.dumps(detail), file=sys.stderr)
-    # the compact summary is the ONLY stdout line — keep it that way
-    print(json.dumps(summary))
+    # ONE stdout JSON line, WITH the per-query map — the driver
+    # contract's stated shape ({"metric", "value", "unit", "queries",
+    # "sf"}); the separate detail FILE stays opt-in (see above)
+    print(json.dumps(detail))
     spark.stop()
 
 
