@@ -1,12 +1,19 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE compact JSON line to stdout:
-  {"metric": "...", "value": N, "unit": "sec", "n": ..., "n_err": ..., "sf": ...}
+Prints ONE JSON line to stdout — the driver contract's stated shape:
+  {"metric": "...", "value": N, "unit": "sec", "n": ..., "n_err": ...,
+   "queries": {name: median_sec, ...}, "sf": ...}
 
-The driver captures only the last ~2000 chars of stdout, so the final
-line must stay small (round 5 lost its bench artifact to a 119-entry
-per-query map on this line). The full per-query map goes to stderr AND
-to BENCH_DETAIL.json next to this file, which the repo commits.
+The driver parses the full final line (its raw tail capture may
+truncate mid-object, but the line-parse is the durable path — round 8
+confirmed the per-query map survives). Existing keys never change
+meaning: "queries" carries the per-query MEDIAN of the repeats, as in
+every prior round. The stderr/opt-in detail additionally carries
+"queries_min" (per-query MIN of the repeats): the sandbox host shows
+migrating multi-minute throttle bands that inflate medians of
+identical code by up to 2x between runs (round-8 exhibit
+BENCH_DETAIL_r8s3_run2_throttled.json), and min-of-repeats is the
+throttle-robust estimator the round-over-round comparison should use.
 
 Run: python bench.py  (defaults: /root/testdata/sf0.1, local[$SPARK_GRAFT_CPUS])
 """
@@ -350,6 +357,7 @@ def main() -> None:
     # line always prints, and the exit code stays 0
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float | str] = {}
+    timings_min: dict[str, float | str] = {}
     for name in names:
         fn = queries[name]
         runs = []
@@ -361,9 +369,11 @@ def main() -> None:
                 n = df.count()
                 runs.append(time.time() - t0)
             timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            timings_min[name] = round(min(runs), 3)
             print(f"# {name}: {n} rows, median {timings[name]}s of {[round(r, 3) for r in runs]}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             timings[name] = "ERR"
+            timings_min[name] = "ERR"
             print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -378,6 +388,14 @@ def main() -> None:
     }
     detail = dict(summary)
     detail["queries"] = timings
+    # throttle-robust companion (stderr + opt-in file only — the
+    # stdout line keeps the exact round-8 shape the driver parses):
+    # min-of-repeats per query, and its sum, for comparisons that must
+    # not swing with the host's migrating throttle bands
+    detail_full = dict(detail)
+    detail_full["queries_min"] = timings_min
+    timed_min = [v for v in timings_min.values() if isinstance(v, float)]
+    detail_full["value_min"] = round(sum(timed_min), 3)
     # The per-query detail file is written ONLY on explicit opt-in
     # (SPARK_GRAFT_BENCH_DETAIL_FILE=<path>): the round driver invokes
     # bench.py too, and an unconditional write clobbered the builder's
@@ -388,10 +406,10 @@ def main() -> None:
     if detail_path:
         try:
             with open(detail_path, "w") as f:
-                json.dump(detail, f, indent=1)
+                json.dump(detail_full, f, indent=1)
         except OSError as e:  # read-only checkout must not kill the bench
             print(f"# bench detail not written: {e}", file=sys.stderr)
-    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(detail_full), file=sys.stderr)
     # ONE stdout JSON line, WITH the per-query map — the driver
     # contract's stated shape ({"metric", "value", "unit", "queries",
     # "sf"}); the separate detail FILE stays opt-in (see above)

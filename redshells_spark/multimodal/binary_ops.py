@@ -189,15 +189,23 @@ def decode_images(
     width: int = 32,
     fake: bool = True,
     pixel_source: str = "prng",
+    target_partitions: int | None = None,
 ) -> DataFrame:
     """→ (id, pixels: array<int>, height, width). Arrow-batched
     decode; one pandas batch in, one out. ``pixel_source`` picks the
     stub generator: "prng" (sha256-seeded PCG) or "md5chain" (SQL-
     reproducible md5 byte stream — use when an oracle must recompute
-    the pixels)."""
+    the pixels). ``target_partitions`` fans the decode out across that
+    many tasks first — pass the session core count when per-row decode
+    cost dominates (a real codec); leave None when the input layout
+    already parallelizes or the decode is cheap (the stub: a round-8
+    A/B measured the repartition shuffle of payload bytes costing more
+    than it saved)."""
     if not fake:
         _require_codec("decode_images")
     gen = _PIXEL_SOURCES[pixel_source]
+    if target_partitions:
+        df = df.repartition(target_partitions)
 
     out_schema = f"{id_column} long, pixels array<int>, height int, width int"
 
@@ -249,13 +257,19 @@ def sample_video_frames(
     id_column: str = "item_id",
     num_frames: int = 4,
     fake: bool = True,
+    target_partitions: int | None = None,
 ) -> DataFrame:
     """→ one row per sampled frame (id, frame_idx, frame_payload).
     Frame extraction is the stub (payload sliced deterministically);
     the explode shape — rows multiply by num_frames, payload bytes
-    stay off the driver — is the real design point."""
+    stay off the driver — is the real design point.
+    ``target_partitions``: same decode-cost fan-out knob as
+    :func:`decode_images` (the downstream per-frame decoder inherits
+    this stage's partitioning)."""
     if not fake:
         _require_codec("sample_video_frames")
+    if target_partitions:
+        df = df.repartition(target_partitions)
 
     out_schema = f"{id_column} long, frame_idx int, frame_payload binary"
 

@@ -58,8 +58,15 @@ def association_rules_pairs(
     # in-row C(|basket|,2) over the sorted array — identical fan-out,
     # but the pair groupBy now partial-aggregates map-side to at most
     # |items|^2/2 rows per task instead of shuffling every pair row.
+    # NULL items are dropped EXPLICITLY (collect_set would silently do
+    # it anyway): a null is not an item, so it joins no pair, carries
+    # no support, and does not count toward the max_basket_size bound.
+    # A pathological basket assembles its whole item array in one row
+    # before the size filter; inputs with unbounded basket cardinality
+    # should pre-bound with a windowless count before calling this.
     baskets = (
-        df.groupBy(F.col(basket_col).alias("__b"))
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(basket_col).alias("__b"))
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("__arr"))
         .localCheckpoint(eager=True)
     )

@@ -213,9 +213,14 @@ def k_hop_distances(
     if k > 0:
         dist = dist.localCheckpoint(eager=True)
     frontier = dist
+    # frontier and dist sizes are tracked ARITHMETICALLY (frontier is
+    # disjoint from dist by the anti join, so |dist| grows by exactly
+    # |frontier|): one count per hop on the just-checkpointed frontier
+    # replaces the round-8 pair of count jobs per hop
+    n_frontier = n_dist = frontier.count() if k > 0 else 0
     for hop in range(1, k + 1):
         fr = frontier
-        if fr.count() <= max_broadcast_frontier:
+        if n_frontier <= max_broadcast_frontier:
             fr = F.broadcast(fr)
         reached = (
             fr.join(edges, fr["node"] == edges[src])
@@ -224,12 +229,19 @@ def k_hop_distances(
             .withColumn("dist", F.lit(hop).cast("long"))
         )
         # new frontier = nodes not already reached at a smaller distance
-        d = F.broadcast(dist) if dist.count() <= max_broadcast_frontier else dist
+        d = F.broadcast(dist) if n_dist <= max_broadcast_frontier else dist
         frontier = reached.join(d, "node", "left_anti")
-        dist = dist.unionByName(frontier).groupBy("node").agg(F.min("dist").alias("dist"))
+        if hop % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        n_frontier = frontier.count()
+        n_dist += n_frontier
+        # frontier is DISJOINT from dist (the anti join) and carries a
+        # strictly larger hop value, so the old groupBy-min combine was
+        # a no-op shuffle of the whole dist relation — a plain union is
+        # the identical result with zero exchanges (§2.4)
+        dist = dist.unionByName(frontier)
         if hop % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=True)
-            frontier = frontier.localCheckpoint(eager=True)
     return dist
 
 
@@ -281,9 +293,13 @@ def bounded_shortest_paths(
     if k > 0:
         dist = dist.localCheckpoint(eager=True)
     frontier = dist
+    # sizes tracked with ONE count per round (on the just-checkpointed
+    # frontier; |dist| ≤ |dist| + |frontier| — only the ≤-threshold
+    # decision needs it), replacing the round-8 two-count pair
+    n_frontier = n_dist = frontier.count() if k > 0 else 0
     for _ in range(k):
         fr = frontier
-        if fr.count() <= max_broadcast_frontier:
+        if n_frontier <= max_broadcast_frontier:
             fr = F.broadcast(fr)
         cand = (
             fr.join(edges, fr["node"] == edges[src])
@@ -293,7 +309,7 @@ def bounded_shortest_paths(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        d = F.broadcast(dist) if dist.count() <= max_broadcast_frontier else dist
+        d = F.broadcast(dist) if n_dist <= max_broadcast_frontier else dist
         # improved = candidate strictly better than current (or new node)
         frontier = (
             cand.join(d.withColumnRenamed("dist", "__old"), on="node", how="left")
@@ -301,12 +317,21 @@ def bounded_shortest_paths(
             .select("node", "dist")
             .localCheckpoint(eager=True)
         )
-        dist = (
-            dist.unionByName(frontier)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+        n_frontier = frontier.count()
+        n_dist += n_frontier  # upper bound: improved-only rows re-enter
+        # every frontier node carries a STRICTLY better distance than
+        # dist (the filter above), so the min-combine reduces to "take
+        # the frontier row where one exists": an anti join (map-side
+        # under the broadcast) + union replaces the round-8 full
+        # groupBy-min shuffle of the dist relation (§2.4)
+        keep = dist.join(
+            F.broadcast(frontier.select("node"))
+            if n_frontier <= max_broadcast_frontier
+            else frontier.select("node"),
+            on="node",
+            how="left_anti",
         )
+        dist = keep.unionByName(frontier).localCheckpoint(eager=True)
     return dist
 
 
@@ -386,7 +411,10 @@ def partition_modularity(
 
 
 def min_label_propagation(
-    edges: DataFrame, rounds: int = 3, checkpoint_every: int = 2
+    edges: DataFrame,
+    rounds: int = 3,
+    checkpoint_every: int = 2,
+    max_broadcast_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Deterministic label propagation: every node starts labeled with
     its own id and each synchronous round takes the MIN label over
@@ -396,20 +424,34 @@ def min_label_propagation(
     Raghavan et al. 2007 — mode-with-random-ties is not reproducible
     across engines, min is).
 
-    Scale shape: each round is one co-partitioned hash join edge⋈label
-    plus one min-combine groupBy — the relational Pregel step, same as
-    :func:`pagerank`. Labels are checkpointed every ``checkpoint_every``
-    rounds to truncate lineage. → (node, lab) after ``rounds``."""
+    Scale shape: the label vector is |V| rows — tiny next to |E|.
+    While it fits ``max_broadcast_nodes`` it is BROADCAST into the
+    edge join (pagerank's rank-vector pattern), so the edge relation
+    is never shuffled and each round is one map-side join + one
+    min-combine groupBy whose map-side partials shrink the shuffle to
+    ~|V| rows per task; past the cap each round falls back to the
+    co-partitioned hash join (Pregel-at-scale shape). Labels are
+    checkpointed every ``checkpoint_every`` rounds to truncate
+    lineage. → (node, lab) after ``rounds``."""
     edges = _materialize_edges(edges)
     lab = (
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
         .withColumn("lab", F.col("node"))
     )
+    if rounds > 0:
+        # |V| is round-invariant: one pinned init + one count decides
+        # the broadcast strategy for every round (and the pin keeps the
+        # twice-consumed round-1 label table from re-running the dedup)
+        lab = lab.localCheckpoint(eager=True)
+        broadcast_labels = lab.count() <= max_broadcast_nodes
     for it in range(rounds):
-        msgs = edges.join(
-            lab.withColumnRenamed("node", "src"), on="src"
-        ).select(F.col("dst").alias("node"), "lab")
+        lsrc = lab.withColumnRenamed("node", "src")
+        if broadcast_labels:
+            lsrc = F.broadcast(lsrc)
+        msgs = edges.join(lsrc, on="src").select(
+            F.col("dst").alias("node"), "lab"
+        )
         lab = (
             msgs.unionByName(lab.select("node", "lab"))
             .groupBy("node")
@@ -420,13 +462,21 @@ def min_label_propagation(
     return lab
 
 
-def katz_walk_counts(edges: DataFrame, weights: tuple = (16, 4, 1)) -> DataFrame:
+def katz_walk_counts(
+    edges: DataFrame,
+    weights: tuple = (16, 4, 1),
+    max_broadcast_nodes: int = 1_000_000,
+) -> DataFrame:
     """Truncated Katz centrality with attenuation beta = 1/4 kept as
     EXACT integer walk counts: w_k(i) = number of length-k walks ending
     at i, and katz_x64 = 16*w1 + 4*w2 + w3 = 4^3 * sum(beta^k w_k) —
     the integer-scaled 3-term Katz score (Katz 1953). No double ever
     appears; walk counts are plain groupBy sums chained through two
-    hash joins (A^T applied twice to the degree vector).
+    hash joins (A^T applied twice to the degree vector). The walk
+    vectors are |V| rows — while under ``max_broadcast_nodes`` they
+    broadcast into the edge joins (pagerank's rank-vector pattern), so
+    the edge relation is never shuffled; integer sums are
+    order-insensitive, so the join strategy cannot change the values.
 
     → (node, w1, w2, w3, katz_x64). int64 holds to ~1e5 average degree
     (w3 <= E * dmax^2); beyond that widen to decimal(38,0)."""
@@ -434,19 +484,24 @@ def katz_walk_counts(edges: DataFrame, weights: tuple = (16, 4, 1)) -> DataFrame
     w1 = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("w1")
     )
+    # one count decides the broadcast strategy for both walk joins and
+    # pins w1, which is consumed three times (w2 join + final joins)
+    w1 = w1.localCheckpoint(eager=True)
+    bcast = w1.count() <= max_broadcast_nodes
+    b = F.broadcast if bcast else (lambda d: d)
     w2 = (
-        edges.join(w1.withColumnRenamed("node", "src"), on="src")
+        edges.join(b(w1.withColumnRenamed("node", "src")), on="src")
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum("w1").cast("long").alias("w2"))
     )
     w3 = (
-        edges.join(w2.withColumnRenamed("node", "src"), on="src")
+        edges.join(b(w2.withColumnRenamed("node", "src")), on="src")
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum("w2").cast("long").alias("w3"))
     )
     return (
-        w1.join(w2, on="node")
-        .join(w3, on="node")
+        w1.join(b(w2), on="node")
+        .join(b(w3), on="node")
         .select(
             "node",
             "w1",

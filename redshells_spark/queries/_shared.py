@@ -37,12 +37,17 @@ from redshells_spark.data.frame_ops import (
 )
 from redshells_spark.dedup.exact import exact_dedup
 from redshells_spark.functions.exact import (
+    corr_e4_sql,
+    covar_e4_sql,
     exact_avg_e4,
     exact_money_sum,
     exact_money_sum_sql,
     exact_revenue_sum,
     exact_revenue_sum_sql,
     money_units,
+    round_half_away_ratio_sql,
+    stable_int_double_sql,
+    stddev_e4_sql,
 )
 from redshells_spark.dedup.minhash import (
     doc_shingles,

@@ -77,18 +77,40 @@ def _distinct_count(spark, sf_dir):
     return distinct_count(_t(spark, sf_dir, "events"), "user_id")
 
 
+# exact cent-unit moments (functions/exact.py): engine-internal
+# avg/stddev stream float partials in engine+partition order, the
+# correlation_stats boundary class — min/max divide the exact cent back
+# out, avg rounds the exact integer ratio, stddev goes through the
+# bit-stable split cast (same values as round(..., 4) off-boundary)
+def _min_max_avg_std_select(div_op: str) -> list[str]:
+    return [
+        "CAST(mn AS DOUBLE) / CAST(100 AS DOUBLE) AS min",
+        "CAST(mx AS DOUBLE) / CAST(100 AS DOUBLE) AS max",
+        f"{covar_e4_sql('(100 * sc)', 'n', div_op)} AS avg",
+        f"{stddev_e4_sql('(n * scc - sc * sc)', 'n', 100, div_op)} AS std",
+    ]
+
+
 @q(
     "min_max_avg_std",
-    """SELECT round(min(value), 4) AS min, round(max(value), 4) AS max,
-              round(avg(value), 4) AS avg, round(stddev_pop(value), 4) AS std
-       FROM events""",
+    f"""WITH u AS (SELECT CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+                  FROM events),
+       m AS (SELECT count(*) AS n, min(c) AS mn, max(c) AS mx,
+                    sum(c) AS sc, sum(c * c) AS scc
+             FROM u)
+       SELECT {", ".join(_min_max_avg_std_select("//"))} FROM m""",
 )
 def _min_max_avg_std(spark, sf_dir):
-    stats = min_max_avg_std(_t(spark, sf_dir, "events"), "value")
-    return stats.select(
-        _r4(F.col("min"), "min"), _r4(F.col("max"), "max"),
-        _r4(F.col("avg"), "avg"), _r4(F.col("std"), "std"),
+    u = _t(spark, sf_dir, "events").select(money_units(F.col("value")).alias("c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — Σc² can pass int64
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.sum(dec(F.col("c"))).alias("sc"),
+        F.sum(dec(F.col("c") * F.col("c"))).alias("scc"),
     )
+    return m.selectExpr(*_min_max_avg_std_select("div"))
 
 
 @q(

@@ -154,20 +154,67 @@ def _monthly_order_rollup(spark, sf_dir):
     )
 
 
+# exact integer co-moments over cent units (see functions/exact.py):
+# engine-internal corr/covar stream partials in engine order, so the
+# rounded 4th decimal flipped on a half boundary (round-8 sample).
+# n1/dx/dy/nd are scale-invariant co-moments; the covar ratios divide
+# out exactly (cents² → e4 dollars²), the corr sqrt goes through the
+# bit-stable split cast. Values equal the old round(corr/covar, 4)
+# except at the half boundaries both engines previously disagreed on.
+_CORR_MOMENTS = (
+    "(n * sxy - sx * sy)",  # n1: n·Σxy − ΣxΣy (qty, price)
+    "(n * sxx - sx * sx)",  # dx
+    "(n * syy - sy * sy)",  # dy
+    "(n * sdt - sd * st)",  # nd: (discount, tax)
+)
+
+
+def _correlation_stats_select(div_op: str) -> list[str]:
+    n1, dx, dy, nd = _CORR_MOMENTS
+    return [
+        f"{corr_e4_sql(n1, dx, dy, div_op)} AS corr_qty_price",
+        f"{covar_e4_sql(n1, '(n * n)', div_op)} AS covar_qty_price",
+        f"{covar_e4_sql(nd, '(n * (n - 1))', div_op)} AS covar_disc_tax",
+    ]
+
+
 @q(
     "correlation_stats",
-    """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-              round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-              round(covar_samp(l_discount, l_tax), 4) AS covar_disc_tax
-       FROM lineitem""",
+    f"""WITH u AS (
+         SELECT CAST(floor(l_quantity * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x,
+                CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y,
+                CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d,
+                CAST(floor(l_tax * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t
+         FROM lineitem),
+       m AS (
+         SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                sum(x * x) AS sxx, sum(y * y) AS syy,
+                sum(d) AS sd, sum(t) AS st, sum(d * t) AS sdt
+         FROM u)
+       SELECT {", ".join(_correlation_stats_select("//"))}
+       FROM m""",
 )
 def _correlation_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        _r4(F.corr("l_quantity", "l_extendedprice"), "corr_qty_price"),
-        _r4(F.covar_pop("l_quantity", "l_extendedprice"), "covar_qty_price"),
-        _r4(F.covar_samp("l_discount", "l_tax"), "covar_disc_tax"),
+    u = li.select(
+        money_units(F.col("l_quantity")).alias("x"),
+        money_units(F.col("l_extendedprice")).alias("y"),
+        money_units(F.col("l_discount")).alias("d"),
+        money_units(F.col("l_tax")).alias("t"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — Σy² ≈ 6e19 > int64
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("d"))).alias("sd"),
+        F.sum(dec(F.col("t"))).alias("st"),
+        F.sum(dec(F.col("d") * F.col("t"))).alias("sdt"),
+    )
+    return m.selectExpr(*_correlation_stats_select("div"))
 
 
 @q(

@@ -545,37 +545,65 @@ def _interval_coverage_users(spark, sf_dir):
 
 @q(
     "spearman_by_group",
-    """WITH r AS (SELECT l_returnflag,
-                    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
-                      + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
-                      AS rx,
-                    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC)
-                      + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
-                      AS ry
-             FROM lineitem)
-       SELECT l_returnflag, round(corr(rx, ry), 4) AS spearman,
-              count(*) AS n FROM r GROUP BY l_returnflag""",
+    f"""WITH r AS (SELECT l_returnflag,
+                    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
+                      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+                      AS x,
+                    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC)
+                      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+                      AS y
+             FROM lineitem),
+       m AS (SELECT l_returnflag, count(*) AS n,
+                    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                    sum(x * x) AS sxx, sum(y * y) AS syy
+             FROM r GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              {corr_e4_sql('(n * sxy - sx * sy)', '(n * sxx - sx * sx)', '(n * syy - sy * sy)', '//')} AS spearman,
+              n FROM m""",
 )
 def _spearman_by_group(spark, sf_dir):
     """Spearman rank correlation per group: average ranks computed
-    tie-independently as min-rank + (tie_count − 1)/2 — no tie-break
-    column needed, bit-identical across engines — then Pearson on the
-    ranks. All windows partition by the group key, so each group ranks
+    tie-independently as min-rank + (tie_count − 1)/2 — doubled to the
+    INTEGER 2·rank + ties − 1 (Pearson is affine-invariant, so the ×2
+    cancels), which makes every co-moment an exact integer sum — the
+    engine-internal corr() streams float partials in engine order, the
+    correlation_stats boundary class (functions/exact.py:corr_e4_sql).
+    All windows partition by the group key, so each group ranks
     independently (the global-Spearman variant would need a single
     total order; per-group is the shape that scales)."""
     li = _t(spark, sf_dir, "lineitem")
     wq = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").asc())
     wp = Window.partitionBy("l_returnflag").orderBy(F.col("l_extendedprice").asc())
-    rx = F.rank().over(wq) + (
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "l_quantity")) - 1
-    ) / 2.0
-    ry = F.rank().over(wp) + (
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "l_extendedprice")) - 1
-    ) / 2.0
-    ranked = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
-    return ranked.groupBy("l_returnflag").agg(
-        _r4(F.corr("rx", "ry"), "spearman"),
+    x = (
+        2 * F.rank().over(wq)
+        + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "l_quantity"))
+        - 1
+    ).cast("long")
+    y = (
+        2 * F.rank().over(wp)
+        + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "l_extendedprice"))
+        - 1
+    ).cast("long")
+    ranked = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — Σy² > int64
+    m = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    return m.selectExpr(
+        "l_returnflag",
+        corr_e4_sql(
+            "(n * sxy - sx * sy)",
+            "(n * sxx - sx * sx)",
+            "(n * syy - sy * sy)",
+            "div",
+        )
+        + " AS spearman",
+        "n",
     )
 
 

@@ -315,13 +315,14 @@ def _quality_stratified_mix(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("n"),
     )
+    # n_docs CARRIES through the allocation windows instead of joining
+    # the result back to counts — the join form ran the fact-scale
+    # Gopher gate twice (column pruning specializes the two aggregate
+    # subtrees, defeating exchange reuse); this is one corpus scan
     alloc = largest_remainder_allocation(
-        counts.select("source", "n"), total_budget=100_000
+        counts, total_budget=100_000, carry_columns=("n_docs",)
     )
-    return (
-        counts.join(alloc.select("source", "floor_share", "allocation"), "source")
-        .select("source", "n_docs", "n", "floor_share", "allocation")
-    )
+    return alloc.select("source", "n_docs", "n", "floor_share", "allocation")
 
 
 @q(

@@ -73,6 +73,12 @@ def _contingency(spark, sf_dir):
     # one build.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CT_CACHE:
+        # bound like _TOKEN_CACHE: drop entries for other sessions/SFs
+        # so stale JVM-backed references don't accumulate in long-lived
+        # processes (data under sf_dir is immutable per session — the
+        # repo-wide cache contract)
+        while len(_CT_CACHE) >= 4:
+            _CT_CACHE.pop(next(iter(_CT_CACHE)))
         pts = _norm_buckets(spark, sf_dir)
         _CT_CACHE[key] = (
             pts.groupBy("a", "b")

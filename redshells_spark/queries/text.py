@@ -1503,6 +1503,22 @@ def _image_feature_sql() -> str:
        FROM feats"""
 
 
+def _decode_fanout(spark) -> int | None:
+    """Per-row-cost gate for the media-decode fan-out (VERDICT r08
+    item 6): the md5-chain stub costs ~µs/row, so repartitioning the
+    payload bytes across cores loses locally (round-8 A/B measured the
+    shuffle > the savings); a REAL codec costs ~ms/row, where decode
+    dominates any layout and spreading across the session's cores wins.
+    Returns the session core count exactly when the real codec is
+    wired (multimodal/binary_ops.CODEC_AVAILABLE), so a production
+    decoder scales with no query change."""
+    from redshells_spark.multimodal import binary_ops
+
+    if not binary_ops.CODEC_AVAILABLE:
+        return None
+    return spark.sparkContext.defaultParallelism
+
+
 @q("image_decode_features", _image_feature_sql())
 def _image_decode_features(spark, sf_dir):
     """Decode→featurize through the REAL multimodal pipeline
@@ -1524,7 +1540,7 @@ def _image_decode_features(spark, sf_dir):
     )
     decoded = decode_images(
         docs, "payload", id_column="doc_id", height=8, width=8,
-        pixel_source="md5chain",
+        pixel_source="md5chain", target_partitions=_decode_fanout(spark),
     )
     feats = extract_image_features(decoded, id_column="doc_id", feature_dim=16)
     return feats.select("doc_id", F.posexplode("embedding")).select(
@@ -1799,7 +1815,10 @@ def _video_frame_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    frames = sample_video_frames(docs, "payload", id_column="doc_id", num_frames=4)
+    frames = sample_video_frames(
+        docs, "payload", id_column="doc_id", num_frames=4,
+        target_partitions=_decode_fanout(spark),
+    )
     fdf = frames.select(
         (F.col("doc_id") * 10 + F.col("frame_idx")).alias("fid"),
         F.col("frame_payload").alias("payload"),

@@ -33,6 +33,15 @@ def _tokens(text_column: str):
     )
 
 
+def _sql_quote(term: str) -> str:
+    """Escape a query term for embedding in a Spark SQL string literal
+    (the stack() unpivot): backslashes FIRST — Spark's default parser
+    interprets backslash escapes inside literals, so an unescaped
+    'a\\b' would parse as 'a'+backspace and a trailing backslash would
+    swallow the closing quote — then the standard quote doubling."""
+    return term.replace("\\", "\\\\").replace("'", "''")
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...],
@@ -51,6 +60,10 @@ def bm25_topk(
     # same way (matching bm25_batch_scores) so uppercase query terms
     # don't silently match nothing
     query_terms = tuple(dict.fromkeys(t.lower() for t in query_terms))
+    if not query_terms:  # stack(0, ...) would be a ParseException
+        return docs.select(
+            F.col(id_column), F.lit(0.0).alias("score")
+        ).limit(0)
     toks = _tokens(text_column)
     # ONE corpus tokenize pass (the same per-doc dl + per-term tf fold
     # as bm25_wand_topk): doc length and query-term tfs in a single
@@ -74,7 +87,7 @@ def bm25_topk(
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
     )
-    quoted = [t.replace("'", "''") for t in query_terms]
+    quoted = [_sql_quote(t) for t in query_terms]
     stack_args = ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(quoted))
     postings = per_doc.selectExpr(
         id_column,
@@ -204,6 +217,10 @@ def bm25_wand_topk(
     # term must not double its postings in the stack() unpivot (the
     # old isin() path deduped implicitly)
     query_terms = tuple(dict.fromkeys(t.lower() for t in query_terms))
+    if not query_terms:  # stack(0, ...) would be a ParseException
+        return docs.select(
+            F.col(id_column), F.lit(0.0).alias("score")
+        ).limit(0)
     toks = _tokens(text_column)
     base = docs.select(id_column, F.explode(toks).alias("term"))
     tf_cols = [
@@ -220,7 +237,7 @@ def bm25_wand_topk(
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
     )
-    quoted = [t.replace("'", "''") for t in query_terms]
+    quoted = [_sql_quote(t) for t in query_terms]
     stack_args = ", ".join(
         f"'{t}', __tf{i}" for i, t in enumerate(quoted)
     )

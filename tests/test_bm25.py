@@ -87,3 +87,34 @@ def test_bm25_topk_uppercase_query_terms_match(spark, corpus):
     lo = {r["doc_id"]: r["score"] for r in bm25_topk(corpus, ("spark", "JOIN"), k=10).collect()}
     want = {r["doc_id"]: r["score"] for r in bm25_topk(corpus, ("spark", "join"), k=10).collect()}
     assert lo == want and len(lo) > 0
+
+
+def test_bm25_topk_backslash_and_quote_terms_safe(spark, corpus):
+    # ADVICE r8: terms embed in stack() string literals — backslashes
+    # must be escaped (Spark interprets literal escapes: 'a\b' would
+    # parse as 'a'+backspace, a trailing backslash swallows the quote)
+    # and quotes doubled. None of these terms occur in the corpus, so
+    # the result must be EMPTY rows, never a ParseException.
+    from redshells_spark.text.bm25 import bm25_topk, bm25_wand_topk
+
+    weird = ("a\\b", "tail\\", "it's", "spark")
+    got = bm25_topk(corpus, weird, k=10).collect()
+    want = bm25_topk(corpus, ("spark",), k=10).collect()
+    assert {r["doc_id"]: r["score"] for r in got} == {
+        r["doc_id"]: r["score"] for r in want
+    }
+    got_w = bm25_wand_topk(corpus, weird, k=10).collect()
+    assert {r["doc_id"]: r["score"] for r in got_w} == {
+        r["doc_id"]: r["score"] for r in want
+    }
+
+
+def test_bm25_topk_empty_query_terms(spark, corpus):
+    # ADVICE r8: stack(0, ...) is a ParseException — empty query terms
+    # must return an empty (id, score) frame like the old isin() path.
+    from redshells_spark.text.bm25 import bm25_topk, bm25_wand_topk
+
+    out = bm25_topk(corpus, (), k=10)
+    assert out.columns == ["doc_id", "score"] and out.count() == 0
+    out_w = bm25_wand_topk(corpus, (), k=10)
+    assert out_w.columns == ["doc_id", "score"] and out_w.count() == 0

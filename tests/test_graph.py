@@ -84,3 +84,59 @@ def test_bounded_shortest_paths_zero_rounds(spark):
     got = {r["node"]: r["dist"] for r in
            bounded_shortest_paths(edges, sources, k=0).collect()}
     assert got == {"a": 0}
+
+
+def test_superstep_broadcast_and_shuffle_paths_agree(spark):
+    # round-9 internals change: frontier/label vectors broadcast while
+    # small, sizes tracked arithmetically, min-combine replaced by
+    # disjoint union (BFS) / anti+union (Bellman-Ford). Forcing the
+    # broadcast cap to 0 exercises the shuffle fallback — both paths
+    # must produce identical results.
+    import random
+
+    from redshells_spark.operators.graph import (
+        bounded_shortest_paths,
+        k_hop_distances,
+        katz_walk_counts,
+        min_label_propagation,
+        symmetrize_edges,
+    )
+
+    rng = random.Random(9)
+    raw = list({(rng.randrange(25), rng.randrange(25)) for _ in range(70)})
+    raw = [(a, b) for a, b in raw if a != b]
+    e = symmetrize_edges(spark.createDataFrame(raw, "src bigint, dst bigint"))
+    s = spark.createDataFrame([(0,), (1,)], "node bigint")
+
+    k_b = {r["node"]: r["dist"] for r in k_hop_distances(e, s, k=3).collect()}
+    k_s = {
+        r["node"]: r["dist"]
+        for r in k_hop_distances(e, s, k=3, max_broadcast_frontier=0).collect()
+    }
+    assert k_b == k_s and k_b[0] == 0
+
+    we = spark.createDataFrame(
+        [(a, b, (a * 7 + b) % 5 + 1) for a, b in raw], "src bigint, dst bigint, w long"
+    )
+    w_b = {r["node"]: r["dist"] for r in bounded_shortest_paths(we, s, k=3).collect()}
+    w_s = {
+        r["node"]: r["dist"]
+        for r in bounded_shortest_paths(
+            we, s, k=3, max_broadcast_frontier=0
+        ).collect()
+    }
+    assert w_b == w_s and w_b[0] == 0
+
+    l_b = {r["node"]: r["lab"] for r in min_label_propagation(e, rounds=2).collect()}
+    l_s = {
+        r["node"]: r["lab"]
+        for r in min_label_propagation(e, rounds=2, max_broadcast_nodes=0).collect()
+    }
+    assert l_b == l_s
+
+    kz_b = {r["node"]: r["katz_x64"] for r in katz_walk_counts(e).collect()}
+    kz_s = {
+        r["node"]: r["katz_x64"]
+        for r in katz_walk_counts(e, max_broadcast_nodes=0).collect()
+    }
+    assert kz_b == kz_s
