@@ -75,18 +75,22 @@ def pagerank(
     having out-degree ≥ 1 (see :func:`symmetrize_edges`; callers that
     just symmetrized can pass ``assume_no_dangling=True`` to skip the
     verification pass)."""
-    # materialize the (edge ⋈ degree) relation once — every iteration
-    # reuses it, and without the checkpoint Spark would re-run the
-    # caller's whole upstream plan (joins, dedups) per iteration
-    edges = edges.select("src", "dst")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    wedges = edges.join(deg, on="src").localCheckpoint(eager=True)
-
-    nodes = wedges.select(F.col("src").alias("node")).dropDuplicates()
+    # the degree vector is |V| rows — materialize IT once (one |E|
+    # aggregate), not the |E|-row edges⋈degree join the round-8 form
+    # checkpointed per invocation: in broadcast mode the degree rides
+    # inside the broadcast rank vector, so the (huge) edge relation is
+    # consumed as-is — no join materialization, no shuffle of edges
+    edges = _materialize_edges(edges)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = deg.select(F.col("src").alias("node"))  # out-degree ≥ 1 ⇒ nodes ≡ deg keys
     if not assume_no_dangling:
         # every dst must also appear as a src
         dangling = (
-            wedges.select(F.col("dst").alias("node"))
+            edges.select(F.col("dst").alias("node"))
             .dropDuplicates()
             .join(nodes, on="node", how="left_anti")
             .limit(1)
@@ -98,27 +102,35 @@ def pagerank(
                 "symmetrize_edges() or add self-loops first"
             )
 
-    n = nodes.count()
+    n = deg.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
 
     # the rank vector is |V| rows — tiny next to |E|. Broadcasting it
-    # keeps the edge relation UN-shuffled across all iterations (the
-    # only shuffle left is the per-dst partial-sum aggregate); above
-    # the cap fall back to a shuffle join, the Pregel-at-scale shape
+    # (joined with deg, still |V|) keeps the edge relation UN-shuffled
+    # across all iterations (the only shuffle left is the per-dst
+    # partial-sum aggregate); above the cap fall back to the
+    # materialized edges⋈degree shuffle join, the Pregel-at-scale shape
     broadcast_ranks = n <= max_broadcast_nodes
+    if not broadcast_ranks:
+        wedges = edges.join(deg, on="src").localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iterations):
         rank_src = ranks.withColumnRenamed("node", "src")
         if broadcast_ranks:
-            rank_src = F.broadcast(rank_src)
-        contrib = (
-            wedges.join(rank_src, on="src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
-        )
+            contrib = (
+                edges.join(F.broadcast(rank_src.join(deg, on="src")), on="src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            )
+        else:
+            contrib = (
+                wedges.join(rank_src, on="src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            )
         new_rank = F.lit(base) + F.lit(damping) * F.col("contrib")
         if round_digits is not None:
             new_rank = F.round(new_rank, round_digits)
