@@ -246,6 +246,7 @@ def test_bpe_symbols_with_quotes_and_backslashes(spark):
     assert got_seg == want_seg
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_bpe_batched_equals_sequential(spark, sf_dir):
     # exact batched selection (_select_exact_batch) must reproduce the
     # strict argmax loop bit-for-bit — merge table AND segmentations —

@@ -134,6 +134,7 @@ EMB_ROWS = st.lists(
 @given(rows=EMB_ROWS, block_size=st.integers(min_value=1, max_value=10))
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_blocked_pairwise_equals_cross_join_property(spark, rows, block_size):
     """For any embedding set and block size, the block-pair equi-join
     must emit exactly the id0<id1 pairs of the cartesian product with
@@ -213,6 +214,7 @@ def test_token_entropy_bounds(spark, docs):
     terms=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3, unique=True),
 )
 @HSETTINGS
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_bm25_matches_pure_python(spark, docs, terms):
     import math
 
@@ -252,6 +254,7 @@ def test_bm25_matches_pure_python(spark, docs, terms):
     epochs=st.integers(min_value=1, max_value=4),
 )
 @HSETTINGS
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_unimax_allocation_invariants(spark, caps, budget, epochs):
     """Water-fill invariants on generated group sizes: every group's
     allocation is within [0, cap]; capped groups get exactly cap;
@@ -278,6 +281,7 @@ def test_unimax_allocation_invariants(spark, caps, budget, epochs):
     margin=st.integers(min_value=1, max_value=40),
 )
 @HSETTINGS
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_preference_pairs_invariants(spark, rows, margin):
     """Every emitted pair respects the margin gate, orders chosen
     over rejected, never pairs an item with itself, and emits at most
@@ -301,6 +305,7 @@ def test_preference_pairs_invariants(spark, rows, margin):
     ),
 )
 @HSETTINGS
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_ks_two_sample_invariants(spark, rows):
     """0 <= D <= 1; swapping the sample labels leaves D unchanged
     (the statistic is symmetric); D = 0 when both samples are

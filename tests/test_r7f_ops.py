@@ -3,6 +3,8 @@ invariants, plus numpy cross-checks for EMD, MMD, and Kendall tau."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import numpy as np
@@ -70,6 +72,7 @@ def test_cramers_v_bounds(spark):
         assert 0.0 <= r["cramers_v"] <= 1.0 + 1e-9
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_kendall_matches_numpy_bruteforce(spark):
     from redshells_spark.queries import QUERIES
 

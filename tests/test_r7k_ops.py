@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -21,6 +23,7 @@ def test_minhash_calibration_monotone_and_bounded(spark):
         assert by_est[-1]["mean_exact_e6"] >= by_est[0]["mean_exact_e6"]
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_dedup_agreement_set_algebra(spark):
     from redshells_spark.queries import QUERIES
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 SF = "/root/testdata/sf0.001"
@@ -47,6 +49,7 @@ def test_strength_features_bounded(spark):
         assert r["n_days"] >= 7
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_bigram_entropy_bounds(spark):
     from redshells_spark.queries import QUERIES
 

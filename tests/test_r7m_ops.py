@@ -2,9 +2,12 @@
 
 from __future__ import annotations
 
+import pytest
+
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_tail_dependence_bounds(spark):
     from redshells_spark.queries import QUERIES
 
@@ -15,6 +18,7 @@ def test_tail_dependence_bounds(spark):
     assert r["n_ll"] <= r["n_xl"]
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_mix_rate_effects_sum_to_total(spark):
     from redshells_spark.queries import QUERIES
 
@@ -28,6 +32,7 @@ def test_mix_rate_effects_sum_to_total(spark):
     assert abs(total - lhs) < 0.05  # e6 weight quantization slack
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_price_indices_bracket_fisher(spark):
     from redshells_spark.queries import QUERIES
 

@@ -285,6 +285,7 @@ def test_k_core_hand_graph(spark):
     assert {r["node"] for r in alive.collect()} == {"n1", "n2", "n3", "n4"}
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_k_core_multi_round_cascade_matches_unrolled(spark):
     # A 7-node path peels from both ends one node per round at k=2 —
     # exercises the fixpoint short-circuit's NON-converged branch for
@@ -334,6 +335,7 @@ def test_k_core_rounds_converge_on_testdata(spark):
 # ------------------------------------------------- rich club
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_rich_club_hand_graph(spark):
     # star: hub h connected to 5 leaves; deg(h)=5, deg(leaf)=1.
     # k=2: only the hub survives → filtered out (n_nodes < 2).
@@ -403,6 +405,7 @@ def test_collapsed_pairs_equal_plain(spark):
     assert plain == coll and len(plain) == 10
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_array_native_index_equals_long_form(spark):
     # build_rank_sorted_sets_from_arrays must produce the EXACT index
     # (ranks, order, sizes) and the exact pairs the long-form builder
@@ -448,6 +451,7 @@ def test_array_native_index_equals_long_form(spark):
     assert _idx_rows(fb_idx) == _idx_rows(want_idx)
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_bitmask_verify_equals_array_path(spark):
     # element_universe ≤ 64 switches pairs_from_rank_sorted to the
     # inline int64-bitmask verification — must be row-identical to the
@@ -486,6 +490,7 @@ def test_bitmask_verify_equals_array_path(spark):
         assert bm_c == arr_c == arr
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_multiword_bitset_verify_equals_array_path(spark):
     # element_universe in (64, 64*BITSET_MAX_WORDS] switches to the
     # array<long> bitset verification (n_words ≥ 2) — must be

@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 from redshells_spark.queries import get_queries
 
+# measured >=10s in the round-9 duration profile (pytest.ini tiering)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

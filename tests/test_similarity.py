@@ -42,6 +42,7 @@ def test_lsh_recall_of_self(queries_df, emb):
     assert top1 == {i: i for i in range(5)}
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_ivf_topk_self_recall(queries_df, emb):
     indexed, centroids = ivf_build_index(emb, num_centroids=8)
     out = ivf_topk(queries_df, indexed, centroids, k=3, nprobe=2)

@@ -13,6 +13,9 @@ from redshells_spark.streaming.binary_index import (
     run_binary_dedup_ingest,
 )
 
+# measured >=10s in the round-9 duration profile (pytest.ini tiering)
+pytestmark = pytest.mark.slow
+
 DIM = 8
 SCHEMA = "vec_id long, embedding array<double>"
 

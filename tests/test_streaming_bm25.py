@@ -9,6 +9,11 @@ from redshells_spark.streaming.bm25_stats import (
     run_bm25_stats_ingest,
 )
 
+import pytest
+
+# measured >=10s in the round-9 duration profile (pytest.ini tiering)
+pytestmark = pytest.mark.slow
+
 SCHEMA = "doc_id long, text string"
 
 BATCHES = [

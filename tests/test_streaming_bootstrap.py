@@ -5,6 +5,11 @@ from __future__ import annotations
 from redshells_spark.ml.bootstrap import poisson_bootstrap_mean_ci
 from redshells_spark.streaming.bootstrap import BootstrapIngest, run_bootstrap_ingest
 
+import pytest
+
+# measured >=10s in the round-9 duration profile (pytest.ini tiering)
+pytestmark = pytest.mark.slow
+
 SCHEMA = "event_id long, value double"
 ROWS = [(i, float((i * 37) % 100) / 4.0 + 1.0) for i in range(900)]
 BATCHES = [ROWS[:200], ROWS[200:500], ROWS[500:]]

@@ -4,6 +4,8 @@ restart resume."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 
 from pyspark.sql import functions as F
@@ -38,6 +40,7 @@ def _snapshot_dict(spark, m: SnapshotMaintainer):
     return {r["k"]: (r["name"], r["v"]) for r in df.collect()}
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_streaming_cdc_end_to_end(spark, tmp_path):
     d = tmp_path / "changes"
     d.mkdir()

@@ -32,6 +32,7 @@ def doc_stream_dir(spark, tmp_path):
     return d
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_stream_dedup_matches_batch(spark, doc_stream_dir):
     import glob
 

@@ -53,6 +53,7 @@ def stream_dir(spark, tmp_path):
     return d
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_corpus_ingest_end_to_end(spark, vocab, stream_dir, tmp_path):
     ingest = CorpusIngest(
         base_path=str(tmp_path / "state"), vocab=vocab, threshold=0.3
@@ -91,6 +92,7 @@ def test_corpus_ingest_end_to_end(spark, vocab, stream_dir, tmp_path):
     assert sum(s["n_in"] for s in ingest.stats) == 9
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_corpus_ingest_resumes_from_state(spark, vocab, stream_dir, tmp_path):
     # run batch0 alone, then a new ingest instance (fresh process,
     # same state dir) must still reject batch1's dups against batch0

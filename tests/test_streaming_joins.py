@@ -62,6 +62,7 @@ def test_last_touch_picks_latest_and_counts(spark, events):
     assert rows == {3: (2, 2), 8: (7, 1)}
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     # two micro-batch files — clicks and purchases arrive interleaved
     d = tmp_path / "ev"

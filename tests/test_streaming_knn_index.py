@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from redshells_spark.streaming.knn_index import KnnGraphIngest, run_knn_index_ingest
@@ -9,6 +11,7 @@ from redshells_spark.streaming.knn_index import KnnGraphIngest, run_knn_index_in
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_streamed_index_recall(spark, tmp_path):
     from redshells_spark.similarity.ann import brute_force_topk
 

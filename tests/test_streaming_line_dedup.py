@@ -5,6 +5,8 @@ in batch 3)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from redshells_spark.dedup.lines import cross_doc_unit_dedup, split_units
@@ -63,6 +65,7 @@ def test_streaming_matches_batch_keep_first(spark, tmp_path):
     assert len(ingest.stats) == 3
 
 
+@pytest.mark.slow  # measured >=10s (round-9 tiering)
 def test_state_compaction_bounds_files(spark, tmp_path):
     """Rolling bucket compaction keeps the unit-hash state file count
     BOUNDED as batches accumulate (r5 verdict #6: at stream volume the

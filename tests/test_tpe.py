@@ -24,6 +24,9 @@ from redshells_spark.ml.tpe import (
     register_tpe_param_rule,
 )
 
+# measured >=10s in the round-9 duration profile (pytest.ini tiering)
+pytestmark = pytest.mark.slow
+
 
 def _quadratic(trial: Trial) -> float:
     x = trial.suggest_uniform("x", -10.0, 10.0)
