@@ -386,12 +386,18 @@ def _rich_club_coefficient(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges2"))
     )
     return (
-        nn.join(e2, "k")
+        # LEFT join + 0 fill: a k whose rich club has ≥2 nodes but ZERO
+        # surviving edges has no e2 group at all — the inner join
+        # dropped those rows while the oracle keeps them with
+        # n_edges2 = 0 (surfaced by the round-9 full differential at
+        # sf0.001; sf0.01+ always has edges at every ladder rung)
+        nn.join(e2, "k", "left")
+        .na.fill({"n_edges2": 0})
         .filter(F.col("n_nodes") >= 2)
         .select(
             "k",
             "n_nodes",
-            "n_edges2",
+            F.col("n_edges2").cast("long").alias("n_edges2"),
             F.expr(
                 "cast(n_edges2 * 1000000 div (n_nodes * (n_nodes - 1)) as bigint)"
             ).alias("phi_e6"),

@@ -367,6 +367,12 @@ def test_rich_club_query_monotone_nodes(spark):
         assert p["n_nodes"] >= c["n_nodes"]
     for r in out:
         assert 0 <= r["phi_e6"] <= 1_000_000
+    # round-9 fix: a ladder rung with >= 2 rich nodes but ZERO
+    # surviving edges must still be reported (n_edges2 = 0, phi = 0) —
+    # the old inner join dropped it. At sf0.001 the k=16/32 rungs are
+    # exactly this case, so all 5 rungs must be present.
+    assert len(out) == 5
+    assert any(r["n_edges2"] == 0 and r["phi_e6"] == 0 for r in out)
 
 
 # ------------------------------- duplicate-set collapsing (PPJoin)
